@@ -1,0 +1,126 @@
+"""Unit tests for the ⚠-gap expression helpers (SURVEY.md §2 / Phase 2).
+
+Mirrors the reference's test strategy layers 1-2 (SURVEY.md §5):
+schema-as-oracle assertions plus golden-frame equality.
+"""
+
+from __future__ import annotations
+
+import datetime
+import warnings
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from wikidatabots_spark.functions.core import (
+    between_left_closed,
+    binary_to_utf8,
+    limit_warn,
+    now_lit,
+    pl_format,
+    prefix_columns,
+    regexp_extract_null,
+    sample_n,
+    unique_first_by,
+    unique_keep_none,
+    where_unique,
+)
+
+
+def test_regexp_extract_null(spark):
+    # polars str.extract returns null on miss (wd_tmdb.py:22)
+    df = spark.createDataFrame([("tt123",), ("garbage",), (None,)], "s string")
+    out = df.select(regexp_extract_null("s", r"tt(\d+)").alias("x")).collect()
+    assert [r.x for r in out] == ["123", None, None]
+
+
+def test_pl_format_null_propagates(spark):
+    # pl.format yields null when any arg is null (wd_tmdb.py:218-224)
+    df = spark.createDataFrame([(1, "a"), (2, None)], "i long, s string")
+    out = df.select(pl_format("x{}y{}z", F.col("i"), F.col("s")).alias("f"))
+    assert out.schema == StructType([StructField("f", StringType())])
+    vals = [r.f for r in out.orderBy("f").collect()]
+    assert vals == [None, "x1yaz"]
+
+
+def test_pl_format_arity_check():
+    with pytest.raises(ValueError):
+        pl_format("{} {}", F.lit(1))
+
+
+def test_unique_first_by(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 10), (1, "a", 20), (2, "c", 30)], "k long, ord string, v long"
+    )
+    out = unique_first_by(df, ["k"], ["ord"]).orderBy("k").collect()
+    assert [(r.k, r.ord, r.v) for r in out] == [(1, "a", 20), (2, "c", 30)]
+
+
+def test_unique_keep_none(spark):
+    # polars unique(keep="none") drops every duplicated key (wd_opencritic.py:86)
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    out = unique_keep_none(df, "k").collect()
+    assert [r.k for r in out] == [2]
+
+
+def test_where_unique_extra_predicate(spark):
+    df = spark.createDataFrame([(1, 5), (1, 6), (2, 7), (3, 1)], "k long, v long")
+    out = where_unique(df, F.col("v") > 2, keys=["k"]).orderBy("k").collect()
+    assert [r.k for r in out] == [2]
+    assert out[0].__fields__ == ["k", "v"]  # helper column dropped
+
+
+def test_prefix_columns(spark):
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    out = prefix_columns(df, "wd_")
+    assert out.columns == ["wd_a", "wd_b"]
+
+
+def test_between_left_closed(spark):
+    df = spark.createDataFrame([(i,) for i in range(5)], "v long")
+    out = df.where(between_left_closed("v", 1, 3)).collect()
+    assert sorted(r.v for r in out) == [1, 2]
+
+
+def test_now_lit_is_plan_time_literal(spark):
+    # now() semantics: fixed at expression build, 1s rounding, no micros
+    # (polars_utils.py:54-56)
+    col = now_lit()
+    df = spark.range(2).select(col.alias("t"))
+    assert df.schema == StructType([StructField("t", TimestampType(), False)])
+    vals = [r.t for r in df.collect()]
+    assert vals[0] == vals[1]
+    assert vals[0].microsecond == 0
+    assert abs((datetime.datetime.now() - vals[0]).total_seconds()) < 10
+
+
+def test_binary_to_utf8(spark):
+    df = spark.createDataFrame([(bytearray(b"hi"),)], "b binary")
+    assert df.select(binary_to_utf8("b").alias("s")).collect()[0].s == "hi"
+
+
+def test_sample_n_exact(spark):
+    df = spark.range(100)
+    out = sample_n(df, 7, seed=42)
+    assert out.count() == 7
+
+
+def test_limit_warn_caps_and_warns(spark):
+    df = spark.range(100)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = limit_warn(df, n=10, sample=False, desc="t")
+        assert out.count() == 10
+        assert any("100 rows" in str(x.message) for x in w)
+    # under the cap: untouched, no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert limit_warn(df, n=1000).count() == 100
+        assert not w

@@ -1,0 +1,152 @@
+"""Unit tests for the extension operators (dedup / similarity / textstats)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikidatabots_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    tokens,
+)
+from wikidatabots_spark.operators.similarity import (
+    cosine,
+    embedding_dup_pairs,
+    knn_brute,
+    knn_lsh,
+)
+from wikidatabots_spark.operators.textstats import (
+    with_fingerprint,
+    with_lang_guess,
+    with_quality,
+    with_token_count,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tokens_distinct_lowercase(spark):
+    df = _docs(spark, [(1, "A a  b")])
+    out = {(r.doc_id, r.token) for r in tokens(df).collect()}
+    assert out == {(1, "a"), (1, "b")}
+
+
+def test_dedup_exact_groups(spark):
+    df = _docs(spark, [(3, "same"), (1, "same"), (2, "other")])
+    out = {r.canonical_id: r.n_copies for r in dedup_exact(df).collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_shingles(spark):
+    from wikidatabots_spark.operators.dedup import shingles
+
+    df = _docs(spark, [(1, "A b c d"), (2, "x y")])
+    out = {(r.doc_id, r.token) for r in shingles(df, n=3).collect()}
+    # doc 2 has < 3 words → no shingles
+    assert out == {(1, "a b c"), (1, "b c d")}
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    df = _docs(spark, [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w4"), (3, "q r s t u")])
+    out = minhash_lsh_pairs(df, num_hashes=8, bands=4).collect()
+    pairs = {(r.id_a, r.id_b): r.n_shared_bands for r in out}
+    assert pairs.get((1, 2)) == 4
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_exact(spark):
+    # shingles(3): doc1 {abc,bcd}, doc2 {abc,bce} → inter 1, union 3
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c e"), (3, "x y z w w2 w3")])
+    out = ngram_jaccard_pairs(df, threshold=0.1, max_df=10).collect()
+    j = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert abs(j[(1, 2)] - 1 / 3) < 1e-12
+    assert (1, 3) not in j and (2, 3) not in j
+
+
+def test_cosine_orthonormal(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 0.0], [2.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    vals = [r.c for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert abs(vals[0]) < 1e-12
+    assert abs(vals[1] - 1.0) < 1e-12
+
+
+def test_knn_brute_excludes_self_and_ranks(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = knn_brute(emb.where(F.col("vec_id") == 1), emb, k=2).collect()
+    got = sorted((r.rank, r.neighbor_id) for r in out)
+    assert got == [(1, 2), (2, 3)]
+
+
+def test_knn_lsh_matches_brute_on_clustered_data(spark):
+    # two tight clusters: LSH with coarse buckets must still find the
+    # same top-1 as brute force
+    rows = [(i, [1.0 + 0.001 * i, 0.0, 0.0, 0.0]) for i in range(5)]
+    rows += [(10 + i, [0.0, 1.0 + 0.001 * i, 0.0, 0.0]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") == 0)
+    brute = {(r.query_id, r.rank): r.neighbor_id for r in knn_brute(q, emb, k=1).collect()}
+    approx = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_lsh(q, emb, k=1, dim=4, bits=2, tables=2).collect()
+    }
+    assert brute == approx
+
+
+def test_embedding_dup_pairs_threshold(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r.id_a, r.id_b) for r in embedding_dup_pairs(emb, 0.99).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_token_count(spark):
+    df = _docs(spark, [(1, "Hello world, 42 times!")])
+    r = with_token_count(df).collect()[0]
+    assert r.n_words == 4
+    # hello | world | , | 42 | times | !
+    assert r.n_subtokens == 6
+
+
+def test_quality_features(spark):
+    df = _docs(spark, [(1, "the cat sat.")])
+    r = with_quality(df).collect()[0]
+    assert r.n_words == 3
+    assert r.n_punct == 1
+    assert r.n_stopwords == 1
+    assert abs(r.stopword_ratio - 1 / 3) < 1e-12
+    assert 0.0 <= r.quality <= 1.0
+
+
+def test_lang_guess(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the dog is here"),
+            (2, "el perro y la casa de que"),
+            (3, "zzz qqq www"),
+        ],
+    )
+    out = {r.doc_id: r.lang_guess for r in with_lang_guess(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_fingerprint_whitespace_insensitive(spark):
+    df = _docs(spark, [(1, "a  b\tc"), (2, "A b c"), (3, "a b d")])
+    out = {r.doc_id: r.fingerprint for r in with_fingerprint(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]

@@ -1,0 +1,188 @@
+"""Core expression helpers.
+
+Each helper closes one ⚠ gap from SURVEY.md §2 between the reference's
+Polars semantics and Spark built-ins. All are thin, pure, JVM-side Column
+compositions — no Python UDFs — so Catalyst sees through every one of them
+(predicate pushdown, column pruning, and whole-stage codegen all still apply).
+
+Reference call sites are cited per helper (files under /root/reference).
+"""
+
+from __future__ import annotations
+
+import datetime
+import warnings
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def regexp_extract_null(col: Column | str, pattern: str, group: int = 1) -> Column:
+    """Regex group extract returning NULL on no-match.
+
+    Spark's ``regexp_extract`` returns ``''`` when the pattern misses;
+    the reference's ``str.extract`` returns null (wd_tmdb.py:22,
+    wikidata.py:71). Wrapping in ``nullif`` restores null semantics, which
+    downstream ``na.drop`` / ``isNull`` filters depend on.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.nullif(F.regexp_extract(c, pattern, group), F.lit(""))
+
+
+def pl_format(fmt: str, *cols: Column | str) -> Column:
+    """Null-propagating string interpolation.
+
+    Mirrors ``pl.format("{}x{}", a, b)`` (wd_tmdb.py:218-224,
+    wd_opencritic.py:104-126): the result is NULL if *any* argument is null.
+    Spark's ``format_string`` renders the literal text "null" instead, so we
+    build a ``concat`` (which null-propagates) of literal fragments and
+    column arguments.
+    """
+    parts = fmt.split("{}")
+    if len(parts) - 1 != len(cols):
+        raise ValueError(
+            f"format string has {len(parts) - 1} placeholders but {len(cols)} args"
+        )
+    pieces: list[Column] = []
+    for i, frag in enumerate(parts):
+        if frag:
+            pieces.append(F.lit(frag))
+        if i < len(cols):
+            c = F.col(cols[i]) if isinstance(cols[i], str) else cols[i]
+            pieces.append(c.cast("string"))
+    if not pieces:
+        return F.lit("")
+    return F.concat(*pieces)
+
+
+def is_unique(df: DataFrame, *keys: str) -> Column:
+    """Boolean column: the key value occurs exactly once in the whole frame.
+
+    Polars ``Expr.is_unique`` (wd_tmdb.py:240,323). Implemented as a window
+    count over the key — one shuffle on the key, map-side partial counts;
+    scales because the window carries no ordering (no sort, only hash
+    exchange + count). SQL forbids window functions in WHERE: materialize
+    via ``withColumn`` before filtering, or use :func:`where_unique`.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return F.count(F.lit(1)).over(w) == 1
+
+
+def where_unique(df: DataFrame, extra: Column | None = None, *, keys: Sequence[str]) -> DataFrame:
+    """Keep rows whose key occurs exactly once, AND an optional predicate.
+
+    Filter form of :func:`is_unique` (window columns are not legal in a
+    WHERE clause, so the count is materialized then dropped).
+    """
+    out = df.withColumn("__uniq", is_unique(df, *keys))
+    cond = F.col("__uniq") if extra is None else (F.col("__uniq") & extra)
+    return out.where(cond).drop("__uniq")
+
+
+def unique_keep_none(df: DataFrame, *keys: str) -> DataFrame:
+    """Drop every row whose key occurs more than once.
+
+    Polars ``unique(subset, keep="none")`` (wd_opencritic.py:86).
+    """
+    return where_unique(df, keys=list(keys))
+
+
+def unique_first_by(df: DataFrame, keys: Sequence[str], order_by: Sequence[str]) -> DataFrame:
+    """Deduplicate by ``keys`` keeping the first row per explicit order.
+
+    Polars ``unique(subset, maintain_order=True)`` keeps the first row in
+    file order (wd_tmdb.py:231,317). Spark has no stable natural order, so
+    callers must name the tiebreak columns. row_number window ⇒ one shuffle
+    + per-key sort on (keys, order_by); with AQE skewed keys are split.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *[F.col(o) for o in order_by]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def prefix_columns(df: DataFrame, prefix: str) -> DataFrame:
+    """Rename every column with a prefix.
+
+    Polars ``pl.all().name.prefix("wd_")`` (wd_opencritic.py:96,138,180).
+    Pure projection — no shuffle, pruning still works through aliases.
+    """
+    return df.select([F.col(c).alias(prefix + c) for c in df.columns])
+
+
+def now_lit() -> Column:
+    """Current UTC timestamp as a plan-time literal, second precision.
+
+    The reference's ``now()`` (polars_utils.py:54-56) evaluates once when
+    the expression is *built* (not per-row), rounded to 1 s. A Spark
+    ``current_timestamp()`` is query-start time; we want build time, so we
+    embed a Python-evaluated literal.
+    """
+    now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    # round (not truncate) to nearest second, matching dt.round("1s")
+    if now.microsecond >= 500_000:
+        now += datetime.timedelta(seconds=1)
+    return F.lit(now.replace(microsecond=0))
+
+
+def binary_to_utf8(col: Column | str) -> Column:
+    """Binary → string (polars_requests.py:248 ``cast(pl.Utf8)``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.decode(c, "UTF-8")
+
+
+def between_left_closed(col: Column | str, low, high) -> Column:
+    """Polars ``is_between(closed="left")``: low <= c < high.
+
+    Spark's ``Column.between`` is inclusive on both ends
+    (test_polars_requests.py:24 uses left-closed).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (c >= F.lit(low)) & (c < F.lit(high))
+
+
+def sample_n(
+    df: DataFrame,
+    n: int,
+    seed: int | None = None,
+    shuffle: bool = False,
+) -> DataFrame:
+    """Exact-n random sample (polars_utils.py:59-76 ``sample``).
+
+    Spark's ``df.sample`` is fraction-based; exact-n requires a global sort
+    by a seeded random key. That is a full shuffle of the *candidate* rows —
+    acceptable because the reference only samples when a guard already
+    capped the set (≤ a few hundred rows). For large frames prefer
+    ``df.sample(fraction)``.
+    """
+    rand = F.rand(seed) if seed is not None else F.rand()
+    return df.orderBy(rand).limit(n)
+
+
+def limit_warn(
+    df: DataFrame,
+    n: int = 250,
+    sample: bool = True,
+    desc: str = "frame",
+    seed: int | None = None,
+) -> DataFrame:
+    """Warn + cap when the frame exceeds ``n`` rows.
+
+    Polars ``limit()`` guard (polars_utils.py:83-100): if count > n, emit a
+    warning and return a sample (or head) of n rows. Needs a driver-side
+    ``count()`` action — same eager barrier the reference has (its guard is
+    an eager ``map_batches``). The count is cheap: Catalyst collapses it to
+    a partial-count + single-row exchange.
+    """
+    cnt = df.count()
+    if cnt <= n:
+        return df
+    warnings.warn(f"{desc} has {cnt} rows, limiting to {n}", stacklevel=2)
+    if sample:
+        return sample_n(df, n, seed=seed)
+    return df.limit(n)

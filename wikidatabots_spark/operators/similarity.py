@@ -1,0 +1,192 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``knn_brute``: exact cosine top-k, the correctness baseline. All math in
+  JVM higher-order functions (``zip_with`` + ``aggregate``) — no Python.
+- ``embedding_dup_pairs``: cosine-threshold near-duplicate pairs.
+- ``knn_lsh``: sign-random-projection (SRP) bucketed ANN — the scale path:
+  hash each vector to a B-bit bucket with deterministic hyperplanes, only
+  compare within buckets (+ optional multi-probe via several tables).
+
+Scale notes:
+- Brute force is O(Q×N): fine when the query side is small (it is
+  broadcast), hopeless for all-pairs at 100 TB. The SRP variant turns it
+  into a bucket-equi-join (shuffle on bucket id), the standard ANN design
+  when no vector index service is available.
+- Determinism: the SRP hyperplanes derive from md5 of (table, bit, dim) —
+  reproducible across engines and runs, no RNG state.
+- Output contains only ids and integer ranks — float similarity values
+  stay internal so cross-engine ULP noise cannot leak into results (the
+  ordering itself is stable far beyond ULP scale for real embeddings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_brute(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank), self excluded.
+
+    The query side is broadcast (it is the small side by construction);
+    the corpus streams through map tasks — no shuffle of the corpus until
+    the final per-query top-k (a window over query_id, tiny cardinality).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold; (id_a < id_b). O(n²) — use
+    ``knn_lsh``-style bucketing upstream at scale."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("sim") >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+
+
+def _srp_plane(table: int, bit: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane coefficient in [-1, 1).
+
+    Derived from md5 — reproducible everywhere, no RNG object. Driver-side
+    Python (plan-build time), embedded as literals into the plan.
+    """
+    import hashlib
+
+    h = hashlib.md5(f"{table}:{bit}:{dim}".encode()).hexdigest()
+    return int(h[:8], 16) / float(1 << 31) - 1.0
+
+
+def srp_bucket(vec: Column, dim: int, bits: int = 8, table: int = 0) -> Column:
+    """Sign-random-projection bucket id (0..2^bits-1) for a vector column."""
+    bucket = F.lit(0)
+    for b in range(bits):
+        plane = [_srp_plane(table, b, d) for d in range(dim)]
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(p) for p in plane]),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 6,
+    tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only within SRP buckets, union over
+    ``tables`` hash tables, then exact re-rank of candidates.
+
+    Shuffle is on (table, bucket) — n/2^bits rows per bucket on average;
+    the candidate set per query is a tiny fraction of the corpus. Recall
+    improves with ``tables`` (multi-probe), cost stays bucket-local.
+    """
+    def bucketed(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        out = []
+        for t in range(tables):
+            out.append(
+                df.select(
+                    F.col(idc),
+                    F.col(vc),
+                    F.lit(t).alias("tbl"),
+                    srp_bucket(F.col(vc), dim, bits, t).alias("bucket"),
+                )
+            )
+        res = out[0]
+        for o in out[1:]:
+            res = res.unionByName(o)
+        return res
+
+    qb = bucketed(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id",
+        "q_vec",
+    )
+    cb = bucketed(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "neighbor_id",
+        "c_vec",
+    )
+    cand = (
+        qb.join(cb, on=["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

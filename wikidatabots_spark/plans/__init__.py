@@ -1,0 +1,17 @@
+"""Query plans: the reference's five pipelines + analytics/extension queries.
+
+Importing this package registers every query in ``plans.registry`` — the
+driver contract (``__spark_entry__``) reads the registry.
+"""
+
+from wikidatabots_spark.plans import (  # noqa: F401
+    events,
+    extensions,
+    opencritic,
+    operators_micro,
+    tmdb,
+    tpch,
+)
+from wikidatabots_spark.plans.registry import REGISTRY, oracle_sql, queries
+
+__all__ = ["REGISTRY", "queries", "oracle_sql"]

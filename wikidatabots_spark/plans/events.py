@@ -1,0 +1,133 @@
+"""Event-time operators over the ``events`` table.
+
+Batch forms here (oracle-checked); ``streaming/events_stream.py`` runs the
+same logical aggregations as Structured Streaming with watermarks (tested
+in pytest — streaming DataFrames can't be driver-collected).
+
+- ``ev_hourly_rollup``   tumbling-window counts + exact decimal sums
+- ``ev_sessionize``      30-minute-gap sessionization (lag + cumulative
+  sum over a user-partitioned window) — the classic stateful op; the
+  streaming twin uses the session_window built-in
+- ``ev_json_extract``    typed extraction from the JSON props column
+
+Scale: hourly rollup = one shuffle on (hour, event_type) with map-side
+partial aggregation; sessionization = one shuffle on user_id then a
+per-user sort — both AQE-coalesced. JSON extraction is a narrow map
+(from_json with an explicit schema — the reference never infers, §1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wikidatabots_spark.plans.registry import register
+from wikidatabots_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+_EV_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@register("ev_hourly_rollup", oracle=_EV_HOURLY_ORACLE)
+def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("sum_value"),
+    )
+
+
+_EV_SESSIONIZE_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_MIN} * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+numbered AS (
+    SELECT *,
+           CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT user_id,
+       session_seq,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS first_event_id,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000 AS duration_sec
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+@register("ev_sessionize", oracle=_EV_SESSIONIZE_ORACLE)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag → flag → running sum → per-session agg.
+
+    Batch twin of streaming session windows. duration_sec is integer
+    microsecond arithmetic divided once — cross-engine exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                > SESSION_GAP_MIN * 60 * 1_000_000
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000
+        ).alias("duration_sec"),
+    )
+
+
+_EV_JSON_ORACLE = """
+SELECT event_id,
+       CAST(props->>'$.k' AS INT) AS k
+FROM events
+"""
+
+
+@register("ev_json_extract", oracle=_EV_JSON_ORACLE)
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: JSON decode with an explicit schema (never inferred, SURVEY §1)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+    )

@@ -1,0 +1,284 @@
+"""Oracle-checked queries for the north-star extension operators
+(dedup / similarity / text analysis — BASELINE.json).
+
+The MinHash design note: hash_i(token) = md5('<i>:' || token) compared as
+*strings* — MIN over strings is engine-agnostic, so even the LSH pipeline
+is exactly reproducible in DuckDB. No RNG, no JVM-specific hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wikidatabots_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from wikidatabots_spark.operators.similarity import knn_brute
+from wikidatabots_spark.operators.textstats import (
+    with_fingerprint,
+    with_lang_guess,
+    with_quality,
+    with_token_count,
+)
+from wikidatabots_spark.plans.registry import register
+from wikidatabots_spark.sources.tables import load_table
+
+# 3-word shingles, matching operators.dedup.shingles(n=3)
+_TOK_SQL = """
+tok AS (
+    SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(wl) - 2, 0)),
+                   i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS token
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x != '') AS wl
+            FROM documents
+        )
+    )
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+_MINHASH_ORACLE = f"""
+WITH {_TOK_SQL},
+sig AS (
+    SELECT doc_id,
+           MIN(md5('0:' || token)) AS mh0, MIN(md5('1:' || token)) AS mh1,
+           MIN(md5('2:' || token)) AS mh2, MIN(md5('3:' || token)) AS mh3,
+           MIN(md5('4:' || token)) AS mh4, MIN(md5('5:' || token)) AS mh5,
+           MIN(md5('6:' || token)) AS mh6, MIN(md5('7:' || token)) AS mh7
+    FROM tok GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id,
+           md5(mh0 || '|' || mh1) AS band0, md5(mh2 || '|' || mh3) AS band1,
+           md5(mh4 || '|' || mh5) AS band2, md5(mh6 || '|' || mh7) AS band3
+    FROM sig
+),
+stacked AS (
+    SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
+    UNION ALL SELECT doc_id, 1, band1 FROM banded
+    UNION ALL SELECT doc_id, 2, band2 FROM banded
+    UNION ALL SELECT doc_id, 3, band3 FROM banded
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
+FROM stacked a
+JOIN stacked b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=8, bands=4
+    )
+
+
+_JACCARD_ORACLE = f"""
+WITH {_TOK_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM tok GROUP BY doc_id),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+rare AS (
+    SELECT t.doc_id, t.token
+    FROM tok t JOIN dfreq USING (token)
+    WHERE df <= 100
+),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM rare a
+    JOIN rare b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.4
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.4, max_df=100
+    )
+
+
+_KNN_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 20
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+norms AS (
+    SELECT vec_id, sqrt(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+               AS nrm
+    FROM embeddings, generate_series(1, 64) t(i)
+    GROUP BY vec_id
+),
+dots AS (
+    SELECT q.query_id, c.neighbor_id,
+           SUM(CAST(q.q_vec[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE)) AS dot
+    FROM q, c, generate_series(1, 64) t(i)
+    WHERE q.query_id != c.neighbor_id
+    GROUP BY q.query_id, c.neighbor_id
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           d.dot / (nq.nrm * nc.nrm) AS sim
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nc ON nc.vec_id = d.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("knn_cosine_topk", oracle=_KNN_ORACLE)
+def knn_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_brute(emb.where(F.col("vec_id") < 20), emb, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register("knn_lsh_topk")  # no oracle: approximate by design (rows-only check)
+def knn_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidatabots_spark.operators.similarity import knn_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_lsh(emb.where(F.col("vec_id") < 20), emb, k=5, dim=64)
+
+
+_WORDS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT) AS n_subtokens
+FROM documents
+"""
+
+
+@register("text_token_count", oracle=_TOKEN_COUNT_ORACLE)
+def text_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return with_token_count(d).select("doc_id", "n_words", "n_subtokens")
+
+
+_QUALITY_ORACLE = f"""
+WITH feat AS (
+    SELECT doc_id,
+           {_WORDS_SQL} AS w,
+           length(text) AS nc,
+           length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS np
+    FROM documents
+),
+feat2 AS (
+    SELECT doc_id,
+           len(w) AS nw,
+           nc, np,
+           len(list_filter(w, x -> x IN ('the','a','an','of','to','and','in','is','on','for')))
+               AS ns
+    FROM feat
+)
+SELECT doc_id,
+       CAST(nw AS BIGINT) AS n_words,
+       CAST(np AS BIGINT) AS n_punct,
+       CAST(ns AS BIGINT) AS n_stopwords,
+       CASE WHEN nw > 0 THEN CAST(nc - (nw - 1) AS DOUBLE) / nw ELSE 0.0 END
+           AS avg_word_len,
+       CASE WHEN nw > 0 THEN CAST(ns AS DOUBLE) / nw ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc ELSE 0.0 END AS punct_ratio,
+       least(CAST(nw AS DOUBLE) / 100.0, 1.0) * 0.5
+         + (CASE WHEN nw > 0 THEN CAST(ns AS DOUBLE) / nw ELSE 0.0 END) * 0.3
+         + (1.0 - (CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc ELSE 0.0 END)) * 0.2
+           AS quality
+FROM feat2
+"""
+
+
+@register("text_quality", oracle=_QUALITY_ORACLE)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return with_quality(d).select(
+        "doc_id",
+        "n_words",
+        "n_punct",
+        "n_stopwords",
+        "avg_word_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "quality",
+    )
+
+
+_LANGID_ORACLE = f"""
+WITH feat AS (
+    SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+),
+scores AS (
+    SELECT doc_id,
+           len(list_filter(w, x -> x IN ('the','and','of','to','is'))) AS s_en,
+           len(list_filter(w, x -> x IN ('el','la','de','que','y'))) AS s_es,
+           len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+           len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS s_de
+    FROM feat
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+            ELSE 'de' END AS lang_guess
+FROM scores
+"""
+
+
+@register("text_langid", oracle=_LANGID_ORACLE)
+def text_langid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return with_lang_guess(d).select("doc_id", "lang_guess")
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+@register("text_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return with_fingerprint(d).select("doc_id", "fingerprint")

@@ -1,0 +1,356 @@
+"""Micro-queries: one oracle-checked query per SURVEY.md §2 operator family.
+
+Each exercises exactly one ⚠-gap helper or operator so the correctness
+gate pins its semantics independently of the composite pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wikidatabots_spark.functions.core import (
+    between_left_closed,
+    pl_format,
+    prefix_columns,
+    regexp_extract_null,
+    unique_first_by,
+    unique_keep_none,
+)
+from wikidatabots_spark.plans.registry import register
+from wikidatabots_spark.sources.tables import load_table
+
+
+# --- P6: column prefixing -------------------------------------------------
+@register(
+    "op_prefix_columns",
+    oracle="""
+SELECT n_nationkey AS wd_n_nationkey, n_name AS wd_n_name,
+       n_regionkey AS wd_n_regionkey
+FROM nation
+""",
+)
+def op_prefix_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prefix_columns(load_table(spark, sf_dir, "nation"), "wd_")
+
+
+# --- A1: dedup keeping first by explicit order ----------------------------
+@register(
+    "op_unique_first_by",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_linenumber
+FROM (
+    SELECT l_orderkey, l_partkey, l_linenumber,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber, l_partkey) AS rn
+    FROM lineitem
+) WHERE rn = 1
+""",
+)
+def op_unique_first_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    return unique_first_by(li, ["l_orderkey"], ["l_linenumber", "l_partkey"])
+
+
+# --- A2/F7: unique keep none ----------------------------------------------
+@register(
+    "op_unique_keep_none",
+    oracle="""
+SELECT o_orderkey, o_custkey FROM (
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+    FROM orders
+) WHERE cnt = 1
+""",
+)
+def op_unique_keep_none(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return unique_keep_none(o, "o_custkey")
+
+
+# --- T1: regex extract with null-on-miss ----------------------------------
+@register(
+    "op_regexp_extract_null",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN regexp_extract(c_name, 'Customer#(0*([1-9][0-9]*|0))', 2) = ''
+            THEN NULL
+            ELSE regexp_extract(c_name, 'Customer#(0*([1-9][0-9]*|0))', 2) END
+           AS cust_num,
+       CASE WHEN regexp_extract(c_mktsegment, '([0-9]+)', 1) = ''
+            THEN NULL
+            ELSE regexp_extract(c_mktsegment, '([0-9]+)', 1) END AS no_match
+FROM customer
+""",
+)
+def op_regexp_extract_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        regexp_extract_null(
+            F.col("c_name"), r"Customer#(0*([1-9][0-9]*|0))", 2
+        ).alias("cust_num"),
+        regexp_extract_null(F.col("c_mktsegment"), r"([0-9]+)", 1).alias("no_match"),
+    )
+
+
+# --- T2/R1: regex extract-all + explode -----------------------------------
+@register(
+    "op_regexp_extract_all",
+    oracle="""
+SELECT doc_id,
+       COALESCE(array_to_string(regexp_extract_all(text, '([a-z]*an[a-z]*)', 1), ','),
+                '') AS an_words
+FROM documents
+""",
+)
+def op_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.regexp_extract_all(F.col("text"), F.lit(r"([a-z]*an[a-z]*)"), 1), ","
+        ).alias("an_words"),
+    )
+
+
+@register(
+    "op_explode_words",
+    oracle="""
+SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+FROM documents
+WHERE doc_id < 100
+""",
+)
+def op_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word"),
+    )
+
+
+# --- T4: null-propagating format ------------------------------------------
+@register(
+    "op_pl_format",
+    oracle="""
+SELECT o_orderkey,
+       'order ' || o_orderkey || ' status ' ||
+       (CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END)
+           AS line
+FROM orders
+""",
+)
+def op_pl_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null arg → null output (Polars pl.format semantics)."""
+    o = load_table(spark, sf_dir, "orders")
+    maybe_null = F.when(F.col("o_orderstatus") != "F", F.col("o_orderstatus"))
+    return o.select(
+        "o_orderkey",
+        pl_format("order {} status {}", F.col("o_orderkey"), maybe_null).alias("line"),
+    )
+
+
+# --- F6: left-closed between ----------------------------------------------
+@register(
+    "op_between_left_closed",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice >= 50000 AND o_totalprice < 100000
+""",
+)
+def op_between_left_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").where(
+        between_left_closed(F.col("o_totalprice"), 50000, 100000)
+    )
+
+
+# --- F9: conditional expression -------------------------------------------
+@register(
+    "op_when_otherwise",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS tier
+FROM customer
+""",
+)
+def op_when_otherwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit("debt"))
+        .when(F.col("c_acctbal") < 5000, F.lit("low"))
+        .otherwise(F.lit("high"))
+        .alias("tier"),
+    )
+
+
+# --- N1: lenient cast ------------------------------------------------------
+@register(
+    "op_try_cast",
+    oracle="""
+SELECT o_orderkey,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+       TRY_CAST(o_orderstatus AS INT) AS status_num
+FROM orders
+""",
+)
+def op_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
+        F.col("o_orderstatus").try_cast("int").alias("status_num"),
+    )
+
+
+# --- U1: schema-aligned union-all -----------------------------------------
+@register(
+    "op_union_all",
+    oracle="""
+SELECT c_name AS name, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_name AS name, 'supplier' AS kind FROM supplier
+""",
+)
+def op_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
+    )
+    return cu.unionByName(su)
+
+
+# --- J4: different-name join keys -----------------------------------------
+@register(
+    "op_join_diff_keys",
+    oracle="""
+SELECT s_suppkey, s_name, n_name
+FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+""",
+)
+def op_join_diff_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    return su.join(
+        F.broadcast(na), su.s_nationkey == na.n_nationkey, "left"
+    ).select("s_suppkey", "s_name", "n_name")
+
+
+# --- F8/J5: anti-membership against a computed set ------------------------
+@register(
+    "op_anti_join",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+)
+""",
+)
+def op_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    f_orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cu.join(f_orders, on="c_custkey", how="left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- A3: sorted whole-group collect ---------------------------------------
+@register(
+    "op_collect_sorted",
+    oracle="""
+SELECT n_regionkey,
+       array_to_string(list_sort(list(n_name)), ',') AS nations
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def op_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = load_table(spark, sf_dir, "nation")
+    return na.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+# --- O1/O2: total-order top-k ---------------------------------------------
+@register(
+    "op_topk",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def op_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --- O3: deterministic modulo "sample" ------------------------------------
+@register(
+    "op_sample_mod",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 20 = 0",
+)
+def op_sample_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stand-in for O3 sampling (seeded RNGs differ across
+    engines; ``sample_n`` itself is pytest-verified by row count)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").where(
+        F.col("o_orderkey") % 20 == 0
+    )
+
+
+# --- T7/D2/D3: date parse / trunc -----------------------------------------
+@register(
+    "op_dates",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_iso
+FROM orders
+""",
+)
+def op_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_iso"),
+    )
+
+
+# --- T3: literal string replace -------------------------------------------
+@register(
+    "op_replace_literal",
+    oracle="""
+SELECT p_partkey, replace(p_name, 'widget', 'gadget') AS renamed
+FROM part
+""",
+)
+def op_replace_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.replace(F.col("p_name"), F.lit("widget"), F.lit("gadget")).alias("renamed"),
+    )

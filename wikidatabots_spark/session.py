@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Local testing runs ``local[N]`` single-JVM; the configs below are chosen so
+the same code scales to a multi-executor cluster:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting) — at
+  100 TB the static partition number is always wrong in one direction.
+- ``spark.sql.shuffle.partitions`` is a *ceiling* AQE coalesces down from.
+- Arrow enabled for every pandas interchange (the HTTP adapter, pandas UDFs).
+- ANSI off: the reference's casts are lenient (``strict=False`` → null on
+  failure, reference polars casts); we use ``try_cast`` explicitly anyway.
+- Session timezone pinned to UTC so timestamp semantics match the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "wikidatabots-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        # events.parquet carries TIMESTAMP(NANOS); Spark reads it as a
+        # long which sources.tables converts to a µs timestamp explicitly
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

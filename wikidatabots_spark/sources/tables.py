@@ -1,0 +1,77 @@
+"""Parquet table loaders (reference S1: ``pl.scan_parquet``).
+
+The reference lazily scans parquet both locally and over HTTPS
+(wd_tmdb.py:227,313,368-370; wd_opencritic.py:136-138). Spark's
+DataFrameReader is equally lazy — the returned DataFrame is a logical scan
+node; Catalyst pushes projections and predicates into the parquet reader
+(visible as ``PushedFilters`` / ``ReadSchema`` in ``.explain``).
+
+Spark core has no ``https://`` Hadoop FileSystem, so ``scan_parquet_url``
+downloads the object once to a local cache dir and scans the ``file:`` copy.
+On a real cluster the cache dir should be a shared store (HDFS/object
+store); the download happens once on the driver, then every executor reads
+the distributed copy — the same topology the reference has (one HTTP fetch,
+many-threaded scan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one synthetic table (TESTDATA.md layout).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the footer; Spark has no nanosecond
+    timestamps, so (with ``spark.sql.legacy.parquet.nanosAsLong``) it scans
+    as a long which we floor-divide to µs — the same truncation DuckDB
+    applies when it reads nanos into its µs timestamps.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer div — ns values exceed double's exact range, so no `/`
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def scan_parquet_url(
+    spark: SparkSession, url: str, cache_dir: str | None = None
+) -> DataFrame:
+    """Scan remote parquet by URL (reference S1 over HTTPS).
+
+    Downloads to a content-addressed local cache (once per URL per process)
+    and returns a lazy scan of the cached file. ``file://`` and plain paths
+    short-circuit to a direct scan.
+    """
+    if "://" not in url or url.startswith("file://"):
+        return spark.read.parquet(url.removeprefix("file://"))
+    cache_dir = cache_dir or os.path.join(tempfile.gettempdir(), "wdb_spark_parquet")
+    os.makedirs(cache_dir, exist_ok=True)
+    dest = os.path.join(cache_dir, hashlib.sha256(url.encode()).hexdigest() + ".parquet")
+    if not os.path.exists(dest):
+        tmp = dest + ".tmp"
+        with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:  # noqa: S310
+            while chunk := resp.read(1 << 20):
+                out.write(chunk)
+        os.replace(tmp, dest)
+    return spark.read.parquet(dest)
