@@ -1,0 +1,67 @@
+"""Multimodal plumbing tests: real Spark-side schema/fan-out/batching,
+deterministic fake decode (container has no media libraries)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidatabots_spark.operators.multimodal import (
+    FEATURE_DIM,
+    FRAME_SCHEMA,
+    extract_features,
+    sample_frames,
+    with_media_meta,
+)
+from wikidatabots_spark.operators.similarity import knn_brute
+
+
+def _media(spark):
+    rows = [
+        (1, bytearray(b"0123456789abcdef"), "image/png"),
+        (2, bytearray(b"xy"), "image/png"),
+        (3, None, "video/mp4"),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, data binary, media_type string"
+    )
+
+
+def test_media_meta_jvm_side(spark):
+    out = with_media_meta(_media(spark)).collect()
+    by_id = {r.media_id: r for r in out}
+    assert by_id[1].size_bytes == 16
+    assert by_id[1].sha256 == hashlib.sha256(b"0123456789abcdef").hexdigest()
+    assert by_id[3].size_bytes is None and by_id[3].sha256 is None
+
+
+def test_sample_frames_fanout(spark):
+    out = sample_frames(_media(spark), every=1)
+    assert out.schema == FRAME_SCHEMA
+    rows = out.collect()
+    # 16 bytes → 4 chunks of 4; 2 bytes → 2 chunks of 1; null media dropped
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 4
+    assert b"".join(bytes(r.frame) for r in sorted(by_id[1], key=lambda r: r.frame_idx)) == b"0123456789abcdef"
+    assert len(by_id[2]) == 2
+    assert 3 not in by_id
+
+
+def test_extract_features_deterministic_and_knn_ready(spark):
+    df = extract_features(_media(spark))
+    rows = {r.media_id: r.features for r in df.collect()}
+    assert len(rows[1]) == FEATURE_DIM
+    assert rows[3] is None
+    # deterministic: same bytes → same features
+    again = {r.media_id: r.features for r in extract_features(_media(spark)).collect()}
+    assert rows[1] == again[1]
+    # plugs into the similarity operator unchanged
+    emb = df.where(F.col("data").isNotNull()).select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    out = knn_brute(emb, emb, k=1)
+    assert out.count() == 2

@@ -1,0 +1,57 @@
+"""Streaming parity tests: availableNow → memory sink, compared against
+the batch twins over the same files."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidatabots_spark.plans.events import ev_hourly_rollup
+from wikidatabots_spark.streaming.events_stream import (
+    hourly_rollup_stream,
+    read_events_stream,
+    sessionize_stream,
+)
+
+
+def _run_to_memory(sdf, name: str):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_hourly_rollup_stream_matches_batch(spark, sf_dir):
+    ev = read_events_stream(spark, sf_dir)
+    assert ev.isStreaming
+    _run_to_memory(hourly_rollup_stream(ev), "hr")
+    got = {
+        (r.hour_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("select * from hr").collect()
+    }
+    want = {
+        (r.hour_start, r.event_type): (r.n_events, r.sum_value)
+        for r in ev_hourly_rollup(spark, sf_dir).collect()
+    }
+    # exact parity on counts and decimal-exact sums (n_users is approx in
+    # streaming and deliberately not compared)
+    assert got == want
+
+
+def test_sessionize_stream_bounded_sessions(spark, sf_dir):
+    ev = read_events_stream(spark, sf_dir)
+    _run_to_memory(sessionize_stream(ev), "sess")
+    rows = spark.sql("select * from sess").collect()
+    assert len(rows) > 0
+    # one user's sessions are disjoint and ordered
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    uid, sess = max(by_user.items(), key=lambda kv: len(kv[1]))
+    starts = sorted(s.session_start for s in sess)
+    assert len(starts) == len(set(starts))

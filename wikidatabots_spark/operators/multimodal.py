@@ -1,0 +1,149 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata (north-star extension, BASELINE.json).
+
+What's REAL here (and tested): the Spark-side design — binary columns
+with JVM-side metadata (length / sha256 stay in codegen, no Python),
+Arrow-batched ``mapInPandas`` fan-out for frame sampling (schema,
+partitioning, batch shape), and a pandas-UDF feature extractor returning
+a fixed-dim ``array<float>`` that plugs straight into the similarity
+operators.
+
+What's STUBBED: actual media decoding. The container has no image/audio
+libraries, so ``decode_image`` raises ``NotImplementedError`` unless a
+decoder is importable, and the frame/feature paths use a clearly-marked
+deterministic fake (content-hash-derived) so the distributed plumbing is
+exercised end-to-end with reproducible values.
+
+Scale notes: media bytes are the heaviest column in any multimodal
+corpus — every operator here is a narrow map (no shuffle of the blob);
+downstream joins/aggregations use the extracted metadata / features,
+never the bytes. Partition sizing: keep ``maxPartitionBytes`` modest so
+a partition of blobs fits executor memory; Arrow batches bound Python
+worker memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 16
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("size_bytes", LongType()),
+        StructField("sha256", StringType()),
+        StructField("media_type", StringType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def with_media_meta(
+    df: DataFrame, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """Typed metadata, fully JVM-side (no Python): length + sha256."""
+    return df.withColumns(
+        {
+            "size_bytes": F.length(F.col(data_col)).cast("bigint"),
+            "sha256": F.sha2(F.col(data_col), 256),
+        }
+    )
+
+
+def decode_image(data: bytes) -> "object":
+    """Real image decode — STUB: no imaging library in this container.
+
+    Swap in PIL/libvips at deploy time; the call sites (frame sampling,
+    feature extraction) only need a bytes→object function here.
+    """
+    try:
+        import PIL.Image  # type: ignore[import-not-found]
+        import io
+
+        return PIL.Image.open(io.BytesIO(data))
+    except ImportError as e:  # pragma: no cover - the container path
+        raise NotImplementedError(
+            "media decoding requires an imaging library (not in container)"
+        ) from e
+
+
+def _fake_frames(data: bytes, every: int) -> list[bytes]:
+    """DETERMINISTIC FAKE frame sampler: fixed-size chunks of the blob.
+
+    Stands in for 'decode video, take every Nth frame'; keeps the row
+    fan-out shape (1 blob → K frames) real and reproducible.
+    """
+    chunk = max(len(data) // 4, 1)
+    frames = [data[i : i + chunk] for i in range(0, len(data), chunk)]
+    return frames[::every]
+
+
+def sample_frames(
+    df: DataFrame,
+    every: int = 1,
+    id_col: str = "media_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """1 media row → K frame rows via Arrow-batched ``mapInPandas``.
+
+    The generator-of-batches signature means a huge partition never
+    materializes as one pandas frame — batch shape is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple[int, int, bytes]] = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                if data is None:
+                    continue
+                for i, frame in enumerate(_fake_frames(bytes(data), every)):
+                    out.append((int(mid), i, frame))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(gen, FRAME_SCHEMA)
+
+
+def _fake_features(data: bytes) -> list[float]:
+    """DETERMINISTIC FAKE embedding: sha256 bytes → FEATURE_DIM floats in
+    [-1, 1). Replaces 'decode + model forward pass'."""
+    h = hashlib.sha256(data).digest()
+    return [h[i] / 128.0 - 1.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(
+    df: DataFrame, data_col: str = "data", out_col: str = "features"
+) -> DataFrame:
+    """Fixed-dim float features per blob (pandas UDF, Arrow-batched).
+
+    Output is ``array<float>`` — directly consumable by
+    ``operators.similarity`` (knn / dup pairs) for cross-modal dedup.
+    """
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def feats(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: None if b is None else _fake_features(bytes(b)))
+
+    return df.withColumn(out_col, feats(F.col(data_col)))

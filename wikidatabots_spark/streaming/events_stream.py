@@ -1,0 +1,126 @@
+"""Structured Streaming twins of the batch event-time operators
+(plans/events.py) — same logical aggregations, incremental execution.
+
+The reference has no streaming surface (SURVEY.md §1: batch only); this
+is north-star scale-out: at 100 TB/day the events table is a stream, and
+the batch/stream parity here means one logical definition serves both.
+
+Design notes:
+- file source + ``schema()``: streams never infer schemas (SURVEY §1) —
+  ``ts`` arrives as nanos-int (the parquet footer's TIMESTAMP(NANOS))
+  and is converted to a µs timestamp exactly like the batch loader.
+- ``withWatermark`` bounds state: late events beyond the horizon are
+  dropped instead of growing state forever — mandatory at scale.
+- tumbling windows via ``window()``, sessions via ``session_window()``
+  (the built-in replaces the batch lag+cumsum composition).
+- tests run with ``trigger(availableNow=True)`` into a memory sink and
+  compare against the batch results — the parity check for this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet footer schema with ts as nanos-long (see sources.tables)
+EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table with declared schema.
+
+    The file source requires a *directory* (it tails it for new files —
+    exactly how a production drop-zone works), so the single parquet file
+    is staged into a per-SF cache dir via symlink.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "wdb_spark_stream",
+        hashlib.sha256(src.encode()).hexdigest()[:16],
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(src, link)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(src, link)
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA).format("parquet").load(stage)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of ``ev_hourly_rollup`` (tumbling 1h windows).
+
+    count_distinct is not supported in streaming agg; approx_count_distinct
+    is the streaming-safe substitute (documented divergence from batch).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.sum(F.col("value").cast("decimal(14,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of ``ev_sessionize`` via the session_window built-in.
+
+    State per (user, open session); the watermark closes sessions whose
+    gap horizon passed — bounded state, arbitrary stream length.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "first_event_id",
+        )
+    )
