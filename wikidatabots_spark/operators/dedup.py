@@ -50,6 +50,18 @@ def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Dat
     )
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition UP to the cluster's default parallelism if the plan is
+    under-partitioned (e.g. one small parquet file → one task doing all
+    the CPU-heavy tokenize/hash work). A no-op when the scan already has
+    enough partitions — so at 100 TB (thousands of input splits) no
+    shuffle is added, while small-file local runs get full-width CPU."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(
     df: DataFrame,
     n: int = 3,
@@ -64,8 +76,15 @@ def shingles(
     Built with JVM higher-order functions: split → sequence → transform →
     explode; docs with < n words contribute nothing (explicit guard —
     Spark's ``sequence(1, 0)`` counts *down*, unlike SQL generate_series).
+
+    The word list is **materialized as a projected column** before the
+    shingle transform: referencing the filter(split(...)) expression tree
+    from inside the lambda would re-split the text once per shingle term
+    (measured 10× slower at sf0.1 — no CSE through lambda scopes).
     """
-    wl = F.filter(F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != "")
+    wl_expr = F.filter(F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != "")
+    base = ensure_parallelism(df.select(F.col(id_col), wl_expr.alias("__wl")))
+    wl = F.col("__wl")
     idx = F.when(F.size(wl) >= n, F.sequence(F.lit(1), F.size(wl) - (n - 1))).otherwise(
         F.array().cast("array<int>")
     )
@@ -73,9 +92,7 @@ def shingles(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(wl, i + j) for j in range(n)]),
     )
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("token")).distinct()
-    )
+    return base.select(F.col(id_col), F.explode(sh).alias("token")).distinct()
 
 
 def dedup_exact(

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from wikidatabots_spark.operators.dedup import ensure_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-order double dot product of two float arrays."""
@@ -61,15 +63,26 @@ def knn_brute(
     the corpus streams through map tasks — no shuffle of the corpus until
     the final per-query top-k (a window over query_id, tiny cardinality).
     """
+    # norms are per-vector: compute once per side, not once per pair
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_norm"),
+        )
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "sim",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
         .select("query_id", "neighbor_id", "sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -90,11 +103,23 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold; (id_a < id_b). O(n²) — use
     ``knn_lsh``-style bucketing upstream at scale."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            _norm(F.col(vec_col)).alias("na"),
+        )
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "sim", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
         .where(F.col("sim") >= F.lit(threshold))
         .select("id_a", "id_b")
     )
@@ -181,7 +206,11 @@ def knn_lsh(
         .select("query_id", "q_vec", "neighbor_id", "c_vec")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    scored = cand.withColumn(
+        "sim",
+        _dot(F.col("q_vec"), F.col("c_vec"))
+        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )

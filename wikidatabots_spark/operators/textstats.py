@@ -57,10 +57,13 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/punct/stopword features + composite quality score.
 
     The score formula is a fixed arithmetic tree (no reassociated sums) so
-    it is bit-reproducible across engines.
+    it is bit-reproducible across engines. The word array is materialized
+    once (``__w``) — expression trees referenced from several features
+    would re-split the text per reference (no CSE through lambdas).
     """
+    df = df.withColumn("__w", words(F.col(text_col)))
     t = F.col(text_col)
-    w = words(t)
+    w = F.col("__w")
     n_words = F.size(w)
     n_chars = F.length(t)
     n_punct = F.length(F.regexp_replace(t, _PUNCT_RE, ""))
@@ -90,7 +93,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
             "punct_ratio": punct_ratio,
             "quality": quality,
         }
-    )
+    ).drop("__w")
 
 
 def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -100,7 +103,8 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     'und'. Counts occurrences (not distinct words) so longer texts vote
     proportionally.
     """
-    w = words(F.col(text_col))
+    df = df.withColumn("__w", words(F.col(text_col)))
+    w = F.col("__w")
 
     def marker_count(markers: list[str]) -> Column:
         # bind via a real function scope: a 2-param lambda would be called
@@ -118,7 +122,7 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
         guess = F.when(
             (scores[lang] == max_score) & (max_score > 0), F.lit(lang)
         ).otherwise(guess)
-    return df.withColumn("lang_guess", guess)
+    return df.withColumn("lang_guess", guess).drop("__w")
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
