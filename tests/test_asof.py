@@ -1,0 +1,41 @@
+"""As-of join unit tests (operators/asof.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from wikidatabots_spark.operators.asof import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "uid long, ts long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 15, 200), (2, 50, 300)], "uid long, ts long, rv long"
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _frames(spark)
+    out = {r.lv: (r.rv, r.asof_ts) for r in asof_join(left, right, on=["uid"]).collect()}
+    assert out == {
+        "a": (100, 5),   # latest right ts<=10 is 5
+        "b": (200, 15),  # latest right ts<=20 is 15
+        "c": (None, None),  # right row at 50 is after 5
+    }
+
+
+def test_asof_exact_ts_matches(spark):
+    left = spark.createDataFrame([(1, 15, "x")], "uid long, ts long, lv string")
+    right = spark.createDataFrame([(1, 15, 7)], "uid long, ts long, rv long")
+    row = asof_join(left, right, on=["uid"]).collect()[0]
+    assert row.rv == 7  # inclusive: right row at exactly left ts wins
+
+
+def test_asof_collision_check(spark):
+    left = spark.createDataFrame([(1, 1, "x")], "uid long, ts long, rv string")
+    right = spark.createDataFrame([(1, 1, 2)], "uid long, ts long, rv long")
+    with pytest.raises(ValueError):
+        asof_join(left, right, on=["uid"])

@@ -11,7 +11,7 @@ from wikidatabots_spark import plans
 def test_registry_shape():
     q = plans.queries()
     o = plans.oracle_sql()
-    assert len(q) >= 30
+    assert len(q) >= 55
     assert set(o) <= set(q)
     # the overwhelming majority must be oracle-checked, not rows-only
     assert len(o) >= len(q) - 2

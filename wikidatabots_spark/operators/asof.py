@@ -1,0 +1,90 @@
+"""As-of join: enrich each left row with the most recent right row at or
+before its timestamp, per key.
+
+Spark has no ASOF JOIN operator (DuckDB/Pandas do). The naive range-join
+(``l.ts >= r.ts`` + window max) explodes quadratically per key. This is
+the scalable composition:
+
+    union(left-marked, right-marked)
+      → window over key ordered by (ts, marker)
+      → last(value, ignorenulls) carry-forward
+      → keep left rows
+
+One shuffle on the key, one per-key sort — O(n log n) regardless of how
+many right rows precede each left row, versus the O(n·m) pair blowup of
+the range-join formulation. Skewed keys split by AQE. This is the
+standard streaming-friendly shape (the same carry-forward a stateful
+stream operator would keep).
+
+North-star extension — no reference counterpart (SURVEY.md §2.4 notes
+the reference has no as-of/range joins).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Backward as-of join (inclusive: a right row at exactly left_ts wins).
+
+    Right value columns (everything except ``on`` + ``right_ts``) are
+    appended to every left row, null when no right row precedes it.
+    ``right_ts`` itself is carried as ``asof_ts``. Duplicate right rows
+    per (key, ts) must be resolved upstream (dedupe first) — the carry
+    keeps the last one in (ts, input) order otherwise.
+    """
+    on = list(on)
+    val_cols = [c for c in right.columns if c not in (*on, right_ts)]
+    l_marked = left.withColumn("__t", F.col(left_ts)).withColumn(
+        "__is_left", F.lit(1)
+    )
+    for c in val_cols:
+        if c in l_marked.columns:
+            raise ValueError(f"right value column {c!r} collides with left")
+    r_marked = right.select(
+        *on,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c) for c in val_cols],
+        F.col(right_ts).alias("asof_ts"),
+    )
+    l_full = l_marked.select(
+        *l_marked.columns,
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in val_cols],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("asof_ts"),
+    )
+    r_full = r_marked.select(
+        *[
+            F.lit(None).cast(dict(l_marked.dtypes)[c]).alias(c)
+            if c not in (*on, "__t", "__is_left")
+            else F.col(c)
+            for c in l_marked.columns
+        ],
+        *[F.col(c) for c in val_cols],
+        F.col("asof_ts"),
+    )
+    u = l_full.unionByName(r_full)
+    # right rows (marker 0) sort before a left row at the same ts →
+    # inclusive semantics, matching DuckDB ASOF (l.ts >= r.ts)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        *[c for c in left.columns],
+        F.col("__is_left"),
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in val_cols],
+        F.last(F.col("asof_ts"), ignorenulls=True).over(w).alias("asof_ts"),
+    )
+    return carried.where(F.col("__is_left") == 1).drop("__is_left")

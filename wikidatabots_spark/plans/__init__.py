@@ -5,6 +5,7 @@ driver contract (``__spark_entry__``) reads the registry.
 """
 
 from wikidatabots_spark.plans import (  # noqa: F401
+    analytics,
     events,
     extensions,
     opencritic,

@@ -1,0 +1,524 @@
+"""Second analytics wave: window functions, grouping sets, pivot,
+percentiles, semi/anti subquery shapes, conditional aggregation, and the
+as-of join — each oracle-checked.
+
+Determinism rules as elsewhere: DECIMAL for reassociated sums, single
+IEEE divisions for ratios, total tiebreak orders for any ranked output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wikidatabots_spark.operators.asof import asof_join
+from wikidatabots_spark.plans.registry import register
+from wikidatabots_spark.sources.tables import load_table
+
+
+def _dec(c: str, scale: str = "12,2"):
+    return F.col(c).cast(f"decimal({scale})")
+
+
+# --- window: rank / dense_rank per group -----------------------------------
+@register(
+    "win_rank_in_nation",
+    oracle="""
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       CAST(rank() OVER (PARTITION BY s_nationkey
+                         ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS bal_rank,
+       CAST(dense_rank() OVER (PARTITION BY s_nationkey
+                               ORDER BY s_acctbal DESC, s_suppkey) AS INT)
+           AS bal_dense_rank
+FROM supplier
+""",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    su = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return su.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.rank().over(w).cast("int").alias("bal_rank"),
+        F.dense_rank().over(w).cast("int").alias("bal_dense_rank"),
+    )
+
+
+# --- window: lag/lead ------------------------------------------------------
+@register(
+    "win_lag_lead",
+    oracle="""
+SELECT user_id, event_id,
+       lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_event,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_event
+FROM events
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+# --- window: moving sum over rows frame ------------------------------------
+@register(
+    "win_moving_sum",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_3
+FROM events
+""",
+)
+def win_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(14,4)"))
+        .over(w)
+        .cast("double")
+        .alias("value_3"),
+    )
+
+
+# --- window: top-k per group ----------------------------------------------
+@register(
+    "win_topk_per_group",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey) AS rn
+    FROM customer
+) WHERE rn <= 3
+""",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cu.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )
+
+
+# --- rollup (grouping sets) ------------------------------------------------
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", "14,2")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+# --- cube ------------------------------------------------------------------
+@register(
+    "agg_cube",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n",
+        )
+    )
+
+
+# --- pivot (conditional aggregation) ---------------------------------------
+@register(
+    "agg_pivot_returnflag",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN l_returnflag = 'A'
+                     THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_A,
+       CAST(SUM(CASE WHEN l_returnflag = 'N'
+                     THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_N,
+       CAST(SUM(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_R
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark .pivot() with an explicit value list (no value-discovery scan
+    — at 100 TB the two-pass inference is a full extra read)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+    )
+    return out.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )
+
+
+# --- exact percentiles -----------------------------------------------------
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+# --- exact distinct count --------------------------------------------------
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+    )
+
+
+# --- variance/stddev via exact decimal moments -----------------------------
+@register(
+    "agg_variance_decimal",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       (CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))
+                 * CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+        - CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+          * CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*))
+       / (COUNT(*) - 1) AS var_acctbal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_variance_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance from exact decimal moments — reproducible across
+    engines unlike the streaming stddev aggregate (whose intermediate
+    float state is order-dependent)."""
+    cu = load_table(spark, sf_dir, "customer")
+    s1 = F.sum(_dec("c_acctbal", "14,2")).cast("double")
+    s2 = F.sum(_dec("c_acctbal", "14,2") * _dec("c_acctbal", "14,2")).cast("double")
+    n = F.count(F.lit(1))
+    return cu.groupBy("c_mktsegment").agg(
+        n.alias("n"),
+        ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("var_acctbal"),
+    )
+
+
+# --- q4: semi-join (EXISTS) ------------------------------------------------
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# --- q12: conditional aggregation over a join ------------------------------
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- q14: ratio of conditional decimal sums --------------------------------
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                 END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+              AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+""",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(4,2)")
+    disc = _dec("l_extendedprice") * (one - _dec("l_discount", "4,2"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc)).cast("double")
+                / F.sum(disc).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --- q18: large orders (HAVING via window) ---------------------------------
+@register(
+    "q18_large_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_custkey
+HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+""",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__qty"))
+    )
+    return agg.where(F.col("__qty") > 150).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("__qty").cast("double").alias("total_qty"),
+    )
+
+
+# --- q19: disjunctive predicate pushdown -----------------------------------
+@register(
+    "q19_disjunctive",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 10 AND 30 AND l_quantity < 10)
+""",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(4,2)")
+    disc = _dec("l_extendedprice") * (one - _dec("l_discount", "4,2"))
+    cond = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 10)
+    ) | (
+        (F.col("p_brand") == "Brand#5")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") < 10)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+    )
+
+
+# --- q22: anti-join + scalar subquery --------------------------------------
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+WITH avg_bal AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS a
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  )
+GROUP BY c_nationkey
+""",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        cu.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(_dec("c_acctbal", "14,2")).cast("double") / F.count(F.lit(1))).alias(
+                "a"
+            )
+        )
+        .collect()[0]
+        .a
+    )
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cu.where(F.col("c_acctbal") > F.lit(avg_bal))
+        .join(
+            recent.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal", "14,2")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+# --- as-of join ------------------------------------------------------------
+_ASOF_ORACLE = """
+WITH purchases AS (
+    SELECT user_id, ts, event_id AS purchase_id
+    FROM events WHERE event_type = 'purchase'
+),
+signups AS (
+    SELECT user_id, ts, MIN(event_id) AS signup_id
+    FROM events WHERE event_type = 'signup'
+    GROUP BY user_id, ts
+)
+SELECT p.user_id, p.purchase_id, s.signup_id, s.ts AS asof_ts
+FROM purchases p ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+@register("asof_purchase_signup", oracle=_ASOF_ORACLE)
+def asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase enriched with the user's latest signup at/before it.
+
+    Spark-side: union + carry-forward window (operators/asof.py), checked
+    against DuckDB's native ASOF JOIN.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("signup_id"))
+    )
+    out = asof_join(purchases, signups, on=["user_id"])
+    return out.select("user_id", "purchase_id", "signup_id", "asof_ts")
