@@ -38,9 +38,15 @@ HEADLINERS = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "knn_cosine_topk",
     "text_quality",
     "text_langid",
+    "q18_large_orders",
+    "agg_rollup",
+    "win_topk_per_group",
+    "asof_purchase_signup",
+    "mm_extract_features",
 ]
 
 

@@ -13,8 +13,9 @@ def test_registry_shape():
     o = plans.oracle_sql()
     assert len(q) >= 55
     assert set(o) <= set(q)
-    # the overwhelming majority must be oracle-checked, not rows-only
-    assert len(o) >= len(q) - 2
+    # the overwhelming majority must be oracle-checked; rows-only is
+    # reserved for genuinely non-SQL ops (approx ANN, fake media decode)
+    assert len(o) >= len(q) - 3
 
 
 def test_entry_smoke(spark, sf_dir):

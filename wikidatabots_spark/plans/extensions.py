@@ -282,3 +282,91 @@ FROM documents
 def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup pairs + multimodal plumbing as first-class queries
+# ---------------------------------------------------------------------------
+
+_EMB_DUP_ORACLE = """
+WITH norms AS (
+    SELECT vec_id,
+           sqrt(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+               AS nrm
+    FROM embeddings, generate_series(1, 64) t(i)
+    GROUP BY vec_id
+),
+dots AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+               AS dot
+    FROM embeddings a, embeddings b, generate_series(1, 64) t(i)
+    WHERE a.vec_id < b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.45
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_DUP_ORACLE)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold tuned to this corpus'
+    similarity ceiling of ~0.51 so the operator produces rows)."""
+    from wikidatabots_spark.operators.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+_MM_META_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+@register("mm_media_meta", oracle=_MM_META_ORACLE)
+def mm_media_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata over a binary column (documents' text bytes
+    stand in for media blobs — testdata ships no real media). JVM-side
+    length + sha256; the hash matches DuckDB's sha256(varchar) because
+    both hash the UTF-8 bytes."""
+    from wikidatabots_spark.operators.multimodal import with_media_meta
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+    return with_media_meta(d).select("media_id", "size_bytes", "sha256")
+
+
+@register("mm_sample_frames")  # rows-only: fake decode is not SQL-expressible
+def mm_sample_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas frame fan-out over binary media (deterministic fake
+    chunker standing in for the container-absent media decoder)."""
+    from wikidatabots_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+    return sample_frames(d, every=2)
+
+
+@register("mm_extract_features")  # rows-only: hash-derived fake embedding
+def mm_extract_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-UDF feature extraction producing array<float> embeddings
+    consumable by the similarity operators."""
+    from wikidatabots_spark.operators.multimodal import extract_features
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+    return extract_features(d).select("media_id", "features")
