@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis) — reference test layer 3 (SURVEY §5):
+random typed inputs, invariants on schema and row counts."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from wikidatabots_spark.functions.core import pl_format, prefix_columns, unique_keep_none
+from wikidatabots_spark.functions.structs import prepare_request
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+text_or_none = st.one_of(st.none(), st.text(min_size=0, max_size=20))
+
+
+@given(rows=st.lists(st.tuples(text_or_none, text_or_none), min_size=1, max_size=8))
+@SETTINGS
+def test_pl_format_null_iff_any_null(spark, rows):
+    # invariant: output is null exactly when any argument is null
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = df.select(
+        F.col("a"), F.col("b"), pl_format("<{}-{}>", F.col("a"), F.col("b")).alias("f")
+    ).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        if r.a is None or r.b is None:
+            assert r.f is None
+        else:
+            assert r.f == f"<{r.a}-{r.b}>"
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=20))
+@SETTINGS
+def test_unique_keep_none_invariants(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = [r.k for r in unique_keep_none(df, "k").collect()]
+    # exactly the values that occur once, each exactly once
+    assert sorted(out) == sorted(k for k in set(keys) if keys.count(k) == 1)
+
+
+@given(
+    url=st.text(
+        alphabet=st.characters(whitelist_categories=("L", "N"), max_codepoint=127),
+        min_size=1,
+        max_size=30,
+    ),
+    headers=st.dictionaries(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("L",), max_codepoint=127),
+            min_size=1,
+            max_size=8,
+        ),
+        st.text(max_size=8),
+        max_size=3,
+    ),
+)
+@SETTINGS
+def test_prepare_request_schema_exact(spark, url, headers):
+    # invariant: output struct schema is exactly HTTP_REQUEST shape and the
+    # row count is preserved (test_polars_requests.py:267-279 analog)
+    df = spark.createDataFrame([(f"http://x/{url}",)], "u string")
+    out = df.select(prepare_request(F.col("u"), headers=headers).alias("r"))
+    names = [f.name for f in out.schema["r"].dataType.fields]
+    assert names == ["url", "headers"]
+    row = out.collect()[0].r
+    assert row.url == f"http://x/{url}"
+    got = {h.name: h.value for h in (row.headers or [])}
+    assert got == headers
+
+
+@given(prefix=st.text(alphabet="abc_", min_size=0, max_size=5))
+@SETTINGS
+def test_prefix_columns_roundtrip(spark, prefix):
+    df = spark.createDataFrame([(1, "x")], "c1 long, c2 string")
+    out = prefix_columns(df, prefix)
+    assert out.columns == [prefix + "c1", prefix + "c2"]
+    assert out.count() == 1

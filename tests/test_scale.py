@@ -1,0 +1,54 @@
+"""Scale-strategy tests: bucketed joins eliminate the exchange; salted
+joins preserve results exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidatabots_spark.functions.scale import bucketed, salted_join, write_bucketed
+from wikidatabots_spark.sources.tables import load_table
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "t_orders_b", ["o_orderkey"], num_buckets=4)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b",
+        ["o_orderkey"],
+        num_buckets=4,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed(spark, "t_orders_b").join(
+            bucketed(spark, "t_lineitem_b"), on="o_orderkey"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located buckets: sort-merge join with zero Exchange nodes
+        assert "Exchange" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_name")
+    )
+    plain = sorted(
+        (r.o_orderkey, r.c_name)
+        for r in o.join(cu, on="o_custkey").select("o_orderkey", "c_name").collect()
+    )
+    salted = sorted(
+        (r.o_orderkey, r.c_name)
+        for r in salted_join(o, cu, on=["o_custkey"], salt=4, seed=7)
+        .select("o_orderkey", "c_name")
+        .collect()
+    )
+    assert plain == salted

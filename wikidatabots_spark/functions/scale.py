@@ -1,0 +1,70 @@
+"""Cluster-scale join strategies: bucketed co-location and skew salting.
+
+These are the two manual levers left once Catalyst/AQE have done their
+part (SURVEY.md §4 / the 100 TB design rules):
+
+- **Bucketing** pre-shuffles a table *once at write time*. Two tables
+  bucketed by the same key into the same bucket count join with ZERO
+  exchange at read time — the big win for fact⋈fact joins repeated
+  across many queries (amortize one shuffle over every future join).
+- **Salting** splits a pathologically hot key across ``salt`` synthetic
+  sub-keys: the small side is replicated ×salt (cheap), the skewed side
+  scatters uniformly. AQE's skew-join splitting handles *moderately*
+  skewed sort-merge joins automatically; salting is for the extreme case
+  (one key ≫ a single executor's memory) or broadcast-infeasible dims.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    num_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+ sorted) managed table.
+
+    Sorting within buckets additionally removes the per-task sort from
+    future sort-merge joins — the read-side plan is scan→join, nothing
+    else.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+
+
+def bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt: int = 8,
+    how: str = "inner",
+    seed: int | None = None,
+) -> DataFrame:
+    """Equi-join with the left (skewed) side salted across ``salt`` keys.
+
+    left rows get a uniform random salt; right rows are replicated once
+    per salt value, so every (key, salt) pair finds its match. Result is
+    row-identical to the plain join; the shuffle for any single hot key
+    is spread over ``salt`` reducers.
+    """
+    on = list(on)
+    rand = F.rand(seed) if seed is not None else F.rand()
+    l2 = left.withColumn("__salt", (rand * salt).cast("int"))
+    r2 = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l2.join(r2, on=[*on, "__salt"], how=how).drop("__salt")

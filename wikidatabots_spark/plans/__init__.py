@@ -8,6 +8,7 @@ from wikidatabots_spark.plans import (  # noqa: F401
     analytics,
     events,
     extensions,
+    mains,
     opencritic,
     operators_micro,
     tmdb,
