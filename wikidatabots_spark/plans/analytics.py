@@ -522,3 +522,86 @@ def asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = asof_join(purchases, signups, on=["user_id"])
     return out.select("user_id", "purchase_id", "signup_id", "asof_ts")
+
+
+# --- q7: two-nation volume (multi-table join + year extract) ---------------
+@register(
+    "q7_nation_volume",
+    oracle="""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(year FROM l_shipdate) AS INT)
+""",
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    su = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    disc = _dec("l_extendedprice") * (one - _dec("l_discount", "4,2"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), su.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cu.c_nationkey == F.col("c_nk"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+    )
+
+
+# --- q16: supplier-part diversity (distinct agg + not-in filter) -----------
+@register(
+    "q16_part_supplier_diversity",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand != 'Brand#13'
+  AND p_size IN (5, 10, 15, 20, 25, 30)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -354,3 +354,19 @@ def op_replace_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.replace(F.col("p_name"), F.lit("widget"), F.lit("gadget")).alias("renamed"),
     )
+
+
+# --- S1: parquet scan through the URL adapter ------------------------------
+@register(
+    "op_scan_parquet_url",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def op_scan_parquet_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scan_parquet_url short-circuits file:// to a direct lazy scan —
+    the HTTPS download path is exercised in tests with a live local
+    server (test_sources_tables.py)."""
+    from wikidatabots_spark.sources.tables import scan_parquet_url
+
+    return scan_parquet_url(spark, f"file://{sf_dir}/region.parquet").select(
+        "r_regionkey", "r_name"
+    )
