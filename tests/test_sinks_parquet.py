@@ -1,0 +1,36 @@
+"""Partitioned write path: roundtrip + partition pruning assertions."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from wikidatabots_spark.sinks.parquet import read_partitioned, write_partitioned
+from wikidatabots_spark.sources.tables import load_table
+
+
+def test_partitioned_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders_by_status")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_partitioned(o, path, ["o_orderstatus"])
+
+    # layout: one directory per status value
+    dirs = {d for d in os.listdir(path) if d.startswith("o_orderstatus=")}
+    assert dirs == {"o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"}
+    # coalesced: exactly one data file per partition value
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(files) == 1
+
+    back = read_partitioned(spark, path)
+    assert back.count() == o.count()
+
+    # a predicate on the partition column must prune directories, not
+    # filter rows post-scan
+    q = back.where(F.col("o_orderstatus") == "F")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    assert q.count() == o.where(F.col("o_orderstatus") == "F").count()

@@ -55,3 +55,29 @@ def test_sessionize_stream_bounded_sessions(spark, sf_dir):
     uid, sess = max(by_user.items(), key=lambda kv: len(kv[1]))
     starts = sorted(s.session_start for s in sess)
     assert len(starts) == len(set(starts))
+
+
+def test_dedup_stream_matches_batch_distinct(spark, sf_dir):
+    from wikidatabots_spark.streaming.events_stream import dedup_stream
+    from wikidatabots_spark.sources.tables import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        dedup_stream(ev)
+        .writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select user_id, event_type from dedup").distinct().count()
+    n_rows = spark.sql("select * from dedup").count()
+    want = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got == want
+    assert n_rows == want  # exactly one survivor per key

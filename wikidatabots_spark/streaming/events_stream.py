@@ -124,3 +124,15 @@ def sessionize_stream(
             "first_event_id",
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first event per key wins, late duplicates
+    beyond the watermark horizon age out of the state store (bounded
+    state — the streaming twin of ``operators.dedup.dedup_exact``)."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
