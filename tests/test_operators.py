@@ -150,3 +150,23 @@ def test_fingerprint_whitespace_insensitive(spark):
     out = {r.doc_id: r.fingerprint for r in with_fingerprint(df).collect()}
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def test_simhash_deterministic_and_similar_docs_close(spark):
+    from wikidatabots_spark.operators.dedup import simhash, simhash_dup_pairs
+
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # identical
+            (3, "totally different words here now"),
+        ],
+    )
+    fp = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+    assert all(0 <= v < 2**32 for v in fp.values())
+    # identical fingerprints → the pair surfaces
+    pairs = {(r.id_a, r.id_b) for r in simhash_dup_pairs(df).collect()}
+    assert (1, 2) in pairs

@@ -240,3 +240,65 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """32-bit SimHash fingerprint per document → (id, simhash BIGINT).
+
+    Classic Charikar scheme: each token hashes to a bit pattern; every
+    bit position accumulates +1/−1 across the token set; the fingerprint
+    takes the sign. Near-identical token sets flip few bits, so equal (or
+    low-Hamming) fingerprints flag near-duplicates at a per-doc cost of
+    O(tokens × bits) — no pairwise work at all until the tiny
+    equal-fingerprint groups.
+
+    Engine-agnostic by construction: token bits come from the md5 hex
+    string (digit value via ``instr`` arithmetic, bit via div/mod), so
+    the DuckDB oracle reproduces the fingerprint exactly — same rationale
+    as the string-MinHash (no JVM hashing, no RNG).
+    """
+    tok = tokens(df, id_col, text_col)
+    digit = [
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("token")), j + 1, 1),
+        )
+        - 1
+        for j in range(SIMHASH_BITS // 4)
+    ]
+    sums = []
+    for b in range(SIMHASH_BITS):
+        d = digit[b // 4]
+        shift = 2 ** (3 - (b % 4))
+        bit = (d / shift).cast("int") % 2  # (d // shift) % 2, d ∈ [0,15]
+        sums.append(F.sum(bit * 2 - 1).alias(f"s{b}"))
+    per_doc = tok.groupBy(id_col).agg(*sums)
+    fp = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs with identical SimHash fingerprints (id_a < id_b).
+
+    Grouping on the fingerprint is one shuffle of (fingerprint, id);
+    pair expansion happens only inside equal-fingerprint groups.
+    """
+    sh = simhash(df, id_col, text_col)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash"))
+    return a.join(b, on="simhash").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "simhash"
+    )

@@ -370,3 +370,59 @@ def mm_extract_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("data"),
     )
     return extract_features(d).select("media_id", "features")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (engine-agnostic md5-hex bit scheme; see operators.dedup.simhash)
+# ---------------------------------------------------------------------------
+
+# unigram tokens CTE (simhash tokenizes words, not shingles)
+_UNIGRAM_SQL = """
+tok AS (
+    SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS token
+        FROM documents
+    ) WHERE token != ''
+)
+"""
+
+
+def _simhash_oracle() -> str:
+    sums = []
+    for b in range(32):
+        j = b // 4 + 1
+        shift = 2 ** (3 - (b % 4))
+        d = f"(strpos('0123456789abcdef', substr(md5(token), {j}, 1)) - 1)"
+        sums.append(f"SUM((({d} // {shift}) % 2) * 2 - 1) AS s{b}")
+    fp = " + ".join(f"CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END" for b in range(32))
+    return f"""
+WITH {_UNIGRAM_SQL},
+per_doc AS (
+    SELECT doc_id, {", ".join(sums)}
+    FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM per_doc
+"""
+
+
+@register("text_simhash", oracle=_simhash_oracle())
+def text_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidatabots_spark.operators.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_pairs_oracle() -> str:
+    return f"""
+WITH fp AS ({_simhash_oracle()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash
+FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_pairs_oracle())
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidatabots_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(load_table(spark, sf_dir, "documents"))
