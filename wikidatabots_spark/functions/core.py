@@ -186,3 +186,22 @@ def limit_warn(
     if sample:
         return sample_n(df, n, seed=seed)
     return df.limit(n)
+
+
+def apply_elementwise(fn, return_type, none_passthrough: bool = True):
+    """Element-wise Python apply with null passthrough (reference X1,
+    polars_utils.py:25-51 ``apply_with_tqdm``: skips null elements
+    :40-43; the tqdm progress concern maps to Spark's own task metrics).
+
+    Returns a Column-producing callable. Row-at-a-time Python — the SLOW
+    path by design (SURVEY §2.13): reserve for genuinely scalar,
+    non-vectorizable logic; anything batchable belongs in a pandas UDF.
+    # MARK: python UDF — Catalyst optimization barrier.
+    """
+
+    def wrapped(v):
+        if none_passthrough and v is None:
+            return None
+        return fn(v)
+
+    return F.udf(wrapped, return_type)
