@@ -37,6 +37,28 @@ TABLES = (
 )
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Align an externally-built SparkSession with engine semantics.
+
+    The driver contract hands our queries an arbitrary session; these
+    runtime-settable confs make semantics session-independent:
+    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS) — a bare
+      session throws PARQUET_TYPE_ILLEGAL
+    - ANSI off: the engine's cast/extract semantics are lenient
+      (Polars-style null-on-failure; Spark 4 defaults ANSI on)
+    - UTC session tz: timestamp literals/oracle parity
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in some deployments; queries still try
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one synthetic table (TESTDATA.md layout).
 
@@ -45,6 +67,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as a long which we floor-divide to µs — the same truncation DuckDB
     applies when it reads nanos into its µs timestamps.
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -48,8 +48,9 @@ def tmdb_find(
     parsed = F.from_json(
         response_text("__resp"), tmdb_find_result_type(media_type)
     ).getField(f"{media_type}_results")
+    # try_element_at: empty result array → null even under ANSI mode
     return resp.withColumn(
-        out_col, F.element_at(parsed, 1).getField("id")
+        out_col, F.try_element_at(parsed, F.lit(1)).getField("id")
     ).drop("__req", "__resp")
 
 
