@@ -170,3 +170,19 @@ def test_simhash_deterministic_and_similar_docs_close(spark):
     # identical fingerprints → the pair surfaces
     pairs = {(r.id_a, r.id_b) for r in simhash_dup_pairs(df).collect()}
     assert (1, 2) in pairs
+
+
+def test_embedding_dup_pairs_blocked_matches_expr(spark):
+    from wikidatabots_spark.operators.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_blocked,
+    )
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {(r.id_a, r.id_b) for r in embedding_dup_pairs(emb, 0.99).collect()}
+    b = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs_blocked(emb, 0.99, block_size=16).collect()
+    }
+    assert a == b and len(a) > 0

@@ -219,3 +219,72 @@ def knn_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def embedding_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.95,
+    block_size: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via blocked numpy matmul.
+
+    The vectorized-Pandas-UDF alternative to ``embedding_dup_pairs``:
+    vectors are grouped into blocks of ``block_size``; the block-pair grid
+    (i ≤ j) is a tiny join; each grid cell computes one
+    (block × block) cosine matrix with BLAS inside ``mapInPandas`` —
+    ~100× the arithmetic throughput of per-pair expression evaluation.
+    O(n²/b²) cells of O(b²·d) work each, perfectly data-parallel, no cell
+    ever holds more than two blocks (2·b·d floats) in memory.
+
+    Float64 math; results match the expression/oracle formulation to
+    ~1e-15 — only (id_a, id_b) pairs are emitted so ULP noise cannot leak
+    unless a true cosine sits within ~1e-15 of the threshold.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    b = df.select(
+        (F.col(id_col) / block_size).cast("int").alias("bid"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+    )
+    blocks = b.groupBy("bid").agg(
+        F.collect_list(F.struct(F.col("vid"), F.col("vec"))).alias("items")
+    )
+    grid = (
+        blocks.select(
+            F.col("bid").alias("bid_x"), F.col("items").alias("items_x")
+        )
+        .join(
+            blocks.select(
+                F.col("bid").alias("bid_y"), F.col("items").alias("items_y")
+            ),
+            F.col("bid_x") <= F.col("bid_y"),
+        )
+    )
+
+    def cell(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_a, out_b = [], []
+            for same, ix, iy in zip(
+                pdf["bid_x"] == pdf["bid_y"], pdf["items_x"], pdf["items_y"]
+            ):
+                ids_x = np.array([it["vid"] for it in ix])
+                ids_y = np.array([it["vid"] for it in iy])
+                X = np.array([it["vec"] for it in ix], dtype=np.float64)
+                Y = np.array([it["vec"] for it in iy], dtype=np.float64)
+                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                Yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+                S = Xn @ Yn.T
+                ai, bi = np.nonzero(S >= threshold)
+                ida, idb = ids_x[ai], ids_y[bi]
+                keep = ida < idb  # dedup within-block mirror + self pairs
+                out_a.extend(np.minimum(ida[keep], idb[keep]))
+                out_b.extend(np.maximum(ida[keep], idb[keep]))
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return grid.mapInPandas(cell, "id_a long, id_b long")

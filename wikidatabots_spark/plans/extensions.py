@@ -426,3 +426,15 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidatabots_spark.operators.dedup import simhash_dup_pairs
 
     return simhash_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_embedding_cosine_blas", oracle=_EMB_DUP_ORACLE)
+def dedup_embedding_cosine_blas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same operator, vectorized-Pandas-UDF execution: blocked numpy
+    matmul inside mapInPandas (the task's 'vectorized Pandas UDF' path) —
+    verified against the identical DuckDB oracle as the expression form."""
+    from wikidatabots_spark.operators.similarity import embedding_dup_pairs_blocked
+
+    return embedding_dup_pairs_blocked(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
