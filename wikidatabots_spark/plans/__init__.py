@@ -11,6 +11,7 @@ from wikidatabots_spark.plans import (  # noqa: F401
     mains,
     opencritic,
     operators_micro,
+    sql_api,
     tmdb,
     tpch,
 )

@@ -1,0 +1,49 @@
+"""Queries expressed as SQL text over registered views — the third API
+surface (DataFrame, format("sparql") data source, and spark.sql).
+
+The SQL strings are written in the common Spark/DuckDB dialect subset, so
+the ORACLE IS THE QUERY ITSELF — the strongest possible parity statement:
+one string, two engines, identical hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wikidatabots_spark.plans.registry import register
+from wikidatabots_spark.sources.tables import register_views
+
+_SQL_Q1 = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_SQL_REGION_REVENUE = """
+SELECT r_name,
+       COUNT(*) AS n_lineitems,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register("sql_q1_identical_text", oracle=_SQL_Q1)
+def sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q1)
+
+
+@register("sql_region_revenue", oracle=_SQL_REGION_REVENUE)
+def sql_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_REGION_REVENUE)

@@ -98,3 +98,11 @@ def scan_parquet_url(
                 out.write(chunk)
         os.replace(tmp, dest)
     return spark.read.parquet(dest)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Create a temp view per synthetic table so the whole engine surface
+    is reachable from ``spark.sql`` — the same names the DuckDB oracle
+    uses, so SQL text is portable across both engines."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
