@@ -38,7 +38,7 @@ HEADLINERS = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_blas",
     "knn_cosine_topk",
     "text_quality",
     "text_langid",
