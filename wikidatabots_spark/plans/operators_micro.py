@@ -370,3 +370,68 @@ def op_scan_parquet_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_parquet_url(spark, f"file://{sf_dir}/region.parquet").select(
         "r_regionkey", "r_name"
     )
+
+
+# --- R1⚠: explode_outer keeps rows with empty/null arrays ------------------
+@register(
+    "op_explode_outer",
+    oracle="""
+SELECT doc_id,
+       unnest(CASE WHEN len(m) = 0 THEN [NULL] ELSE m END) AS zz_word
+FROM (
+    SELECT doc_id, regexp_extract_all(text, '(zz[a-z]+)', 1) AS m
+    FROM documents
+)
+""",
+)
+def op_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polars explode keeps a null row for empty lists; Spark's plain
+    explode drops them — explode_outer restores the reference semantics
+    (SURVEY §2.8 R1⚠). Most docs have no 'zz…' match → the null rows are
+    the point."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode_outer(
+            F.regexp_extract_all(F.col("text"), F.lit(r"(zz[a-z]+)"), 1)
+        ).alias("zz_word"),
+    )
+
+
+# --- set ops beyond the reference: intersect / except ----------------------
+@register(
+    "op_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def op_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cu.intersect(su)
+
+
+@register(
+    "op_except",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def op_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    # subtract = SQL EXCEPT (set semantics); exceptAll would keep the
+    # multiset difference and is NOT the same operator
+    return cu.subtract(su)
