@@ -605,3 +605,167 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# --- sliding windows (size 2h, slide 1h → each event in 2 windows) ---------
+@register(
+    "ev_sliding_window",
+    oracle="""
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM (
+    SELECT unnest([date_trunc('hour', ts),
+                   date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+           event_type
+    FROM events
+)
+GROUP BY window_start, event_type
+""",
+)
+def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window with slide < size assigns each event to size/slide
+    windows; the oracle enumerates the same window starts explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
+# --- groupwise max via join-back (q2 shape) --------------------------------
+@register(
+    "q2_groupwise_max",
+    oracle="""
+SELECT s.s_suppkey, s.s_nationkey, s.s_acctbal
+FROM supplier s
+JOIN (
+    SELECT s_nationkey, MAX(s_acctbal) AS max_bal
+    FROM supplier GROUP BY s_nationkey
+) m ON s.s_nationkey = m.s_nationkey AND s.s_acctbal = m.max_bal
+""",
+)
+def q2_groupwise_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-subquery shape (TPC-H q2's min-cost supplier):
+    aggregate per group, join back on (group, extreme)."""
+    su = load_table(spark, sf_dir, "supplier")
+    m = su.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.max("s_acctbal").alias("max_bal")
+    )
+    return (
+        su.join(
+            F.broadcast(m),
+            (su.s_nationkey == m.nk) & (su.s_acctbal == m.max_bal),
+        )
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+    )
+
+
+# --- string function sweep -------------------------------------------------
+@register(
+    "op_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS up,
+       trim(p_brand) AS tr,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+       substr(p_type, 1, 3) AS ty3,
+       length(p_name) AS ln,
+       reverse(p_brand) AS rev,
+       left(p_name, 4) AS l4,
+       right(p_name, 3) AS r3,
+       contains(p_name, 'widget') AS has_widget,
+       starts_with(p_type, 'ECO') AS eco,
+       split_part(p_brand, '#', 2) AS brand_num
+FROM part
+""",
+)
+def op_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.trim("p_brand").alias("tr"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+        F.substring("p_type", 1, 3).alias("ty3"),
+        F.length("p_name").cast("bigint").alias("ln"),
+        F.reverse("p_brand").alias("rev"),
+        F.left(F.col("p_name"), F.lit(4)).alias("l4"),
+        F.right(F.col("p_name"), F.lit(3)).alias("r3"),
+        F.contains(F.col("p_name"), F.lit("widget")).alias("has_widget"),
+        F.startswith(F.col("p_type"), F.lit("ECO")).alias("eco"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("brand_num"),
+    )
+
+
+# --- null-handling sweep ---------------------------------------------------
+@register(
+    "op_null_funcs",
+    oracle="""
+SELECT o_orderkey,
+       COALESCE(NULLIF(o_orderstatus, 'F'), 'final') AS status2,
+       CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS maybe_price,
+       COALESCE(CASE WHEN o_orderstatus = 'O' THEN NULL
+                     ELSE o_totalprice END, -1.0) AS price_or_neg1,
+       (CASE WHEN o_orderstatus = 'O' THEN NULL
+             ELSE o_totalprice END) IS NULL AS is_open
+FROM orders
+""",
+)
+def op_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    maybe = F.when(F.col("o_orderstatus") != "O", F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("final")).alias(
+            "status2"
+        ),
+        maybe.alias("maybe_price"),
+        F.coalesce(maybe, F.lit(-1.0)).alias("price_or_neg1"),
+        maybe.isNull().alias("is_open"),
+    )
+
+
+# --- full outer + cross joins ----------------------------------------------
+@register(
+    "op_full_outer_join",
+    oracle="""
+WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_custkey < 50),
+     s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+SELECT c.nk AS cust_nk, s.nk AS supp_nk
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""",
+)
+def op_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 50)
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nk"))
+        .distinct()
+    )
+    return c.join(s, c.nk == s.nk, "full_outer").select(
+        c.nk.alias("cust_nk"), s.nk.alias("supp_nk")
+    )
+
+
+@register(
+    "op_cross_join",
+    oracle="""
+SELECT r_name, x AS quarter
+FROM region CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS x)
+""",
+)
+def op_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    q = load_table(spark, sf_dir, "region").sparkSession.range(1, 5).select(
+        F.col("id").cast("int").alias("quarter")
+    )
+    return r.crossJoin(q)
