@@ -34,3 +34,30 @@ def test_partitioned_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
     assert q.count() == o.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
+    from wikidatabots_spark.sinks.parquet import overwrite_partitions
+
+    path = str(tmp_path / "orders_dyn")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_partitioned(o, path, ["o_orderstatus"])
+    before_f = read_partitioned(spark, path).where(F.col("o_orderstatus") == "F")
+    n_f_before = before_f.count()
+    n_total = read_partitioned(spark, path).count()
+
+    # "daily batch": replace only the O partition with halved data
+    new_o = (
+        o.where(F.col("o_orderstatus") == "O")
+        .where(F.col("o_orderkey") % 2 == 0)
+    )
+    n_new_o = new_o.count()
+    overwrite_partitions(new_o, path, ["o_orderstatus"])
+
+    back = read_partitioned(spark, path)
+    # O replaced, F and P untouched
+    assert back.where(F.col("o_orderstatus") == "O").count() == n_new_o
+    assert back.where(F.col("o_orderstatus") == "F").count() == n_f_before
+    assert back.count() < n_total

@@ -43,3 +43,29 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Lazy scan; partition columns come back from directory names and
     predicates on them prune directories before any file I/O."""
     return spark.read.parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+) -> None:
+    """Incremental load: replace ONLY the partitions present in ``df``,
+    leaving sibling partitions untouched (dynamic partition overwrite —
+    the standard daily-batch upsert pattern without a lakehouse format).
+
+    With static overwrite (the default) the same call would wipe the
+    whole table root; the conf is set per-write and restored.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(*partition_by)
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
