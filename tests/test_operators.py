@@ -186,3 +186,19 @@ def test_embedding_dup_pairs_blocked_matches_expr(spark):
         for r in embedding_dup_pairs_blocked(emb, 0.99, block_size=16).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_simhash_near_pairs_hamming(spark):
+    from wikidatabots_spark.operators.dedup import simhash_near_pairs
+
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # identical → hamming 0
+            (3, "one two three four five six seven"),
+        ],
+    )
+    out = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(df, 2).collect()}
+    assert out.get((1, 2)) == 0
+    assert all(h <= 2 for h in out.values())

@@ -302,3 +302,62 @@ def simhash_dup_pairs(
     return a.join(b, on="simhash").where(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b", "simhash"
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole LSH over the 32-bit fingerprint: split into four 8-bit
+    slices — a pair with fewer flipped bits than slices must agree on at
+    least one slice, so recall is exact for ``max_hamming`` ≤ 3 (at
+    exactly 4 flips, one per slice, a pair could evade all four keys).
+    Candidates = equi-join on (slice_idx, slice_value); verification =
+    ``bit_count(xor)`` on the full fingerprints. All integer ops —
+    deterministic in any engine. One shuffle on the slice key; pair work
+    confined to slice-collision groups.
+    """
+    sh = simhash(df, id_col, text_col)
+    sliced = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("slice_idx"),
+                        (
+                            F.shiftright(F.col("simhash"), 8 * i) % 256
+                        ).alias("slice_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_col, "simhash", "s.slice_idx", "s.slice_val")
+    a, b = sliced.alias("a"), sliced.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.slice_idx") == F.col("b.slice_idx"))
+            & (F.col("a.slice_val") == F.col("b.slice_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -438,3 +438,35 @@ def dedup_embedding_cosine_blas_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return embedding_dup_pairs_blocked(
         load_table(spark, sf_dir, "embeddings"), threshold=0.45
     )
+
+
+def _simhash_near_oracle() -> str:
+    slices = "\n    UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS slice_idx,"
+        f" (simhash >> {8 * i}) & 255 AS slice_val FROM fp"
+        for i in range(4)
+    )
+    return f"""
+WITH fp AS ({_simhash_oracle()}),
+sliced AS (
+    {slices}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS fp_a, b.simhash AS fp_b
+    FROM sliced a
+    JOIN sliced b ON a.slice_idx = b.slice_idx
+                 AND a.slice_val = b.slice_val
+                 AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= 2
+"""
+
+
+@register("dedup_simhash_near", oracle=_simhash_near_oracle())
+def dedup_simhash_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidatabots_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
