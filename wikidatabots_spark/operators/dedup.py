@@ -50,14 +50,21 @@ def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Dat
     )
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
+def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     """Repartition UP to the cluster's default parallelism if the plan is
     under-partitioned (e.g. one small parquet file → one task doing all
     the CPU-heavy tokenize/hash work). A no-op when the scan already has
     enough partitions — so at 100 TB (thousands of input splits) no
-    shuffle is added, while small-file local runs get full-width CPU."""
+    shuffle is added, while small-file local runs get full-width CPU.
+
+    Pass key columns when the frame feeds multiple plan branches: hash
+    partitioning is deterministic, so Catalyst can collapse the branches
+    with ReusedExchange — round-robin ``repartition(n)`` cannot be reused
+    and each branch would recompute the whole upstream pipeline."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if keys:
+            return df.repartition(target, *[F.col(k) for k in keys])
         return df.repartition(target)
     return df
 
@@ -83,7 +90,7 @@ def shingles(
     (measured 10× slower at sf0.1 — no CSE through lambda scopes).
     """
     wl_expr = F.filter(F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != "")
-    base = ensure_parallelism(df.select(F.col(id_col), wl_expr.alias("__wl")))
+    base = ensure_parallelism(df.select(F.col(id_col), wl_expr.alias("__wl")), id_col)
     wl = F.col("__wl")
     idx = F.when(F.size(wl) >= n, F.sequence(F.lit(1), F.size(wl) - (n - 1))).otherwise(
         F.array().cast("array<int>")
