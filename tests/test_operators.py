@@ -202,3 +202,37 @@ def test_simhash_near_pairs_hamming(spark):
     out = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(df, 2).collect()}
     assert out.get((1, 2)) == 0
     assert all(h <= 2 for h in out.values())
+
+
+def test_knn_ivf_overlaps_brute(spark, sf_dir):
+    from wikidatabots_spark.operators.similarity_ml import knn_ivf
+    from wikidatabots_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_brute(q, emb, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ivf(q, emb, k=5, n_cells=8, nprobe=4).collect()
+    }
+    # approximate: require meaningful recall, not equality
+    assert len(ivf & brute) >= len(brute) * 0.5
+
+
+def test_minhash_ml_finds_exact_dups(spark):
+    from wikidatabots_spark.operators.similarity_ml import minhash_lsh_ml
+
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "completely unrelated content over here instead"),
+        ],
+    )
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_ml(df, 0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -470,3 +470,23 @@ def dedup_simhash_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidatabots_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
+
+
+@register("knn_ivf_topk")  # rows-only: KMeans-seeded, approximate by design
+def knn_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (MLlib KMeans cells + nprobe search) — the scale path
+    alternative to SRP bucketing."""
+    from wikidatabots_spark.operators.similarity_ml import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf(emb.where(F.col("vec_id") < 20), emb, k=5)
+
+
+@register("dedup_minhash_ml")  # rows-only: MLlib MinHashLSH is RNG-seeded
+def dedup_minhash_ml_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib HashingTF → MinHashLSH approxSimilarityJoin (the SURVEY §7
+    Phase-5 pipeline verbatim); the deterministic string-MinHash variant
+    carries the oracle, this carries the library-API parity."""
+    from wikidatabots_spark.operators.similarity_ml import minhash_lsh_ml
+
+    return minhash_lsh_ml(load_table(spark, sf_dir, "documents"), jaccard_distance_threshold=0.1)
