@@ -14,8 +14,9 @@ def test_registry_shape():
     assert len(q) >= 55
     assert set(o) <= set(q)
     # the overwhelming majority must be oracle-checked; rows-only is
-    # reserved for genuinely non-SQL ops (approx ANN, fake media decode)
-    assert len(o) >= len(q) - 3
+    # reserved for genuinely non-SQL ops (seeded/approximate ANN + ML
+    # variants, fake media decode)
+    assert len(o) >= len(q) - 5
 
 
 def test_entry_smoke(spark, sf_dir):
