@@ -112,6 +112,34 @@ def test_sample_n_exact(spark):
     assert out.count() == 7
 
 
+def test_sample_full_surface(spark):
+    from wikidatabots_spark.functions.core import sample, sample_hash
+
+    df = spark.range(200)
+    # fraction: Bernoulli, approximately fraction*n rows, no duplicates
+    frac = sample(df, fraction=0.3, seed=7)
+    n_frac = frac.count()
+    assert 20 <= n_frac <= 100
+    assert frac.distinct().count() == n_frac
+    # exact-n with replacement: exactly n rows, duplicates allowed & likely
+    rep = sample(df, n=150, with_replacement=True, seed=7)
+    assert rep.count() == 150
+    assert rep.distinct().count() < 150
+    assert rep.distinct().count() <= 200
+    # shuffle flag composes; n and fraction are mutually exclusive
+    assert sample(df, n=5, shuffle=True, seed=1).count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample(df)
+    with _pytest.raises(ValueError):
+        sample(df, n=5, fraction=0.5)
+    # deterministic hash sample: same rows on every call, ~fraction kept
+    h1 = sorted(r.id for r in sample_hash(df, "id", 0.25).collect())
+    h2 = sorted(r.id for r in sample_hash(df, "id", 0.25).collect())
+    assert h1 == h2 and 20 <= len(h1) <= 90
+
+
 def test_limit_warn_caps_and_warns(spark):
     df = spark.range(100)
     with warnings.catch_warnings(record=True) as w:

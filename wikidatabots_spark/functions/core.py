@@ -146,22 +146,87 @@ def between_left_closed(col: Column | str, low, high) -> Column:
     return (c >= F.lit(low)) & (c < F.lit(high))
 
 
+def sample(
+    df: DataFrame,
+    n: int | None = None,
+    fraction: float | None = None,
+    with_replacement: bool = False,
+    shuffle: bool = False,
+    seed: int | None = None,
+) -> DataFrame:
+    """Full option surface of the reference ``sample`` (polars_utils.py:59-76).
+
+    Spark-first mapping per option combination:
+
+    - ``fraction`` only → ``df.sample(fraction, seed)``: distributed
+      Bernoulli (or Poisson when ``with_replacement``) coin-flip per row —
+      no shuffle, pipeline-able with the scan. The scale path.
+    - ``n`` without replacement → seeded ``rand()`` sort + ``limit(n)``:
+      exact-n needs a global order; full shuffle of the candidate rows.
+      The reference only samples guard-capped frames (≤ a few hundred
+      rows), so this matches its use; for large frames pass ``fraction``.
+    - ``n`` with replacement → driver draws a multinomial over row indices
+      (seeded), broadcast-joins the counts against a row_number over a
+      seeded order, and explodes each row ``count`` times. Exact-n
+      multinomial is inherently global — only use behind a guard.
+    - ``shuffle`` → return rows in seeded-random order (Spark frames are
+      unordered; the order is observable on collect, matching Polars).
+    """
+    if (n is None) == (fraction is None):
+        raise ValueError("exactly one of n / fraction is required")
+    rand = F.rand(seed) if seed is not None else F.rand()
+    if fraction is not None:
+        out = df.sample(withReplacement=with_replacement, fraction=fraction, seed=seed)
+        return out.orderBy(F.rand(seed) if seed is not None else F.rand()) if shuffle else out
+    if not with_replacement:
+        return df.orderBy(rand).limit(n)
+    # exact-n WITH replacement: multinomial counts over row indices
+    import random as _random
+
+    cnt = df.count()
+    if cnt == 0:
+        return df.limit(0)
+    counts: dict[int, int] = {}
+    rng = _random.Random(seed)
+    for _ in range(n):
+        i = rng.randrange(cnt)
+        counts[i] = counts.get(i, 0) + 1
+    w = Window.orderBy(rand, *[F.col(c) for c in df.columns])
+    indexed = df.withColumn("__idx", F.row_number().over(w) - 1)
+    cdf = df.sparkSession.createDataFrame(
+        list(counts.items()), "__idx bigint, __cnt int"
+    )
+    out = (
+        indexed.join(F.broadcast(cdf), "__idx")
+        .withColumn("__rep", F.explode(F.sequence(F.lit(1), F.col("__cnt"))))
+        .drop("__idx", "__cnt", "__rep")
+    )
+    return out.orderBy(F.rand(seed) if seed is not None else F.rand()) if shuffle else out
+
+
 def sample_n(
     df: DataFrame,
     n: int,
     seed: int | None = None,
     shuffle: bool = False,
 ) -> DataFrame:
-    """Exact-n random sample (polars_utils.py:59-76 ``sample``).
+    """Exact-n random sample — thin alias over :func:`sample`."""
+    return sample(df, n=n, seed=seed, shuffle=shuffle)
 
-    Spark's ``df.sample`` is fraction-based; exact-n requires a global sort
-    by a seeded random key. That is a full shuffle of the *candidate* rows —
-    acceptable because the reference only samples when a guard already
-    capped the set (≤ a few hundred rows). For large frames prefer
-    ``df.sample(fraction)``.
+
+def sample_hash(df: DataFrame, key: Column | str, fraction: float) -> DataFrame:
+    """Deterministic content-hash Bernoulli sample.
+
+    Keeps rows whose ``md5(key)`` falls in the low ``fraction`` of the hash
+    space (first 4 hex digits < fraction·65536). The reproducible analog of
+    ``sample(fraction=...)`` for cross-engine verification — RNG streams are
+    engine-specific, content hashes are not — and the standard technique for
+    stable train/holdout splits in data pipelines: membership depends only
+    on the key, so re-runs and backfills select the same rows.
     """
-    rand = F.rand(seed) if seed is not None else F.rand()
-    return df.orderBy(rand).limit(n)
+    c = F.col(key) if isinstance(key, str) else key
+    bucket = F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+    return df.where(bucket < int(fraction * 65536))
 
 
 def limit_warn(

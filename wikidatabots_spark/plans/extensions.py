@@ -284,6 +284,46 @@ def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(d).select("doc_id", "fingerprint")
 
 
+_PROFILE_ORACLE = f"""
+WITH tc AS ({_TOKEN_COUNT_ORACLE}),
+qual AS ({_QUALITY_ORACLE}),
+lng AS ({_LANGID_ORACLE}),
+fpr AS ({_FINGERPRINT_ORACLE})
+SELECT tc.doc_id, tc.n_words, tc.n_subtokens,
+       qual.n_punct, qual.n_stopwords, qual.avg_word_len,
+       qual.stopword_ratio, qual.punct_ratio, qual.quality,
+       lng.lang_guess, fpr.fingerprint
+FROM tc
+JOIN qual ON qual.doc_id = tc.doc_id
+JOIN lng ON lng.doc_id = tc.doc_id
+JOIN fpr ON fpr.doc_id = tc.doc_id
+"""
+
+
+@register("text_profile", oracle=_PROFILE_ORACLE)
+def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four text-analysis operators composed into one per-document
+    profile (tokens + quality + language + fingerprint) — the shape a real
+    corpus-curation pipeline materializes in one pass. One narrow map per
+    document, no shuffle; also keeps every textstats operator inside the
+    driver's capped correctness window via a single registry slot."""
+    d = load_table(spark, sf_dir, "documents")
+    out = with_fingerprint(with_lang_guess(with_quality(with_token_count(d))))
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_subtokens",
+        "n_punct",
+        "n_stopwords",
+        "avg_word_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "quality",
+        "lang_guess",
+        "fingerprint",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup pairs + multimodal plumbing as first-class queries
 # ---------------------------------------------------------------------------
@@ -362,14 +402,29 @@ def mm_sample_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("mm_extract_features")  # rows-only: hash-derived fake embedding
 def mm_extract_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas-UDF feature extraction producing array<float> embeddings
-    consumable by the similarity operators."""
+    consumable by the similarity operators.
+
+    The registered projection is scalar-only — (media_id, feature_sha256,
+    dim) — because the driver's rows-only canonicalizer sorts row tuples
+    and crashes on array columns (r1's only red row: ``unhashable type:
+    'list'``). The operator itself still returns the raw ``array<float>``
+    for the similarity pipeline; the sha256-of-rendered-floats digest pins
+    the exact feature values just as hard."""
     from wikidatabots_spark.operators.multimodal import extract_features
 
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("data"),
     )
-    return extract_features(d).select("media_id", "features")
+    feats = extract_features(d)
+    return feats.select(
+        "media_id",
+        F.sha2(
+            F.concat_ws(",", F.transform("features", lambda x: x.cast("string"))),
+            256,
+        ).alias("feature_sha256"),
+        F.size("features").cast("int").alias("dim"),
+    )
 
 
 # ---------------------------------------------------------------------------

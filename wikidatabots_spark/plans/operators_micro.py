@@ -312,11 +312,41 @@ def op_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_sample_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stand-in for O3 sampling (seeded RNGs differ across
-    engines; ``sample_n`` itself is pytest-verified by row count)."""
+    engines; ``sample`` itself is pytest-verified by row count)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select("o_orderkey", "o_totalprice").where(
         F.col("o_orderkey") % 20 == 0
     )
+
+
+# --- O3: fraction sampling, deterministic hash-Bernoulli form --------------
+_HASH_DIGIT = (
+    "(strpos('0123456789abcdef',"
+    " substr(md5(CAST(o_orderkey AS VARCHAR)), {j}, 1)) - 1)"
+)
+_HASH_BUCKET = " + ".join(
+    f"{_HASH_DIGIT.format(j=j + 1)} * {16 ** (3 - j)}" for j in range(4)
+)
+
+
+@register(
+    "op_sample_fraction",
+    oracle=f"""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE {_HASH_BUCKET} < 16384
+""",
+)
+def op_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3's fraction surface via ``sample_hash`` — the reproducible analog
+    of ``sample(fraction=0.25)``: membership = md5(key) in the low quarter
+    of hash space, identical in any engine (RNG fraction sampling itself is
+    pytest-verified; this pins the deterministic production variant used
+    for stable train/holdout splits)."""
+    from wikidatabots_spark.functions.core import sample_hash
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return sample_hash(o, "o_orderkey", 0.25)
 
 
 # --- T7/D2/D3: date parse / trunc -----------------------------------------
@@ -420,18 +450,65 @@ def op_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_except",
     oracle="""
-SELECT c_nationkey AS nationkey FROM customer
+SELECT c_custkey FROM customer
 EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 """,
 )
 def op_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cu = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    su = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
+    """Customers with no URGENT order. (The r1 form — customer nationkeys
+    EXCEPT supplier nationkeys — was vacuously empty at every SF, so its
+    hash match proved nothing; this one returns ~200 rows at sf0.01.)"""
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     # subtract = SQL EXCEPT (set semantics); exceptAll would keep the
     # multiset difference and is NOT the same operator
-    return cu.subtract(su)
+    return cu.subtract(urgent)
+
+
+@register(
+    "op_set_ops",
+    oracle="""
+SELECT 'union' AS kind, CAST(nationkey AS BIGINT) AS key FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'intersect' AS kind, CAST(nationkey AS BIGINT) AS key FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'except' AS kind, CAST(custkey AS BIGINT) AS key FROM (
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+""",
+)
+def op_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three set operators in one driver-checked frame: UNION
+    (distinct), INTERSECT, and a non-vacuous EXCEPT, tagged by kind."""
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    cn = cu.select(F.col("c_nationkey").cast("bigint").alias("key"))
+    sn = su.select(F.col("s_nationkey").cast("bigint").alias("key"))
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").cast("bigint").alias("key"))
+    )
+    uni = cn.union(sn).distinct().select(F.lit("union").alias("kind"), "key")
+    inter = cn.intersect(sn).select(F.lit("intersect").alias("kind"), "key")
+    exc = (
+        cu.select(F.col("c_custkey").cast("bigint").alias("key"))
+        .subtract(urgent)
+        .select(F.lit("except").alias("kind"), "key")
+    )
+    return uni.unionByName(inter).unionByName(exc)
