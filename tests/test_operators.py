@@ -188,6 +188,34 @@ def test_embedding_dup_pairs_blocked_matches_expr(spark):
     assert a == b and len(a) > 0
 
 
+def test_embedding_dup_pairs_lsh_matches_brute(spark):
+    """Banded-SRP candidates + verify find exactly the brute-force pairs
+    on a corpus with genuine near-dups (high-threshold regime)."""
+    import math
+
+    from wikidatabots_spark.operators.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    dim = 16
+    rows = []
+    for i in range(30):
+        v = [math.sin(i * 37.0 + d) for d in range(dim)]
+        rows.append((i, v))
+        # planted near-dup: tiny deterministic perturbation
+        rows.append((i + 1000, [x + 0.001 * ((d + i) % 2 * 2 - 1) for d, x in enumerate(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {(r.id_a, r.id_b) for r in embedding_dup_pairs(emb, 0.995).collect()}
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs_lsh(
+            emb, threshold=0.995, dim=dim, bits=8, tables=8
+        ).collect()
+    }
+    assert lsh == brute and len(lsh) >= 30
+
+
 def test_simhash_near_pairs_hamming(spark):
     from wikidatabots_spark.operators.dedup import simhash_near_pairs
 

@@ -41,6 +41,7 @@ def test_registry_priority_window():
         # graded LLM-pipeline components
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
         "dedup_simhash", "dedup_simhash_near", "dedup_embedding_cosine",
+        "dedup_embedding_cosine_lsh",
         "mm_media_meta", "mm_sample_frames", "mm_extract_features",
         "text_profile", "knn_cosine_topk",
     }

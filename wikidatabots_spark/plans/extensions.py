@@ -355,11 +355,117 @@ WHERE dot / (na.nrm * nb.nrm) >= 0.45
 @register("dedup_embedding_cosine", oracle=_EMB_DUP_ORACLE)
 def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold tuned to this corpus'
-    similarity ceiling of ~0.51 so the operator produces rows)."""
-    from wikidatabots_spark.operators.similarity import embedding_dup_pairs
+    similarity ceiling of ~0.51 so the operator produces rows).
 
-    return embedding_dup_pairs(
+    Runs the blocked-BLAS execution (block-grid join + vectorized numpy
+    matmul per cell), not the row-level triangular join the r1 registry
+    used. Why not LSH with this oracle: at threshold 0.45 on 64-dim
+    embeddings the requested pairs sit ~3.6σ inside the random-pair noise
+    floor (pair cosine std ≈ 1/√dim ≈ 0.125; the corpus' true pairs span
+    0.456-0.513) — the SRP collision-probability gap that makes banding
+    sublinear vanishes, and any recall-complete banding degenerates to
+    all-pairs. A threshold that low is an analytical all-pairs query, so
+    the honest plan is the best-constant exact one; the production
+    near-dup path (real thresholds ≥0.9) is ``dedup_embedding_cosine_lsh``
+    below, which IS a bucket equi-join."""
+    from wikidatabots_spark.operators.similarity import embedding_dup_pairs_blocked
+
+    return embedding_dup_pairs_blocked(
         load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+# Deterministic planted near-duplicates: every vector gets a copy shifted
+# by ±s per coordinate (sign = md5 hex-digit parity of "vec_id:block"),
+# giving cosine ≈ 1 − 32·s² ≈ 0.9998 to its original — far above the 0.98
+# threshold, while unrelated pairs stay ≤ ~0.52. Both engines build the
+# corpus bit-identically (float32→float64 cast + double arithmetic), so
+# the LSH path must return EXACTLY the planted pairs to hash-match.
+_EMB_PERT_SCALE = 0.0018
+_EMB_DUP_OFFSET = 1_000_000
+
+_PERT_SQL = f"""
+corpus AS (
+    SELECT vec_id,
+           list_transform(generate_series(1, 64),
+                          i -> CAST(embedding[i] AS DOUBLE)) AS v
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_EMB_DUP_OFFSET},
+           list_transform(generate_series(1, 64),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    + CAST({_EMB_PERT_SCALE} AS DOUBLE) *
+                      (((strpos('0123456789abcdef',
+                                substr(md5(CAST(vec_id AS VARCHAR) || ':' ||
+                                           CAST((i - 1) // 32 AS VARCHAR)),
+                                       ((i - 1) % 32) + 1, 1)) - 1) % 2) * 2 - 1))
+    FROM embeddings
+)
+"""
+
+_EMB_LSH_ORACLE = f"""
+WITH {_PERT_SQL},
+norms AS (
+    SELECT vec_id, sqrt(SUM(v[i] * v[i])) AS nrm
+    FROM corpus, generate_series(1, 64) t(i)
+    GROUP BY vec_id
+),
+dots AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           SUM(a.v[i] * b.v[i]) AS dot
+    FROM corpus a, corpus b, generate_series(1, 64) t(i)
+    WHERE a.vec_id < b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.98
+"""
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies — Spark twin of ``_PERT_SQL``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+    def parity(md5col, j: int):  # j: literal hex position 1..32
+        d = F.conv(F.substring(md5col, j, 1), 16, 10).cast("int")
+        return (d % 2) * 2 - 1
+
+    m0 = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":0")))
+    m1 = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":1")))
+    signs = F.array(
+        *[parity(m0, j) for j in range(1, 33)],
+        *[parity(m1, j) for j in range(1, 33)],
+    )
+    pert = emb.select(
+        (F.col("vec_id") + F.lit(_EMB_DUP_OFFSET)).alias("vec_id"),
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            signs,
+            lambda x, h: x + F.lit(_EMB_PERT_SCALE) * h.cast("double"),
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
+
+
+@register("dedup_embedding_cosine_lsh", oracle=_EMB_LSH_ORACLE)
+def dedup_embedding_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production embedding-dedup path: SRP-banded candidate
+    generation (bucket equi-join on (table, bucket) — no all-pairs stage
+    anywhere in the plan) + exact cosine verify, hash-checked against a
+    DuckDB brute-force oracle over the identical planted-duplicate corpus.
+    Banding: 8 tables × 8 bits ⇒ miss probability ~1e-8 per planted pair
+    (cos ≈ 0.9998), random-pair candidate rate 8·2⁻⁸ ≈ 3%."""
+    from wikidatabots_spark.operators.similarity import embedding_dup_pairs_lsh
+
+    return embedding_dup_pairs_lsh(
+        _planted_corpus(spark, sf_dir), threshold=0.98, dim=64, bits=8, tables=8
     )
 
 

@@ -89,10 +89,10 @@ PRIORITY: list[str] = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "text_simhash",
     "dedup_simhash",
     "dedup_simhash_near",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
     "text_profile",
     "knn_cosine_topk",
 ]
