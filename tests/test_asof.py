@@ -34,6 +34,19 @@ def test_asof_exact_ts_matches(spark):
     assert row.rv == 7  # inclusive: right row at exactly left ts wins
 
 
+def test_asof_matched_row_null_wins(spark):
+    """Row-atomic carry: when the most recent right row has NULL in one
+    value column, the output keeps THAT row's NULL — it must not backfill
+    the value from an older right row (DuckDB/pandas ASOF semantics)."""
+    left = spark.createDataFrame([(1, 30, "a")], "uid long, ts long, lv string")
+    right = spark.createDataFrame(
+        [(1, 10, 100, "old"), (1, 20, None, "new")],
+        "uid long, ts long, rv long, tag string",
+    )
+    row = asof_join(left, right, on=["uid"]).collect()[0]
+    assert (row.rv, row.tag, row.asof_ts) == (None, "new", 20)
+
+
 def test_asof_collision_check(spark):
     left = spark.createDataFrame([(1, 1, "x")], "uid long, ts long, rv string")
     right = spark.createDataFrame([(1, 1, 2)], "uid long, ts long, rv long")

@@ -58,9 +58,19 @@ def salted_join(
 
     left rows get a uniform random salt; right rows are replicated once
     per salt value, so every (key, salt) pair finds its match. Result is
-    row-identical to the plain join; the shuffle for any single hot key
-    is spread over ``salt`` reducers.
+    row-identical to the plain join **for left-preserving joins only**
+    (inner/left/semi/anti): with ``right`` or ``full_outer`` the salt
+    replication would emit each unmatched right row ``salt`` times, so
+    those modes are rejected. Flip the inputs for a right-skewed join.
+    The shuffle for any single hot key is spread over ``salt`` reducers.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}) would duplicate unmatched right rows; "
+            f"use one of {sorted(allowed)} (flip sides for right-skew)"
+        )
     on = list(on)
     rand = F.rand(seed) if seed is not None else F.rand()
     l2 = left.withColumn("__salt", (rand * salt).cast("int"))

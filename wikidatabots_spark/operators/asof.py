@@ -51,17 +51,28 @@ def asof_join(
     for c in val_cols:
         if c in l_marked.columns:
             raise ValueError(f"right value column {c!r} collides with left")
+    # The whole right row travels as ONE struct and is carried forward by a
+    # single last(ignorenulls=True). Per-column carries would mix values
+    # from different right rows whenever the most recent right row holds a
+    # NULL in one value column (the matched row's NULL must win, as in
+    # DuckDB/pandas ASOF) — row atomicity requires the struct.
+    rd = dict(right.dtypes)
+    rv_type = (
+        "struct<"
+        + ",".join(f"{c}:{rd[c]}" for c in val_cols)
+        + ("," if val_cols else "")
+        + f"asof_ts:{rd[right_ts]}>"
+    )
     r_marked = right.select(
         *on,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c) for c in val_cols],
-        F.col(right_ts).alias("asof_ts"),
+        F.struct(
+            *[F.col(c) for c in val_cols], F.col(right_ts).alias("asof_ts")
+        ).alias("__rv"),
     )
     l_full = l_marked.select(
-        *l_marked.columns,
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in val_cols],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("asof_ts"),
+        *l_marked.columns, F.lit(None).cast(rv_type).alias("__rv")
     )
     r_full = r_marked.select(
         *[
@@ -70,8 +81,7 @@ def asof_join(
             else F.col(c)
             for c in l_marked.columns
         ],
-        *[F.col(c) for c in val_cols],
-        F.col("asof_ts"),
+        F.col("__rv"),
     )
     u = l_full.unionByName(r_full)
     # right rows (marker 0) sort before a left row at the same ts →
@@ -84,7 +94,13 @@ def asof_join(
     carried = u.select(
         *[c for c in left.columns],
         F.col("__is_left"),
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in val_cols],
-        F.last(F.col("asof_ts"), ignorenulls=True).over(w).alias("asof_ts"),
+        F.last(F.col("__rv"), ignorenulls=True).over(w).alias("__rv"),
     )
-    return carried.where(F.col("__is_left") == 1).drop("__is_left")
+    return (
+        carried.where(F.col("__is_left") == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"__rv.{c}").alias(c) for c in val_cols],
+            F.col("__rv.asof_ts").alias("asof_ts"),
+        )
+    )

@@ -93,7 +93,9 @@ def scan_parquet_url(
     dest = os.path.join(cache_dir, hashlib.sha256(url.encode()).hexdigest() + ".parquet")
     if not os.path.exists(dest):
         tmp = dest + ".tmp"
-        with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:  # noqa: S310
+        # timeout: a stalled remote must not hang the driver (the HTTP and
+        # SPARQL adapters set timeouts too; sources/http.py is the model)
+        with urllib.request.urlopen(url, timeout=60) as resp, open(tmp, "wb") as out:  # noqa: S310
             while chunk := resp.read(1 << 20):
                 out.write(chunk)
         os.replace(tmp, dest)

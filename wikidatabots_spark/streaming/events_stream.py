@@ -131,8 +131,18 @@ def dedup_stream(
     keys: list[str] | None = None,
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Streaming exact dedup: first event per key wins, late duplicates
-    beyond the watermark horizon age out of the state store (bounded
-    state — the streaming twin of ``operators.dedup.dedup_exact``)."""
+    """Streaming exact dedup: first event per key wins, duplicates inside
+    the watermark horizon are dropped, and per-key state is evicted once
+    the horizon passes (bounded state — the streaming twin of
+    ``operators.dedup.dedup_exact``).
+
+    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates(keys)``
+    only evicts state by watermark when the event-time column is itself
+    one of the dedup keys — with keys like (user_id, event_type) its state
+    store grows forever. The WithinWatermark variant keys eviction on the
+    watermark regardless of the subset, which is the semantics a dedup of
+    an unbounded stream needs (a duplicate arriving later than the
+    horizon is by definition no longer a duplicate we track).
+    """
     keys = keys or ["user_id", "event_type"]
-    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -47,11 +47,21 @@ STATE_SCHEMA = StructType(
 )
 
 
+# reap a user's state after this much processing-time idleness: state is
+# bounded by *active* users (the docstring's claim is only true with a
+# real timeout — NoTimeout would keep every all-time key forever)
+IDLE_TIMEOUT_MS = 30 * 60 * 1000
+
+
 def _update_profile(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     import datetime
 
+    if state.hasTimedOut:
+        # idle key reaped: drop its state, emit nothing
+        state.remove()
+        return
     if state.exists:
         n, s, last_us = state.get
     else:
@@ -64,12 +74,17 @@ def _update_profile(
                 last_us, int(pd.to_datetime(pdf["ts"]).max().value // 1000)
             )
     state.update((n, s, last_us))
+    state.setTimeoutDuration(IDLE_TIMEOUT_MS)
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
             "sum_value": [s],
-            "last_ts": [datetime.datetime.utcfromtimestamp(last_us / 1e6)],
+            "last_ts": [
+                datetime.datetime.fromtimestamp(
+                    last_us / 1e6, tz=datetime.timezone.utc
+                )
+            ],
         }
     )
 
@@ -88,6 +103,6 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
             outputStructType=PROFILE_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
