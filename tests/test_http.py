@@ -24,6 +24,7 @@ from wikidatabots_spark.functions.structs import (
 from wikidatabots_spark.sources.http import http_get, response_ok, response_text
 
 _FLAKY_COUNTS: dict[str, int] = {}
+_STAMPS: list[float] = []
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -48,6 +49,13 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_response(code)
             self.end_headers()
             self.wfile.write(b"x")
+        elif url.path == "/stamp":
+            import time as _time
+
+            _STAMPS.append(_time.monotonic())
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"ok")
         elif url.path.startswith("/flaky/"):
             key = url.path
             _FLAKY_COUNTS[key] = _FLAKY_COUNTS.get(key, 0) + 1
@@ -149,3 +157,23 @@ def test_retry_count_cap():
 
     with pytest.raises(AssertionError):
         http_get(None, retry_count=13)
+
+
+def test_global_rate_limit_across_partitions(spark, server):
+    """With partitions=4 the AGGREGATE request rate must respect
+    1/min_time (time-sliced per-partition quotas), not 4x it."""
+    _STAMPS.clear()
+    urls = [(f"{server}/stamp?i={i}",) for i in range(12)]
+    df = spark.createDataFrame(urls, "url string").select(
+        prepare_request(F.col("url")).alias("http_request")
+    )
+    http_get(df, min_time=0.1, partitions=4).collect()
+    assert len(_STAMPS) == 12
+    ts = sorted(_STAMPS)
+    # provable bound: each partition fires at most once per 4*0.1 s, so any
+    # window holding 5 requests spans > 0.1 s
+    for i in range(len(ts) - 4):
+        assert ts[i + 4] - ts[i] >= 0.1 * 0.8
+    # and the whole run cannot collapse to a burst: the busiest partition
+    # (>= 3 rows) alone needs >= 2 periods
+    assert ts[-1] - ts[0] >= 0.55

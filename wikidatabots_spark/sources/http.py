@@ -60,13 +60,25 @@ def http_get(
     """Append a response struct column for each request struct row.
 
     Signature mirrors ``request()`` (polars_requests.py:173-194).
+
+    Rate limiting is GLOBAL across partitions: with ``partitions=N`` each
+    partition runs a limiter with period ``N·min_time`` and phase offset
+    ``partitionId·min_time`` (time-sliced quotas), so the aggregate request
+    rate against the remote API never exceeds ``1/min_time`` — the same
+    politeness envelope as the reference's strictly sequential loop
+    (polars_requests.py:154-156), preserved under parallel fetching. No
+    cross-worker coordination is needed (nothing to break at 1000
+    executors); the phase offsets also stagger the requests so the
+    aggregate stream is smooth rather than N-bursty.
     """
     assert retry_count <= MAX_RETRY_COUNT, "retry_count capped at 12"
     ok_set, bad_set = set(ok_statuses), set(bad_statuses)
+    n_parts = max(partitions or 1, 1)
 
     @pandas_udf(HTTP_RESPONSE_TYPE)
     def _do_requests(reqs: pd.DataFrame) -> pd.DataFrame:
         import requests
+        from pyspark import TaskContext
 
         n = len(reqs)
         assert n < MAX_REQUESTS, f"{n} requests exceeds the {MAX_REQUESTS} cap"
@@ -74,6 +86,11 @@ def http_get(
         if n == 0:  # empty-input short-circuit (polars_requests.py:101-102)
             return pd.DataFrame(out, columns=["status", "headers", "data"])
         session = requests.Session()  # shared within the partition (:104)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        # per-partition period N·min_time ⇒ aggregate ≤ 1/min_time
+        period = min_time * n_parts
+        phase_slept = False
         last_start = 0.0
         for _, row in reqs.iterrows():  # sequential (:154-156)
             url = row.get("url")
@@ -81,8 +98,12 @@ def http_get(
                 # placeholder row; the F.when mask below nulls the struct
                 out.append({"status": None, "headers": None, "data": None})
                 continue
-            wait = min_time - (time.monotonic() - last_start)
-            if wait > 0:  # min-time rate limit (:144-146)
+            if not phase_slept:
+                phase_slept = True
+                if min_time > 0 and n_parts > 1:
+                    time.sleep((pid % n_parts) * min_time)  # phase stagger
+            wait = period - (time.monotonic() - last_start)
+            if wait > 0:  # time-sliced rate limit (:144-146 at N=1)
                 time.sleep(wait)
             last_start = time.monotonic()
             raw_headers = row.get("headers")
