@@ -74,8 +74,15 @@ def shingles(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct (id, n-word-shingle) pairs.
+    """(id, n-word-shingle) pairs, distinct by default.
+
+    Pass ``distinct=False`` when the consumer is duplicate-insensitive
+    (MIN-aggregation MinHash signatures): the (id, token) distinct is a
+    full shuffle of every shingle string — the single most expensive
+    stage of the MinHash pipeline — and MIN gives the identical result
+    without it.
 
     Shingles (not unigrams) are what make MinHash discriminating: a shared
     vocabulary produces massive unigram overlap between unrelated docs,
@@ -99,7 +106,8 @@ def shingles(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(wl, i + j) for j in range(n)]),
     )
-    return base.select(F.col(id_col), F.explode(sh).alias("token")).distinct()
+    out = base.select(F.col(id_col), F.explode(sh).alias("token"))
+    return out.distinct() if distinct else out
 
 
 def dedup_exact(
@@ -153,8 +161,15 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    # distinct=False: MIN-aggregated signatures are duplicate-insensitive,
+    # so the shingle table skips its (id, token) distinct — that distinct
+    # was the dominant shuffle of this whole pipeline (full shingle
+    # strings); the groupBy below still combines map-side, so the only
+    # thing that shuffles now is (id, 8 partial mins)
     sig = minhash_signatures(
-        shingles(df, shingle_size, id_col, text_col), num_hashes, id_col
+        shingles(df, shingle_size, id_col, text_col, distinct=False),
+        num_hashes,
+        id_col,
     )
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)])).alias(
@@ -200,7 +215,7 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
-    max_df: int = 100,
+    max_df: int | float = 0.2,
     shingle_size: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -214,18 +229,52 @@ def ngram_jaccard_pairs(
     intersection counts use ALL tokens' sizes but only rare tokens join;
     pairs sharing *only* ultra-common tokens are (deliberately) not
     candidates.
+
+    ``max_df``: a float in (0, 1) is a FRACTION of the corpus document
+    count (cut = ceil(max_df·n_docs), joined in-plan as a broadcast
+    scalar) — the scale-correct form, since an absolute cut silently
+    tightens as the corpus grows; an int is the absolute document
+    frequency for hand-tuned cases.
+
+    Internally tokens travel as 64-bit ``xxhash64`` keys once the shingle
+    strings have been produced: the distinct, the frequency count, and the
+    self-join all shuffle 8-byte longs instead of 20-40-byte strings.
+    Results are identical short of a 64-bit hash collision between two
+    shingles of one corpus (birthday bound ~1e-11 at 10⁵ distinct
+    shingles; the same tradeoff every production MinHash makes).
     Returns (id_a, id_b, jaccard DOUBLE).
     """
-    tok = shingles(df, shingle_size, id_col, text_col)
+    from pyspark.sql import Window
+
+    raw = shingles(df, shingle_size, id_col, text_col, distinct=False)
+    tok = raw.select(
+        F.col(id_col), F.xxhash64(F.col("token")).alias("tk")
+    ).distinct()
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    rare = tok.join(dfreq.where(F.col("df") <= max_df).select("token"), on="token")
+    # document frequency as a window count over the tk partitioning: one
+    # exchange on tk serves the df computation AND both sides of the
+    # self-join below (ReusedExchange) — a groupBy+join formulation would
+    # add two more full shuffles of the token table
+    with_df = tok.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tk"))
+    )
+    if isinstance(max_df, float):
+        if not 0.0 < max_df < 1.0:
+            raise ValueError("relative max_df must be in (0, 1)")
+        n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+        rare = (
+            with_df.crossJoin(F.broadcast(n_docs))
+            .where(F.col("df") <= F.ceil(F.lit(max_df) * F.col("__n_docs")))
+            .select(id_col, "tk")
+        )
+    else:
+        rare = with_df.where(F.col("df") <= max_df).select(id_col, "tk")
     a = rare.alias("a")
     b = rare.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.token") == F.col("b.token"))
+            (F.col("a.tk") == F.col("b.tk"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(
@@ -233,11 +282,12 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # sizes is ~one row per document — broadcast both attach joins
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")

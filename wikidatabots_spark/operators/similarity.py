@@ -21,6 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -254,27 +255,37 @@ def embedding_dup_pairs_lsh(
     Shuffles: one on (table, bucket) for candidates, one on id to re-join
     vectors for the verify. The wide vector column never self-joins.
     """
-    ids = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)), id_col)
-    sig = ids.select(
-        F.col(id_col),
-        *[
-            srp_bucket(F.col(vec_col), dim, bits, t).alias(f"b{t}")
-            for t in range(tables)
+    import numpy as np
+
+    # one numpy matmul per Arrow batch computes ALL tables×bits projections
+    # (vs tables·bits interpreted zip_with/aggregate expressions — measured
+    # ~10× on 10k×64 vectors). Hyperplanes are the same deterministic md5
+    # values as srp_bucket; sign boundaries are identical up to ~1e-15
+    # rounding, which only matters for projections within ULP of zero.
+    planes = np.array(
+        [
+            [_srp_plane(t, b, d) for t in range(tables) for b in range(bits)]
+            for d in range(dim)
         ],
+        dtype=np.float64,
     )
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def srp_sig(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        signs = (X @ planes) >= 0  # rows × (tables·bits)
+        buckets = [
+            (signs[:, t * bits : (t + 1) * bits] * weights).sum(axis=1)
+            for t in range(tables)
+        ]
+        return pd.Series(np.stack(buckets, axis=1).tolist())
+
+    ids = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)), id_col)
+    sig = ids.select(F.col(id_col), srp_sig(F.col(vec_col)).alias("sig"))
     stacked = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bucket")
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(id_col, "tb.tbl", "tb.bucket")
+        F.col(id_col), F.posexplode(F.col("sig")).alias("tbl", "bucket")
+    )
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(

@@ -459,21 +459,21 @@ GROUP BY c_nationkey
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    avg_bal = (
-        cu.where(F.col("c_acctbal") > 0.0)
-        .agg(
-            (F.sum(_dec("c_acctbal", "14,2")).cast("double") / F.count(F.lit(1))).alias(
-                "a"
-            )
+    # scalar subquery as broadcast crossJoin: the 1-row aggregate joins
+    # into the plan instead of a driver-side collect(), so the whole query
+    # is one job and the scan of customer is not planned twice
+    avg_bal = cu.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal", "14,2")).cast("double") / F.count(F.lit(1))).alias(
+            "__avg_bal"
         )
-        .collect()[0]
-        .a
     )
     recent = o.where(
         F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
     )
     return (
-        cu.where(F.col("c_acctbal") > F.lit(avg_bal))
+        cu.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .drop("__avg_bal")
         .join(
             recent.select(F.col("o_custkey").alias("c_custkey")),
             "c_custkey",

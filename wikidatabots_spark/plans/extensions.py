@@ -104,7 +104,7 @@ dfreq AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
 rare AS (
     SELECT t.doc_id, t.token
     FROM tok t JOIN dfreq USING (token)
-    WHERE df <= 100
+    WHERE df <= ceil(0.2 * (SELECT COUNT(*) FROM documents))
 ),
 inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
@@ -123,8 +123,11 @@ WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.4
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_df is relative (0.2 of corpus doc count — ceil(0.2·500)=100 at
+    sf0.01, identical to the r1 absolute cut) so the rare-token prefix
+    filter scales with the corpus instead of silently tightening."""
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.4, max_df=100
+        load_table(spark, sf_dir, "documents"), threshold=0.4, max_df=0.2
     )
 
 
@@ -460,12 +463,14 @@ def dedup_embedding_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation (bucket equi-join on (table, bucket) — no all-pairs stage
     anywhere in the plan) + exact cosine verify, hash-checked against a
     DuckDB brute-force oracle over the identical planted-duplicate corpus.
-    Banding: 8 tables × 8 bits ⇒ miss probability ~1e-8 per planted pair
-    (cos ≈ 0.9998), random-pair candidate rate 8·2⁻⁸ ≈ 3%."""
+    Banding: 8 tables × 16 bits ⇒ miss probability ~1e-8 per planted pair
+    (cos ≈ 0.9998, per-bit flip prob 0.0064), while random pairs collide
+    on a 16-bit band at 8·2⁻¹⁶ ≈ 1e-4 — the candidate set is essentially
+    just the true pairs, so the verify stage is O(dups) not O(n²)."""
     from wikidatabots_spark.operators.similarity import embedding_dup_pairs_lsh
 
     return embedding_dup_pairs_lsh(
-        _planted_corpus(spark, sf_dir), threshold=0.98, dim=64, bits=8, tables=8
+        _planted_corpus(spark, sf_dir), threshold=0.98, dim=64, bits=16, tables=8
     )
 
 
