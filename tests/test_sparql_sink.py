@@ -158,6 +158,15 @@ def test_rdf_sink_prints_and_caps(spark):
     assert any("5 rows" in str(x.message) for x in w)
 
 
+def test_rdf_sink_progress_callback(spark):
+    df = spark.createDataFrame(
+        [(f"wd:Q{i} wdt:P1 \"x\" .",) for i in range(4)], "rdf_statement string"
+    )
+    seen: list[int] = []
+    n = print_rdf_statements(df, file=io.StringIO(), progress=seen.append)
+    assert n == 4 and seen == [1, 2, 3, 4]
+
+
 def test_rdf_sink_schema_assert(spark):
     bad = spark.createDataFrame([(1, "x")], "a long, rdf_statement string")
     with pytest.raises(AssertionError):

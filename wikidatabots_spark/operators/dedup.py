@@ -50,6 +50,39 @@ def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Dat
     )
 
 
+def _estimate_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate the scan's partition count from its input files' sizes.
+
+    ``df.rdd.getNumPartitions()`` forces a full physical plan compile per
+    call; for local-file scans the same answer follows from the file
+    inventory and ``maxPartitionBytes`` (Spark packs splits of that size).
+    Returns None when the inputs aren't stat-able local files — callers
+    fall back to the rdd path.
+    """
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file source (rate, memory, ...)
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = f.removeprefix("file://").removeprefix("file:")
+        if not os.path.isfile(p):
+            return None  # remote FS: let Spark plan it
+        total += os.path.getsize(p)
+    raw = str(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    ).lower().removesuffix("b")
+    try:
+        max_pb = int(raw)
+    except ValueError:
+        return None
+    return max(1, -(-total // max_pb))
+
+
 def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     """Repartition UP to the cluster's default parallelism if the plan is
     under-partitioned (e.g. one small parquet file → one task doing all
@@ -60,9 +93,17 @@ def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     Pass key columns when the frame feeds multiple plan branches: hash
     partitioning is deterministic, so Catalyst can collapse the branches
     with ReusedExchange — round-robin ``repartition(n)`` cannot be reused
-    and each branch would recompute the whole upstream pipeline."""
+    and each branch would recompute the whole upstream pipeline.
+
+    The under-partitioned check prefers a file-inventory estimate
+    (``_estimate_scan_partitions``) over ``df.rdd.getNumPartitions()``:
+    the latter compiles a physical plan per call, which adds up when
+    operators compose several guarded frames in one query."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    current = _estimate_scan_partitions(df)
+    if current is None:
+        current = df.rdd.getNumPartitions()
+    if current < target:
         if keys:
             return df.repartition(target, *[F.col(k) for k in keys])
         return df.repartition(target)

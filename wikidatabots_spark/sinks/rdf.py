@@ -14,6 +14,7 @@ Contract preserved:
 from __future__ import annotations
 
 import sys
+from collections.abc import Callable
 from typing import IO
 
 from pyspark.sql import DataFrame
@@ -31,8 +32,18 @@ def print_rdf_statements(
     sample: bool = True,
     file: IO[str] | None = None,
     seed: int | None = None,
+    progress: Callable[[int], None] | bool | None = None,
 ) -> int:
-    """Print one RDF statement per row; returns the number printed."""
+    """Print one RDF statement per row; returns the number printed.
+
+    ``progress`` mirrors the reference's ``apply_with_tqdm`` driver-side
+    progress reporting (polars_utils.py:25-51) for the one place this
+    engine iterates rows on the driver: pass a callable to receive the
+    running row count after each row, or ``True`` to use tqdm when
+    importable (falling back to a stderr counter every 100 rows).
+    Executor-side progress remains Spark's own task metrics/UI — a
+    per-row Python callback there would serialize the hot path.
+    """
     assert [f.name for f in df.schema.fields] == ["rdf_statement"], (
         f"expected a single rdf_statement column, got {df.columns}"
     )
@@ -41,8 +52,28 @@ def print_rdf_statements(
     )
     out = file or sys.stdout
     capped = limit_warn(df, n=limit, sample=sample, desc="rdf statements", seed=seed)
+    tick: Callable[[int], None] | None
+    close: Callable[[], None] = lambda: None
+    if progress is True:
+        try:
+            from tqdm import tqdm  # type: ignore[import-not-found]
+
+            bar = tqdm(desc="rdf statements", unit="row")
+            tick, close = lambda _n: bar.update(1), bar.close
+        except ImportError:
+
+            def tick(n: int) -> None:
+                if n % 100 == 0:
+                    print(f"rdf statements: {n}", file=sys.stderr)
+    else:
+        tick = progress or None
     n = 0
-    for row in capped.toLocalIterator():
-        print(row.rdf_statement, file=out)
-        n += 1
+    try:
+        for row in capped.toLocalIterator():
+            print(row.rdf_statement, file=out)
+            n += 1
+            if tick is not None:
+                tick(n)
+    finally:
+        close()
     return n
