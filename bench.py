@@ -44,6 +44,7 @@ HEADLINERS = [
     "text_quality",
     "text_langid",
     "text_profile",
+    "curate_corpus",
     "q18_large_orders",
     "agg_rollup",
     "win_topk_per_group",

@@ -39,9 +39,15 @@ WORD_SPLIT = r"\s+"
 
 
 def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct (id, token) pairs; empty tokens dropped."""
+    """Distinct (id, token) pairs; empty tokens dropped.
+
+    Guarded by ``ensure_parallelism``: a single-file scan is one task, and
+    the tokenize/explode is CPU-heavy — without the guard every consumer
+    (SimHash, curation) runs its map stage single-threaded locally.
+    """
     return (
-        df.select(
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(
             F.col(id_col),
             F.explode(F.split(F.lower(F.col(text_col)), WORD_SPLIT)).alias("token"),
         )

@@ -6,6 +6,7 @@ driver contract (``__spark_entry__``) reads the registry.
 
 from wikidatabots_spark.plans import (  # noqa: F401
     analytics,
+    curation,
     events,
     extensions,
     mains,
