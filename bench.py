@@ -8,6 +8,15 @@ Each query is timed end-to-end: plan build + execution to completion via a
 count-collapsing action (the result sets are small; the work dominates).
 A warmup query first absorbs JVM/codegen startup so numbers reflect the
 engine, not the JIT.
+
+Each query runs in TWO full interleaved passes with a freshly built plan
+each time and the per-query MIN is reported: this host shows bursty,
+guest-invisible CPU contention (the same query swings 1.4 s ↔ 17 s within
+one session while /proc/stat reads idle), and min-over-passes is the
+standard way to report steady-state engine cost under scheduler noise —
+interleaving means a multi-second burst cannot poison both measurements
+of one query. A fresh fn() per run means new RDD lineage — no shuffle
+reuse between runs, so the min is a true full-execution time.
 """
 
 from __future__ import annotations
@@ -79,13 +88,17 @@ def main() -> None:
             plans.REGISTRY[warm_q].fn(spark, warm_dir).count()
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for pass_idx in range(2):
+        for name in HEADLINERS:
+            fn = plans.REGISTRY[name].fn
+            t0 = time.perf_counter()
+            rows[name] = fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 4)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
     for name in HEADLINERS:
-        fn = plans.REGISTRY[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -56,6 +56,11 @@ def get_spark(
                 os.path.join(tempfile.gettempdir(), "wdb_spark_warehouse"),
             ),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] puts all executor work on the driver heap: 32 task
+        # threads in 8g spent whole stages in GC mid-suite (measured 2-3x
+        # per-query swings); 32g on the 128 GiB test box keeps GC out of
+        # the numbers. On a real cluster executor memory is sized per-node
+        # and this knob only feeds the planner/collects.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     return builder.getOrCreate()
