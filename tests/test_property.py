@@ -82,3 +82,56 @@ def test_prefix_columns_roundtrip(spark, prefix):
     out = prefix_columns(df, prefix)
     assert out.columns == [prefix + "c1", prefix + "c2"]
     assert out.count() == 1
+
+
+@given(
+    left_rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=12
+    ),
+    right_rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 50),
+            st.one_of(st.none(), st.integers(-5, 5)),
+            st.one_of(st.none(), st.integers(-5, 5)),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda r: (r[0], r[1]),  # one right row per (key, ts)
+    ),
+)
+@SETTINGS
+def test_asof_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    """asof_join ≡ pandas merge_asof(by=key, direction='backward'), row-
+    atomically — a NULL in the matched right row must surface as NULL,
+    never backfilled from an older right row (the ADVICE r1 finding)."""
+    import pandas as pd
+
+    from wikidatabots_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        "uid long, ts long, lrow long",
+    )
+    right = spark.createDataFrame(right_rows, "uid long, ts long, v1 long, v2 long")
+    got = {
+        r.lrow: (r.v1, r.v2, r.asof_ts)
+        for r in asof_join(left, right, on=["uid"]).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        columns=["uid", "ts", "lrow"],
+    ).sort_values(["ts", "lrow"])
+    rp = (
+        pd.DataFrame(right_rows, columns=["uid", "ts", "v1", "v2"])
+        .astype({"v1": "object", "v2": "object"})
+        .sort_values("ts")
+        .assign(asof_ts=lambda d: d["ts"])
+    )
+    exp_df = pd.merge_asof(lp, rp, on="ts", by="uid", direction="backward")
+    for _, row in exp_df.iterrows():
+        def norm(x):
+            return None if x is None or (isinstance(x, float) and pd.isna(x)) else int(x)
+
+        assert got[row["lrow"]] == (norm(row["v1"]), norm(row["v2"]), norm(row["asof_ts"]))
