@@ -139,7 +139,11 @@ def _srp_plane(table: int, bit: int, dim: int) -> float:
 
 
 def srp_bucket(vec: Column, dim: int, bits: int = 8, table: int = 0) -> Column:
-    """Sign-random-projection bucket id (0..2^bits-1) for a vector column."""
+    """Sign-random-projection bucket id (0..2^bits-1) for a vector column.
+
+    Pure-Column formulation kept for environments without Arrow/pandas
+    workers; the hot paths use :func:`srp_signatures_udf` (same
+    hyperplanes, one matmul for all tables)."""
     bucket = F.lit(0)
     for b in range(bits):
         plane = [_srp_plane(table, b, d) for d in range(dim)]
@@ -154,6 +158,42 @@ def srp_bucket(vec: Column, dim: int, bits: int = 8, table: int = 0) -> Column:
         )
         bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
     return bucket
+
+
+def srp_signatures_udf(dim: int, bits: int, tables: int):
+    """Pandas UDF computing all ``tables`` SRP band values for a vector
+    column in one numpy matmul per Arrow batch (``array<long>`` output,
+    one bucket id per table).
+
+    ~10× the interpreted zip_with/aggregate formulation on 10k×64 vectors.
+    Hyperplanes are the same deterministic md5 values as ``srp_bucket``;
+    sign boundaries agree up to ~1e-15 rounding, which only matters for
+    projections within ULP of zero.
+    """
+    import numpy as np
+
+    planes = np.array(
+        [
+            [_srp_plane(t, b, d) for t in range(tables) for b in range(bits)]
+            for d in range(dim)
+        ],
+        dtype=np.float64,
+    )
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def srp_sig(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        signs = (X @ planes) >= 0  # rows × (tables·bits)
+        buckets = [
+            (signs[:, t * bits : (t + 1) * bits] * weights).sum(axis=1)
+            for t in range(tables)
+        ]
+        return pd.Series(np.stack(buckets, axis=1).tolist())
+
+    return srp_sig
 
 
 def knn_lsh(
@@ -173,21 +213,14 @@ def knn_lsh(
     the candidate set per query is a tiny fraction of the corpus. Recall
     improves with ``tables`` (multi-probe), cost stays bucket-local.
     """
+    sig = srp_signatures_udf(dim, bits, tables)
+
     def bucketed(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        out = []
-        for t in range(tables):
-            out.append(
-                df.select(
-                    F.col(idc),
-                    F.col(vc),
-                    F.lit(t).alias("tbl"),
-                    srp_bucket(F.col(vc), dim, bits, t).alias("bucket"),
-                )
-            )
-        res = out[0]
-        for o in out[1:]:
-            res = res.unionByName(o)
-        return res
+        return df.select(
+            F.col(idc),
+            F.col(vc),
+            F.posexplode(sig(F.col(vc))).alias("tbl", "bucket"),
+        )
 
     qb = bucketed(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
@@ -255,36 +288,10 @@ def embedding_dup_pairs_lsh(
     Shuffles: one on (table, bucket) for candidates, one on id to re-join
     vectors for the verify. The wide vector column never self-joins.
     """
-    import numpy as np
-
-    # one numpy matmul per Arrow batch computes ALL tables×bits projections
-    # (vs tables·bits interpreted zip_with/aggregate expressions — measured
-    # ~10× on 10k×64 vectors). Hyperplanes are the same deterministic md5
-    # values as srp_bucket; sign boundaries are identical up to ~1e-15
-    # rounding, which only matters for projections within ULP of zero.
-    planes = np.array(
-        [
-            [_srp_plane(t, b, d) for t in range(tables) for b in range(bits)]
-            for d in range(dim)
-        ],
-        dtype=np.float64,
-    )
-    weights = 1 << np.arange(bits, dtype=np.int64)
-
-    @F.pandas_udf("array<long>")
-    def srp_sig(v: pd.Series) -> pd.Series:
-        X = np.asarray(v.tolist(), dtype=np.float64)
-        signs = (X @ planes) >= 0  # rows × (tables·bits)
-        buckets = [
-            (signs[:, t * bits : (t + 1) * bits] * weights).sum(axis=1)
-            for t in range(tables)
-        ]
-        return pd.Series(np.stack(buckets, axis=1).tolist())
-
+    srp_sig = srp_signatures_udf(dim, bits, tables)
     ids = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)), id_col)
-    sig = ids.select(F.col(id_col), srp_sig(F.col(vec_col)).alias("sig"))
-    stacked = sig.select(
-        F.col(id_col), F.posexplode(F.col("sig")).alias("tbl", "bucket")
+    stacked = ids.select(
+        F.col(id_col), F.posexplode(srp_sig(F.col(vec_col))).alias("tbl", "bucket")
     )
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
