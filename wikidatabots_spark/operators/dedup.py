@@ -353,8 +353,15 @@ def simhash(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """32-bit SimHash fingerprint per document → (id, simhash BIGINT).
+    """``bits``-wide SimHash fingerprint per document → (id, simhash BIGINT).
+
+    Default 32 bits matches the registered oracles; at billion-document
+    scale use ``bits=60`` (still inside signed BIGINT) — 32-bit
+    fingerprints birthday-collide at ~2¹⁶ docs, which turns the
+    equal-fingerprint groups quadratic. Bits come from md5 hex digits, so
+    any width ≤ 128 stays engine-agnostic.
 
     Classic Charikar scheme: each token hashes to a bit pattern; every
     bit position accumulates +1/−1 across the token set; the fingerprint
@@ -368,6 +375,7 @@ def simhash(
     the DuckDB oracle reproduces the fingerprint exactly — same rationale
     as the string-MinHash (no JVM hashing, no RNG).
     """
+    assert 4 <= bits <= 63 and bits % 4 == 0, "bits: multiple of 4, <= 63"
     tok = tokens(df, id_col, text_col)
     digit = [
         F.instr(
@@ -375,17 +383,17 @@ def simhash(
             F.substring(F.md5(F.col("token")), j + 1, 1),
         )
         - 1
-        for j in range(SIMHASH_BITS // 4)
+        for j in range((bits + 3) // 4)
     ]
     sums = []
-    for b in range(SIMHASH_BITS):
+    for b in range(bits):
         d = digit[b // 4]
         shift = 2 ** (3 - (b % 4))
         bit = (d / shift).cast("int") % 2  # (d // shift) % 2, d ∈ [0,15]
         sums.append(F.sum(bit * 2 - 1).alias(f"s{b}"))
     per_doc = tok.groupBy(id_col).agg(*sums)
     fp = F.lit(0).cast("bigint")
-    for b in range(SIMHASH_BITS):
+    for b in range(bits):
         fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
     return per_doc.select(F.col(id_col), fp.alias("simhash"))
 
