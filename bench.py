@@ -54,6 +54,7 @@ HEADLINERS = [
     "text_langid",
     "text_profile",
     "curate_corpus",
+    "ev_range_join",
     "q18_large_orders",
     "agg_rollup",
     "win_topk_per_group",

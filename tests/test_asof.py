@@ -52,3 +52,40 @@ def test_asof_collision_check(spark):
     right = spark.createDataFrame([(1, 1, 2)], "uid long, ts long, rv long")
     with pytest.raises(ValueError):
         asof_join(left, right, on=["uid"])
+
+
+def test_range_join_bucketed(spark):
+    """Interval-bucketed range join: closed-open semantics, straddling
+    intervals, multiple matching intervals, no nested-loop in the plan."""
+    from pyspark.sql import functions as F
+
+    from wikidatabots_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 12:00:00", "a"),   # inside iv1
+            (1, "2024-01-03 00:00:00", "b"),   # == iv1 end → excluded; inside iv2
+            (1, "2024-01-05 23:59:59", "c"),   # inside iv2 (last second)
+            (2, "2024-01-01 12:00:00", "d"),   # other key, no interval
+        ],
+        "uid long, ts string, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "2024-01-03 00:00:00", 10),
+            (1, "2024-01-02 12:00:00", "2024-01-06 00:00:00", 20),
+        ],
+        "uid long, start string, end string, iv long",
+    ).withColumn("start", F.col("start").cast("timestamp")).withColumn(
+        "end", F.col("end").cast("timestamp")
+    )
+    out = range_join(left, right, on=["uid"], bucket_width="1 day")
+    got = sorted((r.tag, r.iv) for r in out.collect())
+    assert got == [("a", 10), ("b", 20), ("c", 20)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    # column collision rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        range_join(left, right.withColumnRenamed("iv", "tag"), on=["uid"])

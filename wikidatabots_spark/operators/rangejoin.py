@@ -1,0 +1,70 @@
+"""Range join: match left rows whose timestamp falls inside right-side
+intervals, per key — without the nested-loop plan Spark picks for
+inequality join conditions.
+
+Spark turns ``l.ts >= r.start AND l.ts < r.end`` into a
+BroadcastNestedLoopJoin (or cartesian) — O(n·m) per key and a
+scale-killer. The standard fix, implemented here, is **interval
+bucketing**: pick a bucket width W; each left row hashes to the single
+bucket containing its timestamp, each right interval is exploded to the
+buckets it overlaps (ceil(span/W) + 1 rows), and the join becomes a pure
+equi-join on (key, bucket) followed by the exact interval filter. Every
+(left, right) match co-occurs in exactly one bucket — the one holding
+``l.ts`` — so no dedup step is needed.
+
+Cost model: shuffle on (key, bucket); right-side replication factor is
+``interval_span / W + 1``. Pick W near the typical interval length so
+replication stays O(1) while buckets stay selective. Skewed hot buckets
+split under AQE like any equi-join.
+
+North-star extension — no reference counterpart (SURVEY.md §2.4 notes
+the reference has no as-of/range joins); complements ``operators.asof``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_start: str = "start",
+    right_end: str = "end",
+    bucket_width: str = "1 day",
+) -> DataFrame:
+    """Inner join of left rows to right intervals: ``start <= ts < end``.
+
+    Returns left columns + right columns (key columns once). Interval
+    semantics are closed-open ``[start, end)`` — an event at exactly
+    ``end`` does not match, so back-to-back intervals never double-match.
+    ``bucket_width`` is any Spark interval string.
+    """
+    on = list(on)
+    overlap = set(left.columns) & (set(right.columns) - set(on))
+    if overlap:
+        raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    width_us = (
+        F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {bucket_width}"))
+    )
+    l_bucket = F.floor(F.unix_micros(F.col(left_ts)) / width_us)
+    lb = left.withColumn("__bucket", l_bucket)
+    r_first = F.floor(F.unix_micros(F.col(right_start)) / width_us)
+    r_last = F.floor(F.unix_micros(F.col(right_end)) / width_us)
+    rb = right.withColumn(
+        "__bucket", F.explode(F.sequence(r_first, r_last))
+    )
+    out_cols = [*left.columns, *[c for c in right.columns if c not in on]]
+    return (
+        lb.join(rb, on=[*on, "__bucket"])
+        .where(
+            (F.col(left_ts) >= F.col(right_start))
+            & (F.col(left_ts) < F.col(right_end))
+        )
+        .select(*out_cols)
+    )

@@ -131,3 +131,41 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
     )
+
+
+_EV_RANGE_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       s.event_id AS signup_id,
+       p.user_id
+FROM events p
+JOIN events s
+  ON p.user_id = s.user_id
+ AND p.event_type = 'purchase'
+ AND s.event_type = 'signup'
+ AND p.ts >= s.ts
+ AND p.ts < s.ts + INTERVAL 3 DAY
+"""
+
+
+@register("ev_range_join", oracle=_EV_RANGE_JOIN_ORACLE)
+def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases inside any [signup, signup+3d) window, per user — the
+    interval-bucketed range join (operators.rangejoin). Spark's native
+    plan for the inequality condition is a nested-loop join; the bucketed
+    form is a plain equi-join on (user_id, day-bucket) with the interval
+    exploded to its ~4 bucket rows."""
+    from wikidatabots_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("end"),
+    )
+    return range_join(
+        purchases, signups, on=["user_id"], bucket_width="1 day"
+    ).select("purchase_id", "signup_id", "user_id")
