@@ -169,3 +169,41 @@ def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join(
         purchases, signups, on=["user_id"], bucket_width="1 day"
     ).select("purchase_id", "signup_id", "user_id")
+
+
+_EV_TIME_ROLLUP_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS (
+    (date_trunc('day', ts), date_trunc('hour', ts)),
+    (date_trunc('day', ts)),
+    ()
+)
+"""
+
+
+@register("ev_time_rollup", oracle=_EV_TIME_ROLLUP_ORACLE)
+def ev_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (hypertable continuous-aggregate shape):
+    hour→day→grand-total in ONE pass via ROLLUP on derived time columns —
+    partial aggregation combines map-side once, instead of one scan per
+    granularity. Decimal-exact sums keep the three levels bit-consistent
+    with each other and the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("day_start"),
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("value"),
+        )
+        .rollup("day_start", "hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
