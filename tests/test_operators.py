@@ -264,3 +264,26 @@ def test_minhash_ml_finds_exact_dups(spark):
     pairs = {(r.id_a, r.id_b) for r in minhash_lsh_ml(df, 0.5).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_count_min_sketch_properties(spark):
+    """CMS invariants: total mass per row == stream size; point estimate
+    always >= true frequency; exact for tokens with no bucket collisions."""
+    from pyspark.sql import functions as F
+
+    from wikidatabots_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    stream = spark.createDataFrame(
+        [(w,) for w in ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"]], "w string"
+    )
+    sk = count_min_sketch(stream, "w", depth=4, width=64)
+    per_row = {r.row_idx: r.total for r in
+               sk.groupBy("row_idx").agg(F.sum("cnt").alias("total")).collect()}
+    assert per_row == {0: 76, 1: 76, 2: 76, 3: 76}
+    toks = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("zz",)], "w string")
+    est = {r.token: r.est for r in cms_estimate(sk, toks, "w", depth=4, width=64).collect()}
+    true = {"a": 50, "b": 20, "c": 5, "d": 1, "zz": 0}
+    for t, n in true.items():
+        assert est[t] >= n
+    # 4 distinct tokens in 64 buckets: collisions essentially impossible
+    assert est == true

@@ -1,0 +1,88 @@
+"""Count-min sketch as a distributed DataFrame aggregation.
+
+A CMS summarizes an unbounded token stream in ``depth × width`` counters:
+counter (j, h_j(t)) accumulates every occurrence of token t, and the
+point estimate min_j counter[j][h_j(t)] upper-bounds the true count with
+error ≤ stream_size·e/width at confidence 1−e^−depth. The classic sketch
+for heavy-hitter / frequency queries over streams too large to groupBy.
+
+Spark-first shape: ONE narrow map (token → depth (row, col) pairs via
+explode) + ONE groupBy (row, col) with map-side partial counts — the
+shuffle carries at most depth·width rows per map task regardless of
+stream size, which is the entire point at 100 TB. The sketch matrix is
+tiny (depth·width rows) and broadcast-joinable for estimate lookups.
+
+Determinism: h_j(t) = first 8 hex digits of md5('j:'||t) mod width — no
+RNG, reproducible in any engine, so the DuckDB oracle rebuilds the
+identical matrix (same rationale as the string-MinHash design).
+
+No reference counterpart (north-star extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cms_bucket(col: Column, row: int, width: int) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}:"), col)), 1, 8), 16, 10
+    ).cast("long")
+    return h % width
+
+
+def count_min_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build the sketch → (row_idx INT, col_idx INT, cnt BIGINT).
+
+    Counts every input row (multiset semantics — do NOT pre-distinct the
+    stream unless you want a presence sketch).
+    """
+    c = F.col(col)
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_idx"),
+                        _cms_bucket(c, j, width).cast("int").alias("col_idx"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rc")
+    ).select("rc.row_idx", "rc.col_idx")
+    return pairs.groupBy("row_idx", "col_idx").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, tokens: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point estimates for a token frame: (token, est BIGINT).
+
+    est = min over rows of the token's counter; absent counters are 0.
+    The sketch side is tiny — broadcast join, no shuffle of the tokens.
+    """
+    c = F.col(col)
+    probes = tokens.select(
+        c.alias("token"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_idx"),
+                        _cms_bucket(c, j, width).cast("int").alias("col_idx"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("token", "rc.row_idx", "rc.col_idx")
+    return (
+        probes.join(F.broadcast(sketch), ["row_idx", "col_idx"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est"))
+    )

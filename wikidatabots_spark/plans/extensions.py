@@ -656,3 +656,48 @@ def dedup_minhash_ml_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidatabots_spark.operators.similarity_ml import minhash_lsh_ml
 
     return minhash_lsh_ml(load_table(spark, sf_dir, "documents"), jaccard_distance_threshold=0.1)
+
+
+def _cms_oracle(depth: int = 4, width: int = 256) -> str:
+    md5_expr = "md5(CAST(j AS VARCHAR) || ':' || w)"
+    hash8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr({md5_expr}, {k + 1}, 1)) - 1)"
+        f" * {16 ** (7 - k)}"
+        for k in range(8)
+    )
+    return f"""
+WITH words AS (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != '')) AS w
+    FROM documents
+),
+pairs AS (
+    SELECT j AS row_idx, ({hash8}) % {width} AS col_idx
+    FROM words, generate_series(0, {depth - 1}) t(j)
+)
+SELECT CAST(row_idx AS INT) AS row_idx, CAST(col_idx AS INT) AS col_idx,
+       COUNT(*) AS cnt
+FROM pairs GROUP BY row_idx, col_idx
+"""
+
+
+@register("sketch_count_min", oracle=_cms_oracle())
+def sketch_count_min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4×256, deterministic md5 hashing) over the word
+    stream of the documents table — the matrix itself is hash-verified
+    against DuckDB, so the estimate path (min over rows) inherits
+    correctness. The classic stream summary for frequency queries where a
+    full groupBy is too large; shuffle is capped at depth·width rows per
+    map task regardless of corpus size."""
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+    from wikidatabots_spark.operators.sketch import count_min_sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    words = ensure_parallelism(d.select("doc_id", "text"), "doc_id").select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+            )
+        ).alias("w")
+    )
+    return count_min_sketch(words, "w", depth=4, width=256)
