@@ -14,6 +14,56 @@ Layout
 - ``operators``  scale-out extensions: dedup, similarity search, text analysis
 - ``plans``      the reference's five pipelines, parameterized over inputs
 - ``streaming``  Structured Streaming variants of the event-time operators
+
+The most-used surface is re-exported here so a user of the reference can
+``from wikidatabots_spark import sample, asof_join, dedup_exact, ...``
+without learning the module map first.
 """
 
-__version__ = "0.1.0"
+from wikidatabots_spark.functions.core import (  # noqa: F401
+    apply_elementwise,
+    between_left_closed,
+    binary_to_utf8,
+    is_unique,
+    limit_warn,
+    now_lit,
+    pl_format,
+    prefix_columns,
+    regexp_extract_null,
+    sample,
+    sample_hash,
+    sample_n,
+    unique_first_by,
+    unique_keep_none,
+    where_unique,
+)
+from wikidatabots_spark.operators.asof import asof_join  # noqa: F401
+from wikidatabots_spark.operators.dedup import (  # noqa: F401
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_pairs,
+    simhash_near_pairs,
+)
+from wikidatabots_spark.operators.rangejoin import range_join  # noqa: F401
+from wikidatabots_spark.operators.similarity import (  # noqa: F401
+    embedding_dup_pairs,
+    embedding_dup_pairs_blocked,
+    embedding_dup_pairs_lsh,
+    knn_brute,
+    knn_lsh,
+)
+from wikidatabots_spark.operators.sketch import (  # noqa: F401
+    cms_estimate,
+    count_min_sketch,
+)
+from wikidatabots_spark.operators.textstats import (  # noqa: F401
+    with_fingerprint,
+    with_lang_guess,
+    with_quality,
+    with_token_count,
+)
+from wikidatabots_spark.session import get_spark  # noqa: F401
+
+__version__ = "0.2.0"
