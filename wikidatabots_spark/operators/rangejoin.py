@@ -56,7 +56,10 @@ def range_join(
     lb = left.withColumn("__bucket", l_bucket)
     r_first = F.floor(F.unix_micros(F.col(right_start)) / width_us)
     r_last = F.floor(F.unix_micros(F.col(right_end)) / width_us)
-    rb = right.withColumn(
+    # empty/inverted intervals match nothing — and must be dropped BEFORE
+    # sequence(), which would otherwise count DOWN (sequence(5,3)=[5,4,3])
+    # and file the interval under wrong buckets
+    rb = right.where(F.col(right_end) > F.col(right_start)).withColumn(
         "__bucket", F.explode(F.sequence(r_first, r_last))
     )
     out_cols = [*left.columns, *[c for c in right.columns if c not in on]]

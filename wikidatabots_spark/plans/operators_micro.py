@@ -512,3 +512,31 @@ def op_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except").alias("kind"), "key")
     )
     return uni.unionByName(inter).unionByName(exc)
+
+
+# --- scale lever: salted skew join is row-identical to the plain join ------
+@register(
+    "op_salted_join",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 100000
+""",
+)
+def op_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions.scale.salted_join under the hard correctness signal: the
+    salt must be invisible in the result (row-identical to the plain
+    inner join) while spreading any hot key over `salt` reducers."""
+    from wikidatabots_spark.functions.scale import salted_join
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_totalprice", F.col("o_custkey").alias("custkey"))
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    return salted_join(o, c, on=["custkey"], salt=8, how="inner", seed=7).select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )
