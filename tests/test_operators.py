@@ -287,3 +287,18 @@ def test_count_min_sketch_properties(spark):
         assert est[t] >= n
     # 4 distinct tokens in 64 buckets: collisions essentially impossible
     assert est == true
+
+
+def test_lsh_plan_has_no_allpairs_stage(spark):
+    """The SRP-banded dedup must plan as equi-joins only — a cartesian or
+    nested-loop stage means the bucketing regressed to all-pairs."""
+    from wikidatabots_spark.operators.similarity import embedding_dup_pairs_lsh
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_dup_pairs_lsh(emb, threshold=0.9, dim=4, bits=4, tables=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
