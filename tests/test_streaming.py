@@ -81,3 +81,33 @@ def test_dedup_stream_matches_batch_distinct(spark, sf_dir):
     )
     assert got == want
     assert n_rows == want  # exactly one survivor per key
+
+
+def test_purchase_attribution_stream_matches_batch_range_join(spark, sf_dir):
+    """Stream-stream interval join parity with the batch bucketed
+    range join (ev_range_join) over the same files."""
+    from wikidatabots_spark.plans.events import ev_range_join
+    from wikidatabots_spark.streaming.events_stream import (
+        purchase_attribution_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    sdf = purchase_attribution_stream(ev)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.signup_id)
+        for r in spark.sql("select * from attr").collect()
+    }
+    want = {
+        (r.purchase_id, r.signup_id)
+        for r in ev_range_join(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0

@@ -146,3 +146,50 @@ def dedup_stream(
     """
     keys = keys or ["user_id", "event_type"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def purchase_attribution_stream(
+    events: DataFrame,
+    window: str = "3 days",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream event-time interval join: each purchase matched to
+    every signup of the same user in the preceding ``window`` — the
+    streaming twin of the batch ``ev_range_join``.
+
+    The canonical Structured Streaming attribution shape: both sides are
+    watermarked, and the join condition bounds purchase time to
+    [signup, signup + window), so Spark can compute how long to buffer
+    each side's state and evict it once the watermark passes — bounded
+    state on an unbounded stream. (Batch uses the bucketed range join;
+    streams express the same interval as a time-range join condition and
+    let the state store do the bucketing.)
+    """
+    signups = (
+        events.where(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        signups,
+        [
+            purchases.user_id == signups.user_id,
+            purchases.purchase_ts >= signups.signup_ts,
+            purchases.purchase_ts
+            < signups.signup_ts + F.expr(f"INTERVAL {window}"),
+        ],
+        "inner",
+    ).select("purchase_id", "signup_id", purchases.user_id.alias("user_id"))
