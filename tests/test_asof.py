@@ -89,3 +89,13 @@ def test_range_join_bucketed(spark):
 
     with _pytest.raises(ValueError):
         range_join(left, right.withColumnRenamed("iv", "tag"), on=["uid"])
+
+
+def test_asof_special_char_value_columns(spark):
+    """Right value columns with spaces/dots survive the struct carry."""
+    left = spark.createDataFrame([(1, 10, "x")], "uid long, ts long, lv string")
+    right = spark.createDataFrame(
+        [(1, 5, 7, 8)], ["uid", "ts", "price usd", "a.b"]
+    )
+    row = asof_join(left, right, on=["uid"]).collect()[0]
+    assert row["price usd"] == 7 and row["a.b"] == 8 and row.asof_ts == 5

@@ -43,6 +43,11 @@ def asof_join(
     per (key, ts) must be resolved upstream (dedupe first) — the carry
     keeps the last one in (ts, input) order otherwise.
     """
+    def qcol(c: str):
+        # backtick-quoted reference: a bare F.col("a.b") parses as a
+        # nested-field path, not the column literally named "a.b"
+        return F.col(f"`{c.replace(chr(96), chr(96) * 2)}`")
+
     on = list(on)
     val_cols = [c for c in right.columns if c not in (*on, right_ts)]
     l_marked = left.withColumn("__t", F.col(left_ts)).withColumn(
@@ -57,9 +62,11 @@ def asof_join(
     # NULL in one value column (the matched row's NULL must win, as in
     # DuckDB/pandas ASOF) — row atomicity requires the struct.
     rd = dict(right.dtypes)
+    # backtick-escape field names in the DDL: value columns with spaces,
+    # dots, or punctuation must round-trip through the struct
     rv_type = (
         "struct<"
-        + ",".join(f"{c}:{rd[c]}" for c in val_cols)
+        + ",".join(f"`{c.replace(chr(96), chr(96) * 2)}`:{rd[c]}" for c in val_cols)
         + ("," if val_cols else "")
         + f"asof_ts:{rd[right_ts]}>"
     )
@@ -68,7 +75,7 @@ def asof_join(
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.struct(
-            *[F.col(c) for c in val_cols], F.col(right_ts).alias("asof_ts")
+            *[qcol(c).alias(c) for c in val_cols], F.col(right_ts).alias("asof_ts")
         ).alias("__rv"),
     )
     l_full = l_marked.select(
@@ -78,7 +85,7 @@ def asof_join(
         *[
             F.lit(None).cast(dict(l_marked.dtypes)[c]).alias(c)
             if c not in (*on, "__t", "__is_left")
-            else F.col(c)
+            else qcol(c)
             for c in l_marked.columns
         ],
         F.col("__rv"),
@@ -92,15 +99,18 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.select(
-        *[c for c in left.columns],
+        *[qcol(c).alias(c) for c in left.columns],
         F.col("__is_left"),
         F.last(F.col("__rv"), ignorenulls=True).over(w).alias("__rv"),
     )
+    rv = F.col("__rv")
     return (
         carried.where(F.col("__is_left") == 1)
         .select(
-            *[c for c in left.columns],
-            *[F.col(f"__rv.{c}").alias(c) for c in val_cols],
-            F.col("__rv.asof_ts").alias("asof_ts"),
+            *[qcol(c).alias(c) for c in left.columns],
+            # getField, not "__rv.<name>" paths: a value column named
+            # "a.b" would otherwise resolve as a nested field reference
+            *[rv.getField(c).alias(c) for c in val_cols],
+            rv.getField("asof_ts").alias("asof_ts"),
         )
     )

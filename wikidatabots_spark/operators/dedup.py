@@ -79,14 +79,30 @@ def _estimate_scan_partitions(df: DataFrame) -> int | None:
         if not os.path.isfile(p):
             return None  # remote FS: let Spark plan it
         total += os.path.getsize(p)
-    raw = str(
-        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    ).lower().removesuffix("b")
-    try:
-        max_pb = int(raw)
-    except ValueError:
+
+    def _bytes_conf(key: str, default: int) -> int | None:
+        raw = str(df.sparkSession.conf.get(key, str(default))).lower().removesuffix(
+            "b"
+        )
+        try:
+            return int(raw)
+        except ValueError:
+            return None
+
+    max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", 134217728)
+    open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4194304)
+    if max_pb is None or open_cost is None:
         return None
-    return max(1, -(-total // max_pb))
+    # Spark's FilePartition packing: splits are min(maxPartitionBytes,
+    # max(openCostInBytes, bytesPerCore)) — NOT maxPartitionBytes alone.
+    # Using only maxPartitionBytes underestimates parallelism for inputs
+    # between ~openCost·cores and ~maxPartitionBytes·cores and would make
+    # the guard below add a pointless full shuffle on mid-size scans.
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    padded = total + len(files) * open_cost
+    bytes_per_core = padded / max(cores, 1)
+    max_split = min(max_pb, max(open_cost, bytes_per_core))
+    return max(1, -(-int(padded) // int(max_split)))
 
 
 def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:

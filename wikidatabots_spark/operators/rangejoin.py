@@ -29,6 +29,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_UNIT_US = {
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+    "day": 86_400_000_000,
+    "days": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+    "weeks": 7 * 86_400_000_000,
+}
+
+
+def _interval_micros(spec: str) -> int:
+    """'2 days', '12 hours', '90 minutes' → microseconds (fixed-width
+    units only — a bucket width must not vary with the calendar)."""
+    total = 0
+    parts = spec.strip().lower().split()
+    if len(parts) % 2:
+        raise ValueError(f"bucket_width {spec!r}: expected 'N unit' pairs")
+    for n, unit in zip(parts[::2], parts[1::2]):
+        if unit not in _UNIT_US:
+            raise ValueError(
+                f"bucket_width unit {unit!r} not fixed-width; use "
+                f"{sorted(set(_UNIT_US))}"
+            )
+        total += int(n) * _UNIT_US[unit]
+    if total <= 0:
+        raise ValueError(f"bucket_width {spec!r} must be positive")
+    return total
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -49,9 +82,10 @@ def range_join(
     overlap = set(left.columns) & (set(right.columns) - set(on))
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
-    width_us = (
-        F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {bucket_width}"))
-    )
+    # width parsed driver-side: deriving it from an epoch-literal timestamp
+    # cast would silently shift by the SESSION TIMEZONE offset (zero or
+    # negative widths east of UTC) — bucket arithmetic must be tz-free
+    width_us = F.lit(_interval_micros(bucket_width))
     l_bucket = F.floor(F.unix_micros(F.col(left_ts)) / width_us)
     lb = left.withColumn("__bucket", l_bucket)
     r_first = F.floor(F.unix_micros(F.col(right_start)) / width_us)

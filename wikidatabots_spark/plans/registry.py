@@ -115,7 +115,8 @@ def _ordered() -> list[tuple[str, Entry]]:
     missing = [n for n in PRIORITY if n not in REGISTRY]
     if missing:
         raise KeyError(f"PRIORITY names not registered: {missing}")
-    rest = [n for n in REGISTRY if n not in set(PRIORITY)]
+    prio = set(PRIORITY)
+    rest = [n for n in REGISTRY if n not in prio]
     return [(n, REGISTRY[n]) for n in [*PRIORITY, *rest]]
 
 

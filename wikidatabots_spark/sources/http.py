@@ -73,7 +73,18 @@ def http_get(
     """
     assert retry_count <= MAX_RETRY_COUNT, "retry_count capped at 12"
     ok_set, bad_set = set(ok_statuses), set(bad_statuses)
-    n_parts = max(partitions or 1, 1)
+    if partitions is not None:
+        df = df.coalesce(partitions)
+    # period scales with the ACTUAL partition count: coalesce() can only
+    # reduce partitions, so a 1-partition input asked for partitions=4
+    # must not run 4× slower than the sequential reference
+    n_parts = max(df.rdd.getNumPartitions(), 1) if partitions is not None else 1
+    # per-TASK state, keyed by task attempt: a pandas UDF is invoked once
+    # per Arrow batch, and batch-local state would (a) let two requests
+    # from adjacent batches of one partition fire closer than the period
+    # and (b) re-pay the phase-stagger sleep and reset the cardinality
+    # guard every maxRecordsPerBatch rows
+    task_state: dict[int, dict[str, Any]] = {}
 
     @pandas_udf(HTTP_RESPONSE_TYPE)
     def _do_requests(reqs: pd.DataFrame) -> pd.DataFrame:
@@ -81,31 +92,44 @@ def http_get(
         from pyspark import TaskContext
 
         n = len(reqs)
-        assert n < MAX_REQUESTS, f"{n} requests exceeds the {MAX_REQUESTS} cap"
         out: list[dict[str, Any] | None] = []
         if n == 0:  # empty-input short-circuit (polars_requests.py:101-102)
             return pd.DataFrame(out, columns=["status", "headers", "data"])
-        session = requests.Session()  # shared within the partition (:104)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
+        tid = ctx.taskAttemptId() if ctx is not None else 0
+        st = task_state.setdefault(
+            tid,
+            {
+                "session": requests.Session(),  # shared per partition (:104)
+                "sent": 0,
+                "phase_slept": False,
+                "last_start": 0.0,
+            },
+        )
+        st["sent"] += n
+        # cardinality guard per RUN-partition, not per Arrow batch
+        # (polars_requests.py:99)
+        assert st["sent"] < MAX_REQUESTS, (
+            f"{st['sent']} requests exceeds the {MAX_REQUESTS} cap"
+        )
+        session = st["session"]
         # per-partition period N·min_time ⇒ aggregate ≤ 1/min_time
         period = min_time * n_parts
-        phase_slept = False
-        last_start = 0.0
         for _, row in reqs.iterrows():  # sequential (:154-156)
             url = row.get("url")
             if url is None or (isinstance(url, float) and pd.isna(url)):
                 # placeholder row; the F.when mask below nulls the struct
                 out.append({"status": None, "headers": None, "data": None})
                 continue
-            if not phase_slept:
-                phase_slept = True
+            if not st["phase_slept"]:
+                st["phase_slept"] = True
                 if min_time > 0 and n_parts > 1:
                     time.sleep((pid % n_parts) * min_time)  # phase stagger
-            wait = period - (time.monotonic() - last_start)
+            wait = period - (time.monotonic() - st["last_start"])
             if wait > 0:  # time-sliced rate limit (:144-146 at N=1)
                 time.sleep(wait)
-            last_start = time.monotonic()
+            st["last_start"] = time.monotonic()
             raw_headers = row.get("headers")
             if raw_headers is None or (
                 isinstance(raw_headers, float) and pd.isna(raw_headers)
@@ -169,8 +193,7 @@ def http_get(
         return pd.DataFrame(out, columns=["status", "headers", "data"])
 
     udf = _do_requests.asNondeterministic()
-    if partitions is not None:
-        df = df.coalesce(partitions)
+    # (df was already coalesced above, before measuring n_parts)
     # null request → null response *struct* (not a struct of nulls): the
     # UDF emits a placeholder row for null inputs which this mask discards
     resp = F.when(

@@ -130,22 +130,28 @@ def dedup_stream(
     events: DataFrame,
     keys: list[str] | None = None,
     watermark: str = "2 hours",
+    bounded_state: bool = True,
 ) -> DataFrame:
-    """Streaming exact dedup: first event per key wins, duplicates inside
-    the watermark horizon are dropped, and per-key state is evicted once
-    the horizon passes (bounded state — the streaming twin of
-    ``operators.dedup.dedup_exact``).
+    """Streaming exact dedup: first event per key wins (the streaming twin
+    of ``operators.dedup.dedup_exact``).
 
-    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates(keys)``
-    only evicts state by watermark when the event-time column is itself
-    one of the dedup keys — with keys like (user_id, event_type) its state
-    store grows forever. The WithinWatermark variant keys eviction on the
-    watermark regardless of the subset, which is the semantics a dedup of
-    an unbounded stream needs (a duplicate arriving later than the
-    horizon is by definition no longer a duplicate we track).
+    ``bounded_state=True`` (default) uses ``dropDuplicatesWithinWatermark``:
+    duplicates are suppressed within the watermark horizon and per-key
+    state is evicted once the horizon passes — the only shape whose state
+    is bounded on an unbounded stream. Plain ``dropDuplicates(keys)`` only
+    evicts by watermark when the event-time column is itself a dedup key;
+    with keys like (user_id, event_type) its state grows forever.
+
+    ``bounded_state=False`` keeps the global exactly-one-row-per-key
+    contract (a duplicate arriving years later is still dropped) at the
+    price of state proportional to ALL distinct keys ever seen — only
+    viable for key spaces that fit the state store.
     """
     keys = keys or ["user_id", "event_type"]
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    wm = events.withWatermark("ts", watermark)
+    if bounded_state:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return wm.dropDuplicates(keys)
 
 
 def purchase_attribution_stream(
