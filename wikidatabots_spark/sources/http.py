@@ -77,8 +77,13 @@ def http_get(
         df = df.coalesce(partitions)
     # period scales with the ACTUAL partition count: coalesce() can only
     # reduce partitions, so a 1-partition input asked for partitions=4
-    # must not run 4× slower than the sequential reference
-    n_parts = max(df.rdd.getNumPartitions(), 1) if partitions is not None else 1
+    # must not run 4× slower than the sequential reference. (The rdd
+    # compile is only paid on the explicit parallel-opt-in path.)
+    n_parts = (
+        1
+        if partitions is None or partitions <= 1
+        else max(df.rdd.getNumPartitions(), 1)
+    )
     # per-TASK state, keyed by task attempt: a pandas UDF is invoked once
     # per Arrow batch, and batch-local state would (a) let two requests
     # from adjacent batches of one partition fire closer than the period
