@@ -302,3 +302,22 @@ def test_lsh_plan_has_no_allpairs_stage(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_bloom_no_false_negatives(spark):
+    from pyspark.sql import functions as F
+
+    from wikidatabots_spark.operators.sketch import (
+        bloom_bits,
+        with_bloom_might_contain,
+    )
+
+    members = spark.createDataFrame([(i,) for i in range(0, 200, 2)], "key long")
+    bits = bloom_bits(members, "key", m=1 << 10, k=4)
+    probe = spark.createDataFrame([(i,) for i in range(200)], "key long")
+    out = {r.key: r.might_contain for r in
+           with_bloom_might_contain(probe, "key", bits, m=1 << 10, k=4).collect()}
+    # every true member must be flagged (zero false negatives)
+    assert all(out[i] for i in range(0, 200, 2))
+    # and the filter must actually discriminate (some true negatives)
+    assert sum(not out[i] for i in range(1, 200, 2)) > 50

@@ -86,3 +86,63 @@ def cms_estimate(
         .groupBy("token")
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def bloom_bits(
+    df: DataFrame, col: str, m: int = 1 << 15, k: int = 4
+) -> DataFrame:
+    """Bloom filter of a key column as a table of set bit indices.
+
+    Each key sets ``k`` md5-derived bits in an ``m``-bit space; the
+    result (≤ m rows of ``bit_idx INT``) is the broadcastable sketch. No
+    false negatives by construction — the basis for semi-join reduction:
+    prefilter a huge probe side down to definite-non-members + a small
+    "might contain" set before an exact join. Deterministic md5 hashing,
+    same family as the count-min sketch.
+    """
+    c = F.col(col)
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        _cms_bucket(c, j, m).cast("int").alias(f"b{j}")
+                        for j in range(k)
+                    ]
+                )
+            ).alias("bit_idx")
+        )
+        .distinct()
+    )
+
+
+def with_bloom_might_contain(
+    probe: DataFrame,
+    col: str,
+    bits: DataFrame,
+    m: int = 1 << 15,
+    k: int = 4,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Append a boolean: could ``col`` be in the set the bloom was built
+    from? False is definitive (no false negatives); True needs an exact
+    check at ~(1-e^{-kn/m})^k false-positive rate.
+
+    Plan shape: ``k`` BROADCAST left joins against the tiny bit table —
+    the probe side never shuffles, which is the whole point when the
+    probe is the 100 TB fact table.
+    """
+    c = F.col(col)
+    out = probe
+    cond = F.lit(True)
+    for j in range(k):
+        bj = bits.select(F.col("bit_idx").alias(f"__bloom{j}"))
+        out = out.join(
+            F.broadcast(bj),
+            _cms_bucket(c, j, m).cast("int") == F.col(f"__bloom{j}"),
+            "left",
+        )
+        cond = cond & F.col(f"__bloom{j}").isNotNull()
+    return out.withColumn(out_col, cond).drop(
+        *[f"__bloom{j}" for j in range(k)]
+    )

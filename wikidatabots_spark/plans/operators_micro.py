@@ -540,3 +540,43 @@ def op_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(o, c, on=["custkey"], salt=8, how="inner", seed=7).select(
         "o_orderkey", "o_totalprice", "c_name"
     )
+
+
+# --- scale lever: bloom semi-join reduction before an exact anti-join ------
+@register(
+    "op_bloom_prefilter",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def op_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result set as op_except, via the scale path: a bloom filter of
+    the build side (broadcast bit-table, no false negatives) splits the
+    probe into definite-non-members (pass straight through, never join)
+    and a small might-contain set that alone goes through the exact
+    anti-join. The hash gate proves end-to-end equivalence with the plain
+    anti-join — at 100 TB the probe side's shuffle shrinks to the
+    might-contain fraction."""
+    from wikidatabots_spark.operators.sketch import (
+        bloom_bits,
+        with_bloom_might_contain,
+    )
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    bits = bloom_bits(urgent, "c_custkey")
+    flagged = with_bloom_might_contain(
+        load_table(spark, sf_dir, "customer").select("c_custkey"),
+        "c_custkey",
+        bits,
+    )
+    definite_out = flagged.where(~F.col("might_contain")).select("c_custkey")
+    maybe = flagged.where(F.col("might_contain")).select("c_custkey")
+    return definite_out.unionByName(
+        maybe.join(urgent, on="c_custkey", how="left_anti")
+    ).distinct()
