@@ -99,3 +99,42 @@ def test_asof_special_char_value_columns(spark):
     )
     row = asof_join(left, right, on=["uid"]).collect()[0]
     assert row["price usd"] == 7 and row["a.b"] == 8 and row.asof_ts == 5
+
+
+def test_interval_overlap_join(spark):
+    """Overlap pairs emitted exactly once even when intervals share many
+    buckets; non-overlapping and touching intervals excluded."""
+    from pyspark.sql import functions as F
+
+    from wikidatabots_spark.operators.rangejoin import interval_overlap_join
+
+    def iv(rows, schema, ts_cols):
+        df = spark.createDataFrame(rows, schema)
+        for c in ts_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        return df
+
+    left = iv(
+        [
+            (1, "2024-01-01 00:00:00", "2024-01-10 00:00:00", "L1"),  # long
+            (1, "2024-01-20 00:00:00", "2024-01-21 00:00:00", "L2"),
+        ],
+        "uid long, start string, end string, ltag string",
+        ("start", "end"),
+    )
+    right = iv(
+        [
+            (1, "2024-01-05 00:00:00", "2024-01-06 00:00:00", "R1"),  # inside L1
+            (1, "2024-01-09 00:00:00", "2024-01-12 00:00:00", "R2"),  # tail overlap
+            (1, "2024-01-10 00:00:00", "2024-01-11 00:00:00", "R3"),  # touches L1 only
+        ],
+        "uid long, r_start string, r_end string, rtag string",
+        ("r_start", "r_end"),
+    )
+    out = interval_overlap_join(
+        left, right, on=["uid"],
+        left_start="start", left_end="end",
+        right_start="r_start", right_end="r_end",
+    )
+    got = sorted((r.ltag, r.rtag) for r in out.collect())
+    assert got == [("L1", "R1"), ("L1", "R2")]

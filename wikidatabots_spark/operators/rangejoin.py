@@ -105,3 +105,54 @@ def range_join(
         )
         .select(*out_cols)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    bucket_width: str = "1 day",
+) -> DataFrame:
+    """Inner join of interval pairs that overlap: ``l.start < r.end AND
+    r.start < l.end`` (closed-open intervals), per key — again without the
+    nested-loop plan.
+
+    Both sides explode to their covered buckets and equi-join on
+    (key, bucket); the exact overlap predicate then filters. Duplicate
+    emission (a pair can share MANY buckets) is avoided without any
+    dedup shuffle by the canonical-bucket trick: emit a pair only from
+    the bucket containing ``max(l.start, r.start)`` — for an overlapping
+    pair that instant lies inside both intervals, so exactly one joined
+    bucket row satisfies it.
+    """
+    on = list(on)
+    overlap = set(left.columns) & (set(right.columns) - set(on))
+    if overlap:
+        raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    width_us = F.lit(_interval_micros(bucket_width))
+
+    def exploded(df: DataFrame, start: str, end: str) -> DataFrame:
+        first = F.floor(F.unix_micros(F.col(start)) / width_us)
+        last = F.floor(F.unix_micros(F.col(end)) / width_us)
+        return df.where(F.col(end) > F.col(start)).withColumn(
+            "__bucket", F.explode(F.sequence(first, last))
+        )
+
+    lb = exploded(left, left_start, left_end)
+    rb = exploded(right, right_start, right_end)
+    latest_start = F.greatest(F.col(left_start), F.col(right_start))
+    out_cols = [*left.columns, *[c for c in right.columns if c not in on]]
+    return (
+        lb.join(rb, on=[*on, "__bucket"])
+        .where(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+            # canonical bucket: exactly one per overlapping pair
+            & (F.col("__bucket") == F.floor(F.unix_micros(latest_start) / width_us))
+        )
+        .select(*out_cols)
+    )

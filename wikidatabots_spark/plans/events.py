@@ -207,3 +207,59 @@ def ev_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+_EV_OVERLAP_ORACLE = """
+WITH s AS (
+    SELECT event_id, ts AS s_start, ts + INTERVAL 12 HOUR AS s_end
+    FROM events WHERE event_type = 'signup' AND user_id < 100
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b
+FROM s a JOIN s b
+  ON a.event_id < b.event_id
+ AND a.s_start < b.s_end
+ AND b.s_start < a.s_end
+"""
+
+
+@register("ev_interval_overlap", oracle=_EV_OVERLAP_ORACLE)
+def ev_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of 12-hour signup windows that overlap in time — the
+    interval×interval bucketed overlap join (operators.rangejoin.
+    interval_overlap_join): equi-join on time bucket + canonical-bucket
+    dedup, no nested-loop stage and no dropDuplicates shuffle."""
+    from wikidatabots_spark.operators.rangejoin import interval_overlap_join
+
+    s = (
+        load_table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "signup") & (F.col("user_id") < 100))
+        .select(
+            F.col("event_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("w_end"),
+        )
+    )
+    a = s.select(
+        F.col("event_id").alias("id_a"),
+        F.col("w_start").alias("a_start"),
+        F.col("w_end").alias("a_end"),
+    )
+    b = s.select(
+        F.col("event_id").alias("id_b"),
+        F.col("w_start").alias("b_start"),
+        F.col("w_end").alias("b_end"),
+    )
+    return (
+        interval_overlap_join(
+            a,
+            b,
+            on=[],
+            left_start="a_start",
+            left_end="a_end",
+            right_start="b_start",
+            right_end="b_end",
+            bucket_width="12 hours",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
