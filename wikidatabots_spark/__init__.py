@@ -46,7 +46,10 @@ from wikidatabots_spark.operators.dedup import (  # noqa: F401
     simhash_dup_pairs,
     simhash_near_pairs,
 )
-from wikidatabots_spark.operators.rangejoin import range_join  # noqa: F401
+from wikidatabots_spark.operators.rangejoin import (  # noqa: F401
+    interval_overlap_join,
+    range_join,
+)
 from wikidatabots_spark.operators.similarity import (  # noqa: F401
     embedding_dup_pairs,
     embedding_dup_pairs_blocked,
@@ -55,8 +58,10 @@ from wikidatabots_spark.operators.similarity import (  # noqa: F401
     knn_lsh,
 )
 from wikidatabots_spark.operators.sketch import (  # noqa: F401
+    bloom_bits,
     cms_estimate,
     count_min_sketch,
+    with_bloom_might_contain,
 )
 from wikidatabots_spark.operators.textstats import (  # noqa: F401
     with_fingerprint,
