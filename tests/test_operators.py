@@ -321,3 +321,25 @@ def test_bloom_no_false_negatives(spark):
     assert all(out[i] for i in range(0, 200, 2))
     # and the filter must actually discriminate (some true negatives)
     assert sum(not out[i] for i in range(1, 200, 2)) > 50
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee: documents sharing a run of >= k+window-1
+    words share at least one fingerprint; disjoint docs share none."""
+    from wikidatabots_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = k+w-1 with k=3,w=4
+    df = _docs(
+        spark,
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"{shared} completely other ending text"),
+            (3, "nothing in common with the others at all"),
+        ],
+    )
+    fp = winnow_fingerprints(df, k=3, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])

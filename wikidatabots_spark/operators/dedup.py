@@ -489,3 +489,59 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD '03): the minimum
+    shingle hash of every ``window`` consecutive positions, deduplicated —
+    → (id, fp STRING) distinct.
+
+    The guarantee that makes winnowing the standard copy-detection
+    fingerprint: any shared substring of at least ``k + window - 1`` words
+    contributes at least one IDENTICAL fingerprint to both documents, yet
+    only ~2/(window+1) of positions are kept — a tunable density/recall
+    dial that whole-document hashing cannot offer.
+
+    Plan shape: one narrow map (shingle + md5), one per-doc window
+    (shuffle on id, per-doc sort by position), distinct on (id, fp).
+    Hashes are md5 strings — engine-agnostic, oracle-reproducible.
+    """
+    from pyspark.sql import Window
+
+    wl_expr = F.filter(
+        F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != ""
+    )
+    base = ensure_parallelism(
+        df.select(F.col(id_col), wl_expr.alias("__wl")), id_col
+    )
+    wl = F.col("__wl")
+    idx = F.when(
+        F.size(wl) >= k, F.sequence(F.lit(1), F.size(wl) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(wl, i + j) for j in range(k)]),
+    )
+    positioned = base.select(
+        F.col(id_col), F.posexplode(sh).alias("pos", "token")
+    ).select(id_col, "pos", F.md5(F.col("token")).alias("h"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    cnt_w = Window.partitionBy(id_col)
+    return (
+        positioned.withColumn("fp", F.min("h").over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt_w))
+        # only full windows: pos ranges 0..n-window
+        .where(F.col("pos") <= F.col("__n") - window)
+        .select(id_col, "fp")
+        .distinct()
+    )

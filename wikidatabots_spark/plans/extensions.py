@@ -701,3 +701,41 @@ def sketch_count_min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w")
     )
     return count_min_sketch(words, "w", depth=4, width=256)
+
+
+_WINNOW_ORACLE = """
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x != '') AS wl
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(generate_series(1, greatest(len(wl) - 2, 0))) - 1 AS pos,
+           unnest(list_transform(generate_series(1, greatest(len(wl) - 2, 0)),
+                  i -> md5(wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))) AS h,
+           greatest(len(wl) - 2, 0) AS n_sh
+    FROM words
+),
+win AS (
+    SELECT doc_id, pos, n_sh,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM sh
+)
+SELECT DISTINCT doc_id, fp FROM win WHERE pos <= n_sh - 4
+"""
+
+
+@register("text_winnow", oracle=_WINNOW_ORACLE)
+def text_winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=3-word shingles, window=4) — the
+    SIGMOD'03 copy-detection selection: any shared run of ≥ k+window-1
+    words yields an identical fingerprint in both documents, at ~2/(w+1)
+    the density of full shingling."""
+    from wikidatabots_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=3, window=4
+    )
