@@ -45,6 +45,7 @@ from wikidatabots_spark.operators.dedup import (  # noqa: F401
     simhash,
     simhash_dup_pairs,
     simhash_near_pairs,
+    winnow_fingerprints,
 )
 from wikidatabots_spark.operators.rangejoin import (  # noqa: F401
     interval_overlap_join,

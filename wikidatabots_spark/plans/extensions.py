@@ -739,3 +739,34 @@ def text_winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(
         load_table(spark, sf_dir, "documents"), k=3, window=4
     )
+
+
+_WINNOW_PAIRS_ORACLE = f"""
+WITH fps AS ({_WINNOW_ORACLE})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3
+"""
+
+
+@register("dedup_winnow", oracle=_WINNOW_PAIRS_ORACLE)
+def dedup_winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidates by shared winnowing fingerprints — the
+    copy-detection use the selection exists for: an equi-join on the
+    fingerprint (one shuffle of (fp, id), never text), pair counts with
+    map-side partials, threshold on shared fingerprints."""
+    from wikidatabots_spark.operators.dedup import winnow_fingerprints
+
+    fps = winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=3, window=4
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
