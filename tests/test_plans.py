@@ -28,10 +28,11 @@ def test_registry_priority_window():
     window = list(q)[:50]
     assert window == PRIORITY
     must_have = {
-        # §2 micro pins named by the r1 verdict
+        # §2 micro pins named by the r1 verdict (try_cast/sample now live
+        # inside the merged op_scalar_micro / op_sample slots)
         "op_regexp_extract_null", "op_pl_format", "op_unique_first_by",
-        "op_unique_keep_none", "op_try_cast", "op_dates", "op_explode_outer",
-        "op_sample_mod",
+        "op_unique_keep_none", "op_dates", "op_explode_outer",
+        "op_scalar_micro", "op_sample", "op_strings",
         # pipelines + headliners + SQL API
         "tmdb_via_imdb", "tmdb_via_tvdb", "tmdb_not_found", "tmdb_main",
         "opencritic_add", "opencritic_update", "opencritic_main",
@@ -44,13 +45,15 @@ def test_registry_priority_window():
         "dedup_embedding_cosine_lsh",
         "mm_media_meta", "mm_sample_frames", "mm_extract_features",
         "text_profile", "knn_cosine_topk",
+        # promoted composed pipelines / extensions (VERDICT r2 next #2)
+        "curate_corpus", "asof_purchase_signup", "sketch_count_min",
+        "dedup_winnow",
     }
     assert must_have <= set(window)
-    # inside the window only the two fake-decode mm queries are rows-only
+    # every window entry carries a DuckDB oracle (the mm fakes gained
+    # real oracles in r3 — no rows-only rows left in the hard signal)
     o = plans.oracle_sql()
-    assert [n for n in window if n not in o] == [
-        "mm_sample_frames", "mm_extract_features"
-    ]
+    assert [n for n in window if n not in o] == []
 
 
 def test_entry_smoke(spark, sf_dir):

@@ -349,6 +349,96 @@ def op_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_hash(o, "o_orderkey", 0.25)
 
 
+# --- O3 merged: both deterministic sampling surfaces in one driver slot ----
+@register(
+    "op_sample",
+    oracle=f"""
+SELECT 'mod' AS kind, o_orderkey, o_totalprice
+FROM orders WHERE o_orderkey % 20 = 0
+UNION ALL
+SELECT 'hash_frac' AS kind, o_orderkey, o_totalprice
+FROM orders WHERE {_HASH_BUCKET} < 16384
+""",
+)
+def op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op_sample_mod + op_sample_fraction folded into one tagged frame so
+    O3 keeps a single slot in the driver's capped window (VERDICT r2 next
+    #2); the individual micro-queries stay registered for the local gate."""
+    from wikidatabots_spark.functions.core import sample_hash
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mod = o.where(F.col("o_orderkey") % 20 == 0).select(
+        F.lit("mod").alias("kind"), "o_orderkey", "o_totalprice"
+    )
+    frac = sample_hash(o, "o_orderkey", 0.25).select(
+        F.lit("hash_frac").alias("kind"), "o_orderkey", "o_totalprice"
+    )
+    return mod.unionByName(frac)
+
+
+# --- T2+T3 merged: literal replace + regex extract-all in one slot ---------
+@register(
+    "op_strings",
+    oracle="""
+SELECT 'replace' AS kind, CAST(p_partkey AS BIGINT) AS key,
+       replace(p_name, 'widget', 'gadget') AS val
+FROM part
+UNION ALL
+SELECT 'extract_all' AS kind, CAST(doc_id AS BIGINT) AS key,
+       COALESCE(array_to_string(regexp_extract_all(text, '([a-z]*an[a-z]*)', 1), ','),
+                '') AS val
+FROM documents
+""",
+)
+def op_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op_replace_literal + op_regexp_extract_all folded into one tagged
+    frame (driver-window budget; individuals stay for the local gate)."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.lit("replace").alias("kind"),
+        F.col("p_partkey").cast("bigint").alias("key"),
+        F.replace(F.col("p_name"), F.lit("widget"), F.lit("gadget")).alias("val"),
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        F.lit("extract_all").alias("kind"),
+        F.col("doc_id").cast("bigint").alias("key"),
+        F.array_join(
+            F.regexp_extract_all(F.col("text"), F.lit(r"([a-z]*an[a-z]*)"), 1), ","
+        ).alias("val"),
+    )
+    return p.unionByName(d)
+
+
+# --- F6+F9+N1 merged: scalar predicate/cast family over one scan -----------
+@register(
+    "op_scalar_micro",
+    oracle="""
+SELECT o_orderkey,
+       (o_totalprice >= 50000 AND o_totalprice < 100000) AS in_band,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+       TRY_CAST(o_orderstatus AS INT) AS status_num,
+       CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            ELSE 'high' END AS tier
+FROM orders
+""",
+)
+def op_scalar_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """between_left_closed (F6) + try_cast (N1) + when/otherwise (F9) as
+    columns of one projection — three scalar-operator pins in one driver
+    slot and one codegen stage over a single scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        between_left_closed(F.col("o_totalprice"), 50000, 100000).alias("in_band"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
+        F.col("o_orderstatus").try_cast("int").alias("status_num"),
+        F.when(F.col("o_totalprice") < 50000, F.lit("low"))
+        .when(F.col("o_totalprice") < 150000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+        .alias("tier"),
+    )
+
+
 # --- T7/D2/D3: date parse / trunc -----------------------------------------
 @register(
     "op_dates",

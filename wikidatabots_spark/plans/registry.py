@@ -39,27 +39,27 @@ REGISTRY: dict[str, Entry] = {}
 # extensions stay fully checked by the local gate (scripts/check_oracle.py
 # runs ALL entries) — only the driver's capped window is ordered here.
 PRIORITY: list[str] = [
-    # §2 micro-queries (one per operator family)
+    # §2 micro-queries (one per operator family; the O3 sampling pair,
+    # the T2/T3 string pair, and the F6/F9/N1 scalar trio are folded into
+    # tagged merged queries — op_sample / op_strings / op_scalar_micro —
+    # so the window budget covers the graded composed pipelines below;
+    # the individual micro-queries stay registered for the local gate)
     "op_null_funcs",
     "op_prefix_columns",
     "op_unique_first_by",
     "op_unique_keep_none",
     "op_regexp_extract_null",
-    "op_regexp_extract_all",
     "op_explode_words",
     "op_pl_format",
-    "op_between_left_closed",
-    "op_when_otherwise",
-    "op_try_cast",
+    "op_scalar_micro",
     "op_union_all",
     "op_join_diff_keys",
     "op_anti_join",
     "op_collect_sorted",
     "op_topk",
-    "op_sample_mod",
-    "op_sample_fraction",
+    "op_sample",
+    "op_strings",
     "op_dates",
-    "op_replace_literal",
     "op_scan_parquet_url",
     "op_explode_outer",
     "op_set_ops",
@@ -95,6 +95,12 @@ PRIORITY: list[str] = [
     "dedup_embedding_cosine_lsh",
     "text_profile",
     "knn_cosine_topk",
+    # promoted extensions (VERDICT r2 next #2): the flagship composed
+    # curation pipeline plus the strongest previously-unchecked operators
+    "curate_corpus",
+    "asof_purchase_signup",
+    "sketch_count_min",
+    "dedup_winnow",
 ]
 
 
