@@ -138,3 +138,23 @@ def test_interval_overlap_join(spark):
     )
     got = sorted((r.ltag, r.rtag) for r in out.collect())
     assert got == [("L1", "R1"), ("L1", "R2")]
+
+
+def test_interval_overlap_join_defaults_usable(spark):
+    # ADVICE r2 rangejoin.py:110 — defaults are now side-distinct, so a
+    # frame that uses them joins without tripping the collision check
+    import datetime
+
+    from wikidatabots_spark.operators.rangejoin import interval_overlap_join
+
+    t = datetime.datetime
+    left = spark.createDataFrame(
+        [("a", t(2024, 1, 1), t(2024, 1, 3))],
+        "k string, l_start timestamp, l_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", t(2024, 1, 2), t(2024, 1, 4)), ("a", t(2024, 1, 5), t(2024, 1, 6))],
+        "k string, r_start timestamp, r_end timestamp",
+    )
+    rows = interval_overlap_join(left, right, on=["k"]).collect()
+    assert len(rows) == 1

@@ -152,3 +152,16 @@ def test_limit_warn_caps_and_warns(spark):
         warnings.simplefilter("always")
         assert limit_warn(df, n=1000).count() == 100
         assert not w
+
+
+def test_sample_with_replacement_non_orderable_column(spark):
+    # ADVICE r2 core.py:149 — the with-replacement window previously
+    # ordered by every column and crashed on map-typed columns
+    from wikidatabots_spark.functions.core import sample
+
+    df = spark.createDataFrame(
+        [(i, {"k": str(i)}) for i in range(10)], "id bigint, m map<string,string>"
+    )
+    out = sample(df, n=7, with_replacement=True, seed=11)
+    assert out.count() == 7
+    assert out.schema == df.schema

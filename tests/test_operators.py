@@ -343,3 +343,22 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert by_doc[1] & by_doc[2]
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_partition_estimate_only_trusts_narrow_scans(spark, sf_dir):
+    # ADVICE r2 dedup.py:59 — the file-inventory estimate must not apply
+    # to coalesced/limited/shuffled frames; those fall back to the real
+    # partition count so ensure_parallelism re-widens a coalesce(1)
+    from wikidatabots_spark.operators.dedup import (
+        _estimate_scan_partitions,
+        ensure_parallelism,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert _estimate_scan_partitions(d) is not None
+    assert _estimate_scan_partitions(d.coalesce(1)) is None
+    assert _estimate_scan_partitions(d.limit(5)) is None
+    assert _estimate_scan_partitions(d.groupBy("doc_id").count()) is None
+    target = spark.sparkContext.defaultParallelism
+    widened = ensure_parallelism(d.coalesce(1), "doc_id")
+    assert widened.rdd.getNumPartitions() >= min(target, 2)

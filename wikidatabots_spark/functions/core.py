@@ -180,18 +180,31 @@ def sample(
         return out.orderBy(F.rand(seed) if seed is not None else F.rand()) if shuffle else out
     if not with_replacement:
         return df.orderBy(rand).limit(n)
-    # exact-n WITH replacement: multinomial counts over row indices
+    # exact-n WITH replacement: multinomial counts over row indices.
+    # GUARD-CAPPED INPUTS ONLY: exact-n multinomial needs a global
+    # row_number (one task) plus a count() action — the reference only
+    # ever samples frames already capped to a few hundred rows
+    # (polars_utils.py:89-100); for large frames use fraction=.
     import random as _random
+    import warnings as _warnings
 
     cnt = df.count()
     if cnt == 0:
         return df.limit(0)
+    if cnt > 100_000:
+        _warnings.warn(
+            f"sample(n, with_replacement) on {cnt} rows runs a single-task "
+            "global sort — intended for guard-capped frames; use fraction="
+        )
     counts: dict[int, int] = {}
     rng = _random.Random(seed)
     for _ in range(n):
         i = rng.randrange(cnt)
         counts[i] = counts.get(i, 0) + 1
-    w = Window.orderBy(rand, *[F.col(c) for c in df.columns])
+    # tiebreak by monotonically_increasing_id: stable, always orderable
+    # (ordering by every column broke on map-typed columns and dragged
+    # the whole row through the sort — ADVICE r2 core.py:149)
+    w = Window.orderBy(rand, F.monotonically_increasing_id())
     indexed = df.withColumn("__idx", F.row_number().over(w) - 1)
     cdf = df.sparkSession.createDataFrame(
         list(counts.items()), "__idx bigint, __cnt int"

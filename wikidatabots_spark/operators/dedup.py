@@ -56,17 +56,53 @@ def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Dat
     )
 
 
+_NARROW_PLAN_NODES = frozenset(
+    {
+        # partition-preserving logical nodes rooted directly on a scan
+        "Project",
+        "Filter",
+        "Generate",
+        "SubqueryAlias",
+        "Relation",
+        "LogicalRelation",
+        "Sample",
+    }
+)
+
+
+def _plan_is_narrow_scan(df: DataFrame) -> bool:
+    """True iff the analyzed logical plan is a scan plus partition-
+    preserving narrow ops only. Any Repartition/Coalesce/Limit/Join/
+    Aggregate/Window/Union node means the frame's partitioning is NOT
+    determined by its input files, so the file-inventory estimate would
+    be wrong in both directions (a coalesced/limited frame looks well-
+    partitioned; a post-shuffle frame rooted in one small file looks
+    under-partitioned) — exactly the ADVICE r2 dedup.py:59 failure."""
+    import re
+
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    nodes = re.findall(r"^[\s+:|-]*([A-Za-z]+)", plan, flags=re.M)
+    return bool(nodes) and all(n in _NARROW_PLAN_NODES for n in nodes)
+
+
 def _estimate_scan_partitions(df: DataFrame) -> int | None:
     """Estimate the scan's partition count from its input files' sizes.
 
     ``df.rdd.getNumPartitions()`` forces a full physical plan compile per
     call; for local-file scans the same answer follows from the file
     inventory and ``maxPartitionBytes`` (Spark packs splits of that size).
-    Returns None when the inputs aren't stat-able local files — callers
+    Returns None when the inputs aren't stat-able local files, or when the
+    plan is not a pure scan + narrow ops (the inventory says nothing about
+    the partitioning of repartitioned/limited/joined frames) — callers
     fall back to the rdd path.
     """
     import os
 
+    if not _plan_is_narrow_scan(df):
+        return None
     try:
         files = df.inputFiles()
     except Exception:  # non-file source (rate, memory, ...)

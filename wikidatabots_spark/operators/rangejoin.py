@@ -111,15 +111,20 @@ def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,
     on: Sequence[str],
-    left_start: str = "start",
-    left_end: str = "end",
-    right_start: str = "start",
-    right_end: str = "end",
+    left_start: str = "l_start",
+    left_end: str = "l_end",
+    right_start: str = "r_start",
+    right_end: str = "r_end",
     bucket_width: str = "1 day",
 ) -> DataFrame:
     """Inner join of interval pairs that overlap: ``l.start < r.end AND
     r.start < l.end`` (closed-open intervals), per key — again without the
     nested-loop plan.
+
+    Defaults use side-distinct names (``l_start``/``r_start``): both
+    sides' interval columns appear in the output, so same-named defaults
+    would always trip the collision check (ADVICE r2 rangejoin.py:110) —
+    rename with ``withColumnRenamed`` or pass explicit names.
 
     Both sides explode to their covered buckets and equi-join on
     (key, bucket); the exact overlap predicate then filters. Duplicate

@@ -114,9 +114,16 @@ def http_get(
         )
         st["sent"] += n
         # cardinality guard per RUN-partition, not per Arrow batch
-        # (polars_requests.py:99)
-        assert st["sent"] < MAX_REQUESTS, (
-            f"{st['sent']} requests exceeds the {MAX_REQUESTS} cap"
+        # (polars_requests.py:99). On the parallel opt-in path the per-task
+        # cap is divided by the partition count so the FRAME-level bound
+        # stays ≤ MAX_REQUESTS (N tasks × cap/N) — matching the reference's
+        # whole-frame cap instead of silently multiplying it by N
+        # (ADVICE r2 http.py:118). Coalesce spreads rows near-evenly, so a
+        # partition tripping cap/N means the frame is near the global cap.
+        task_cap = MAX_REQUESTS if n_parts <= 1 else max(MAX_REQUESTS // n_parts, 1)
+        assert st["sent"] < task_cap, (
+            f"{st['sent']} requests in one partition exceeds {task_cap} "
+            f"(= {MAX_REQUESTS} frame cap / {n_parts} partitions)"
         )
         session = st["session"]
         # per-partition period N·min_time ⇒ aggregate ≤ 1/min_time
