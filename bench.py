@@ -9,14 +9,16 @@ count-collapsing action (the result sets are small; the work dominates).
 A warmup query first absorbs JVM/codegen startup so numbers reflect the
 engine, not the JIT.
 
-Each query runs in TWO full interleaved passes with a freshly built plan
-each time and the per-query MIN is reported: this host shows bursty,
+Each query runs in THREE full interleaved passes with a freshly built
+plan each time and the per-query MIN is reported: this host shows bursty,
 guest-invisible CPU contention (the same query swings 1.4 s ↔ 17 s within
 one session while /proc/stat reads idle), and min-over-passes is the
 standard way to report steady-state engine cost under scheduler noise —
-interleaving means a multi-second burst cannot poison both measurements
-of one query. A fresh fn() per run means new RDD lineage — no shuffle
-reuse between runs, so the min is a true full-execution time.
+interleaving means a multi-second burst cannot poison all measurements
+of one query (r2 recorded two queries whose every pass was contended;
+three passes make that an order of magnitude rarer). A fresh fn() per
+run means new RDD lineage — no shuffle reuse between runs, so the min
+is a true full-execution time.
 """
 
 from __future__ import annotations
@@ -90,7 +92,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for pass_idx in range(2):
+    for pass_idx in range(3):
         for name in HEADLINERS:
             fn = plans.REGISTRY[name].fn
             t0 = time.perf_counter()
