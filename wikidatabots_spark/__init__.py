@@ -51,8 +51,11 @@ from wikidatabots_spark.operators.rangejoin import (  # noqa: F401
     interval_overlap_join,
     range_join,
 )
+# NOTE: the raw-expression all-pairs form (similarity.embedding_dup_pairs)
+# is deliberately NOT re-exported — it exists as the brute-force oracle
+# for tests; production near-dup is the LSH path, analytical all-pairs is
+# the blocked-BLAS path (VERDICT r2 next #7).
 from wikidatabots_spark.operators.similarity import (  # noqa: F401
-    embedding_dup_pairs,
     embedding_dup_pairs_blocked,
     embedding_dup_pairs_lsh,
     knn_brute,

@@ -7,8 +7,8 @@ Python in the hot path):
 - ``minhash_lsh_pairs``  MinHash signatures + banded LSH candidate join
 - ``ngram_jaccard_pairs`` exact Jaccard over token sets with a document-
   frequency cut (the classic stopword-explosion guard)
-- ``embedding_dup_pairs`` cosine-threshold near-dup over embeddings (in
-  ``similarity.py``)
+- ``embedding_dup_pairs_lsh`` / ``_blocked`` cosine-threshold near-dup
+  over embeddings (in ``similarity.py``)
 
 Scale notes (the 100 TB story):
 - Exact dedup shuffles **hashes**, not documents: project to (hash, id)

@@ -102,8 +102,12 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold; (id_a < id_b). O(n²) — use
-    ``knn_lsh``-style bucketing upstream at scale."""
+    """All pairs with cosine ≥ threshold; (id_a < id_b). O(n²) per-pair
+    expression evaluation — TEST-ONLY brute-force reference (not in the
+    package's top-level exports): production near-dup is
+    :func:`embedding_dup_pairs_lsh`; analytical all-pairs at noise-floor
+    thresholds is :func:`embedding_dup_pairs_blocked` (~100× the
+    throughput of this form)."""
     a = ensure_parallelism(
         df.select(
             F.col(id_col).alias("id_a"),
@@ -354,6 +358,13 @@ def embedding_dup_pairs_blocked(
     blocks = b.groupBy("bid").agg(
         F.collect_list(F.struct(F.col("vid"), F.col("vec"))).alias("items")
     )
+    # The bid_x <= bid_y theta-join IS a nested loop — over BLOCK rows,
+    # not vectors: ceil(n/block)² grid cells, i.e. ~4·10⁶ cells at n=10⁶
+    # with the default block 512. Any n where blocked all-pairs is sane
+    # at all (the cells hold O(n²·d) arithmetic regardless of plan shape)
+    # keeps the grid itself trivially small; the quadratic work lives
+    # inside the cells by design. Driver sanity is therefore bounded by
+    # the same condition as the operator's own usefulness.
     grid = (
         blocks.select(
             F.col("bid").alias("bid_x"), F.col("items").alias("items_x")
