@@ -362,3 +362,57 @@ def test_partition_estimate_only_trusts_narrow_scans(spark, sf_dir):
     target = spark.sparkContext.defaultParallelism
     widened = ensure_parallelism(d.coalesce(1), "doc_id")
     assert widened.rdd.getNumPartitions() >= min(target, 2)
+
+
+def test_with_repetition_known_values(spark):
+    from wikidatabots_spark.operators.textstats import with_repetition
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x"), (3, "")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in with_repetition(df).collect()}
+    r1 = rows[1]
+    assert r1.n_words == 6 and r1.n_distinct_words == 2
+    assert abs(r1.type_token_ratio - 2 / 6) < 1e-15
+    # 2-grams: [a b, b a, a b, b a, a b] -> 5 total, 2 distinct
+    assert abs(r1.dup_2gram_frac - 3 / 5) < 1e-15
+    # 3-grams: [a b a, b a b, a b a, b a b] -> 4 total, 2 distinct
+    assert abs(r1.dup_3gram_frac - 2 / 4) < 1e-15
+    assert rows[2].n_words == 1 and rows[2].dup_2gram_frac == 0.0
+    assert rows[3].n_words == 0 and rows[3].type_token_ratio == 0.0
+
+
+def test_bm25_topk_ranking(spark):
+    from wikidatabots_spark.operators.textstats import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),
+            (2, "spark filler filler filler filler filler filler"),
+            (3, "nothing relevant here"),
+            (4, "join"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = bm25_topk(df, ["spark", "join"], k=3).collect()
+    assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)][0] == 1
+    assert len(rows) == 3  # doc 3 matches nothing
+    assert {r.doc_id for r in rows} == {1, 2, 4}
+    assert max(r.total_tf for r in rows) == 4
+
+
+def test_sample_hash_stratified_fractions(spark):
+    from wikidatabots_spark.functions.core import sample_hash_stratified
+
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 == 0 else "drop") for i in range(100)],
+        "id bigint, stratum string",
+    )
+    out = sample_hash_stratified(
+        df, "id", "stratum", {"keep": 1.0, "drop": 0.0}
+    ).collect()
+    assert all(r.stratum == "keep" for r in out)
+    assert len(out) == 50
+    # default applies to unlisted strata
+    out2 = sample_hash_stratified(df, "id", "stratum", {}, default=1.0)
+    assert out2.count() == 100

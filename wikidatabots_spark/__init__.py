@@ -32,6 +32,7 @@ from wikidatabots_spark.functions.core import (  # noqa: F401
     regexp_extract_null,
     sample,
     sample_hash,
+    sample_hash_stratified,
     sample_n,
     unique_first_by,
     unique_keep_none,
@@ -68,9 +69,11 @@ from wikidatabots_spark.operators.sketch import (  # noqa: F401
     with_bloom_might_contain,
 )
 from wikidatabots_spark.operators.textstats import (  # noqa: F401
+    bm25_topk,
     with_fingerprint,
     with_lang_guess,
     with_quality,
+    with_repetition,
     with_token_count,
 )
 from wikidatabots_spark.session import get_spark  # noqa: F401

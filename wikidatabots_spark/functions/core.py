@@ -242,6 +242,34 @@ def sample_hash(df: DataFrame, key: Column | str, fraction: float) -> DataFrame:
     return df.where(bucket < int(fraction * 65536))
 
 
+def sample_hash_stratified(
+    df: DataFrame,
+    key: Column | str,
+    strata: Column | str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic hash sampling.
+
+    Like :func:`sample_hash` but the kept fraction depends on the value
+    of ``strata`` — the curation staple for rebalancing a corpus (e.g.
+    downsample dominant languages/sources, keep the rest whole). Same
+    md5-bucket membership: depends only on the key, so re-runs and
+    backfills select identical rows per stratum, and a row's membership
+    never changes when other strata's fractions are tuned. Narrow map,
+    no shuffle; the CASE over fractions folds into the scan filter.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    s = F.col(strata) if isinstance(strata, str) else strata
+    bucket = F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+    cut: Column = F.lit(int(default * 65536))
+    for val, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {val!r} must be in [0, 1]")
+        cut = F.when(s == F.lit(val), F.lit(int(frac * 65536))).otherwise(cut)
+    return df.where(bucket < cut)
+
+
 def limit_warn(
     df: DataFrame,
     n: int = 250,

@@ -9,6 +9,10 @@ All pure Column expressions (JVM codegen, zero Python in the hot path):
 - ``with_lang_guess``   marker-word n-gram heuristic language ID
 - ``with_fingerprint``  normalized-content digest (whitespace-collapsed
   md5) — the cheap "same modulo formatting" key
+- ``with_repetition``   Gopher-style repetition/diversity filters
+  (type-token ratio, duplicate n-gram fractions)
+- ``bm25_topk``         literal-keyword BM25 search, shuffle-free up to
+  the final top-k
 
 Scale: every operator is a narrow map over the text column — no shuffle,
 pipeline-able with the parquet scan; fingerprints/dedup keys are the only
@@ -18,7 +22,9 @@ North-star extension (BASELINE.json) — no reference counterpart.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import functools
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ["the", "a", "an", "of", "to", "and", "in", "is", "on", "for"]
@@ -131,3 +137,150 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "fingerprint",
         F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))),
     )
+
+
+def _ngram_array(w: Column, n_words: Column, n: int) -> Column:
+    """Word n-grams as an array column (empty when the doc is shorter
+    than n). The sequence is guarded: Spark ``sequence(1, 0)`` counts
+    DOWN, it does not return empty."""
+    grams = F.transform(
+        F.sequence(F.lit(1), n_words - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(n_words >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition / diversity quality signals (Gopher-style filters).
+
+    Adds per-document:
+
+    - ``n_words`` / ``n_distinct_words`` and ``type_token_ratio`` —
+      vocabulary diversity; templated or generated spam text scores low
+    - ``dup_2gram_frac`` / ``dup_3gram_frac`` — fraction of word n-grams
+      that are repeats of an earlier n-gram in the same document; the
+      MassiveText/Gopher repetition filters (duplicate-n-gram fraction)
+      adapted to word n-grams
+
+    All pure array expressions — one narrow map, no shuffle, no Python.
+    Each ratio is a single integer-derived division, so the doubles are
+    bit-identical across engines (DuckDB-oracle-safe). The word and
+    n-gram arrays are materialized as real columns first: Spark does no
+    CSE through higher-order-function lambdas, so expression-tree reuse
+    would re-split the text once per reference.
+    """
+    df = df.withColumn("__w", words(F.col(text_col)))
+    w = F.col("__w")
+    df = df.withColumn("__nw", F.size(w))
+    nw = F.col("__nw")
+    df = df.withColumn("__g2", _ngram_array(w, nw, 2)).withColumn(
+        "__g3", _ngram_array(w, nw, 3)
+    )
+    n2, n3 = F.size(F.col("__g2")), F.size(F.col("__g3"))
+    d2 = F.size(F.array_distinct(F.col("__g2")))
+    d3 = F.size(F.array_distinct(F.col("__g3")))
+    n_distinct = F.size(F.array_distinct(w))
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    return df.withColumns(
+        {
+            "n_words": nw.cast("bigint"),
+            "n_distinct_words": n_distinct.cast("bigint"),
+            "type_token_ratio": frac(n_distinct, nw),
+            "dup_2gram_frac": frac(n2 - d2, n2),
+            "dup_3gram_frac": frac(n3 - d3, n3),
+        }
+    ).drop("__w", "__nw", "__g2", "__g3")
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a literal keyword query, BM25-shaped scoring.
+
+    Returns (id, rank INT, total_tf BIGINT), rank 1 = best, ties broken
+    by id. The idf factor is the RSJ weight WITHOUT the log —
+    ``(N - df + 0.5) / (df + 0.5)`` — a strictly monotone transform of
+    BM25's idf, so the ranking semantics match while the score stays a
+    composition of +,*,/ on doubles: bit-reproducible across engines
+    (libm ``log`` is only ~1-ulp-accurate and differs between JVM and
+    C, which would flip tied ranks).
+
+    Scale shape: per-term tf is an array filter over the word array — a
+    narrow map fused with the scan, NO tokenize-explode-groupBy shuffle;
+    corpus stats (N, per-term df, total dl) are one 1-row aggregate
+    broadcast back; the only wide op is the final top-k. Terms must be
+    literals (a query, not a column) — for query *tables* use the token
+    table + join formulation instead.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    df2 = df.withColumn("__w", words(F.col(text_col))).withColumn(
+        "__dl", F.size(F.col("__w"))
+    )
+
+    def term_eq(t: str):
+        # real function scope: a default-arg lambda would take 2 params
+        # and be invoked by F.filter as (element, index)
+        return lambda x: x == F.lit(t)
+
+    tf_names = [f"__tf{i}" for i in range(len(terms))]
+    df2 = df2.withColumns(
+        {
+            name: F.size(F.filter(F.col("__w"), term_eq(t)))
+            for name, t in zip(tf_names, terms)
+        }
+    ).drop("__w")
+    stats = df2.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__dl")).alias("__sumdl"),
+        *[
+            F.sum((F.col(name) > 0).cast("bigint")).alias(f"__df{i}")
+            for i, name in enumerate(tf_names)
+        ],
+    )
+    matched = df2.where(
+        functools.reduce(lambda a, c: a | c, [F.col(n) > 0 for n in tf_names])
+    ).crossJoin(F.broadcast(stats))
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n")
+    score = None
+    for i, name in enumerate(tf_names):
+        tf = F.col(name)
+        idf = (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5)) / (
+            F.col(f"__df{i}") + F.lit(0.5)
+        )
+        s = idf * (
+            (tf * F.lit(k1 + 1.0))
+            / (
+                tf
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * (F.col("__dl") / avgdl))
+            )
+        )
+        score = s if score is None else score + s
+    total_tf = functools.reduce(
+        lambda a, c: a + c, [F.col(n) for n in tf_names]
+    )
+    ranked = matched.select(
+        F.col(id_col),
+        total_tf.cast("bigint").alias("total_tf"),
+        score.alias("__score"),
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("__score").desc(), F.col(id_col)))
+        .cast("int"),
+    )
+    return ranked.where(F.col("rank") <= k).select(id_col, "rank", "total_tf")

@@ -770,6 +770,190 @@ def sketch_count_min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_min_sketch(words, "w", depth=4, width=256)
 
 
+# --- Gopher-style repetition filters / BM25 search / stratified sample ----
+
+_REPETITION_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS_SQL} AS wl FROM documents
+),
+g AS (
+    SELECT doc_id, wl,
+           list_transform(generate_series(1, greatest(len(wl) - 1, 0)),
+                          i -> wl[i] || ' ' || wl[i+1]) AS g2,
+           list_transform(generate_series(1, greatest(len(wl) - 2, 0)),
+                          i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS g3
+    FROM w
+)
+SELECT doc_id,
+       CAST(len(wl) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(wl)) AS BIGINT) AS n_distinct_words,
+       CASE WHEN len(wl) > 0
+            THEN CAST(len(list_distinct(wl)) AS DOUBLE) / len(wl)
+            ELSE 0.0 END AS type_token_ratio,
+       CASE WHEN len(g2) > 0
+            THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+            ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN len(g3) > 0
+            THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+            ELSE 0.0 END AS dup_3gram_frac
+FROM g
+"""
+
+
+@register("text_repetition", oracle=_REPETITION_ORACLE)
+def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/diversity quality filters (duplicate-n-gram fractions,
+    type-token ratio) — the Gopher/MassiveText repetition gates as narrow
+    array expressions; word-soup synthetic text repeats heavily so the
+    fractions are far from vacuous."""
+    from wikidatabots_spark.operators.textstats import with_repetition
+
+    d = load_table(spark, sf_dir, "documents")
+    return with_repetition(d).select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "type_token_ratio",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+    )
+
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def _bm25_oracle(terms: list[str], k: int = 10) -> str:
+    tf_exprs = ",\n           ".join(
+        f"len(list_filter(wl, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    # expression tree mirrors operators.textstats.bm25_topk EXACTLY
+    # (same association order) so the doubles are bit-identical
+    score = " + ".join(
+        f"((n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * ((tf{i} * 2.2) / (tf{i} + 1.2 *"
+        f" (0.25 + 0.75 * (dl / (CAST(sumdl AS DOUBLE) / n)))))"
+        for i in range(len(terms))
+    )
+    total_tf = " + ".join(f"tf{i}" for i in range(len(terms)))
+    any_tf = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    return f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS_SQL} AS wl FROM documents
+),
+feat AS (
+    SELECT doc_id, len(wl) AS dl,
+           {tf_exprs}
+    FROM w
+),
+stats AS (
+    SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+           {df_exprs}
+    FROM feat
+),
+scored AS (
+    SELECT doc_id, CAST({total_tf} AS BIGINT) AS total_tf,
+           {score} AS score
+    FROM feat, stats
+    WHERE {any_tf}
+),
+ranked AS (
+    SELECT doc_id, total_tf,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM scored
+)
+SELECT doc_id, rank, total_tf FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle(_BM25_TERMS))
+def text_bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search over the corpus: BM25-shaped ranking with a
+    log-free monotone idf (see operators.textstats.bm25_topk for the
+    bit-reproducibility rationale). Shuffle-free until the final top-k."""
+    from wikidatabots_spark.operators.textstats import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+_STRAT_BUCKET = (
+    "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+    " * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+    " * 256"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)"
+    " * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)"
+)
+
+_STRAT_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_STRAT_BUCKET} <
+      CASE WHEN lang = 'en' THEN {int(0.25 * 65536)}
+           WHEN lang = 'zh' THEN {int(0.75 * 65536)}
+           ELSE {int(0.5 * 65536)} END
+"""
+
+
+@register("sample_stratified", oracle=_STRAT_ORACLE)
+def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: downsample the dominant
+    language, oversample the rarest, default the rest — the corpus
+    rebalancing step of a training-data pipeline, reproducible across
+    re-runs because membership depends only on (doc_id, own stratum)."""
+    from wikidatabots_spark.functions.core import sample_hash_stratified
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_hash_stratified(
+        d, "doc_id", "lang", {"en": 0.25, "zh": 0.75}, default=0.5
+    ).select("doc_id", "lang")
+
+
+_MM_DEDUP_ORACLE = f"""
+WITH feats AS ({_MM_FEATURES_ORACLE})
+SELECT feature_sha256,
+       MIN(media_id) AS canonical_media_id,
+       COUNT(*) AS n_copies
+FROM feats
+GROUP BY feature_sha256
+"""
+
+
+@register("mm_dedup_media", oracle=_MM_DEDUP_ORACLE)
+def mm_dedup_media_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal composition: exact media dedup keyed on the EXTRACTED
+    feature digest (multimodal op feeding the dedup op) — media with
+    identical features collapse to the lowest id. The blob itself never
+    shuffles; only the 64-hex digest does."""
+    from wikidatabots_spark.operators.multimodal import extract_features
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+    feats = extract_features(d)
+    byte_ints = F.transform(
+        "features",
+        lambda x: F.round((x.cast("double") + F.lit(1.0)) * F.lit(128.0)).cast("int"),
+    )
+    digested = feats.select(
+        "media_id",
+        F.sha2(
+            F.concat_ws(",", F.transform(byte_ints, lambda i: i.cast("string"))),
+            256,
+        ).alias("feature_sha256"),
+    )
+    return digested.groupBy("feature_sha256").agg(
+        F.min("media_id").alias("canonical_media_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
 _WINNOW_ORACLE = """
 WITH words AS (
     SELECT doc_id,
