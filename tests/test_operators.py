@@ -416,3 +416,16 @@ def test_sample_hash_stratified_fractions(spark):
     # default applies to unlisted strata
     out2 = sample_hash_stratified(df, "id", "stratum", {}, default=1.0)
     assert out2.count() == 100
+
+
+def test_quantize_vectors_known_values(spark):
+    from wikidatabots_spark.operators.similarity import quantize_vectors
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_vectors(df).collect()}
+    # scale=1.0: round half away from zero -> -63.5 => -64, 31.75 => 32
+    assert rows[1].qvec == [127, -64, 32]
+    assert rows[2].qvec == [0, 0, 0]  # zero vector: no division by zero

@@ -61,6 +61,7 @@ from wikidatabots_spark.operators.similarity import (  # noqa: F401
     embedding_dup_pairs_lsh,
     knn_brute,
     knn_lsh,
+    quantize_vectors,
 )
 from wikidatabots_spark.operators.sketch import (  # noqa: F401
     bloom_bits,

@@ -398,3 +398,41 @@ def embedding_dup_pairs_blocked(
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     return grid.mapInPandas(cell, "id_a long, id_b long")
+
+
+def quantize_vectors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: ``q_i =
+    round(x_i / max|x| * 127)``, plus the ``__scale`` needed to
+    dequantize.
+
+    The standard 4× memory/network compression for ANN at scale — a
+    100 TB float32 embedding column becomes 25 TB on the shuffle wire,
+    and int8 dot products SIMD-vectorize harder than float. Per-VECTOR
+    scaling keeps this a pure narrow map (no corpus-wide min/max pass,
+    no broadcast): each row quantizes independently, so the operator
+    fuses with the scan and never blocks the pipeline.
+
+    Deterministic across engines: one division + one multiplication per
+    element in a fixed tree, then round-half-away-from-zero (Spark
+    HALF_UP == DuckDB round for doubles) — the quantized ints are
+    bit-reproducible, unlike any float output.
+    """
+    df = df.withColumn(
+        "__v", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
+    df = df.withColumn(
+        "__scale", F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x)))
+    )
+    q = F.when(
+        F.col("__scale") > 0,
+        F.transform(
+            F.col("__v"),
+            lambda x: F.round(x / F.col("__scale") * F.lit(127.0)).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
+    return df.withColumn(out_col, q).drop("__v")

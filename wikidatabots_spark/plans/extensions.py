@@ -954,6 +954,55 @@ def mm_dedup_media_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANTIZE_ORACLE = """
+WITH v AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, dv,
+           list_max(list_transform(dv, x -> abs(x))) AS scale
+    FROM v
+),
+q AS (
+    SELECT vec_id,
+           CASE WHEN scale > 0
+                THEN list_transform(dv, x -> CAST(round(x / scale * 127.0) AS INT))
+                ELSE list_transform(dv, x -> 0) END AS qv
+    FROM s
+)
+SELECT vec_id,
+       sha256(array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ','))
+           AS q_sha256,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs_q
+FROM q
+"""
+
+
+@register("emb_quantize", oracle=_QUANTIZE_ORACLE)
+def emb_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (the 4×
+    compression step before a large ANN build); the registered projection
+    digests the quantized ints (scalar-only output for the driver
+    compare) — the digest pins every quantized value exactly."""
+    from wikidatabots_spark.operators.similarity import quantize_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_vectors(emb)
+    return q.select(
+        "vec_id",
+        F.sha2(
+            F.concat_ws(",", F.transform("qvec", lambda i: i.cast("string"))), 256
+        ).alias("q_sha256"),
+        F.aggregate(
+            F.transform("qvec", lambda i: F.abs(i).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_abs_q"),
+    )
+
+
 _WINNOW_ORACLE = """
 WITH words AS (
     SELECT doc_id,

@@ -604,6 +604,87 @@ def op_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uni.unionByName(inter).unionByName(exc)
 
 
+# --- joins beyond the reference: full / right / semi in one tagged frame ---
+@register(
+    "op_join_family",
+    oracle="""
+SELECT 'full' AS kind, CAST(n_nationkey AS BIGINT) AS nationkey,
+       CAST(s_suppkey AS BIGINT) AS suppkey
+FROM nation FULL JOIN supplier ON s_nationkey = n_nationkey
+UNION ALL
+SELECT 'right' AS kind, CAST(n_nationkey AS BIGINT), CAST(s_suppkey AS BIGINT)
+FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+UNION ALL
+SELECT 'semi' AS kind, CAST(n_nationkey AS BIGINT), NULL
+FROM nation WHERE EXISTS (
+    SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey
+)
+""",
+)
+def op_join_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join types the reference never uses but a complete engine
+    must expose: full-outer, right-outer, and left-semi, tagged into one
+    driver-checkable frame. Null-extension rows on both sides of the
+    full join are the point (Spark and DuckDB must agree on them)."""
+    na = load_table(spark, sf_dir, "nation")
+    su = load_table(spark, sf_dir, "supplier")
+    nk = F.col("n_nationkey").cast("bigint").alias("nationkey")
+    sk = F.col("s_suppkey").cast("bigint").alias("suppkey")
+    full = na.join(su, na.n_nationkey == su.s_nationkey, "full").select(
+        F.lit("full").alias("kind"), nk, sk
+    )
+    right = su.join(na, su.s_nationkey == na.n_nationkey, "right").select(
+        F.lit("right").alias("kind"), nk, sk
+    )
+    semi = na.join(su, na.n_nationkey == su.s_nationkey, "left_semi").select(
+        F.lit("semi").alias("kind"), nk, F.lit(None).cast("bigint").alias("suppkey")
+    )
+    return full.unionByName(right).unionByName(semi)
+
+
+# --- pivot (wide aggregation): status × priority counts --------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+@register(
+    "op_pivot",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+            AS BIGINT) AS high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+            AS BIGINT) AS medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+            AS BIGINT) AS not_specified,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+            AS BIGINT) AS low
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot aggregation via the real ``pivot()`` operator with an
+    EXPLICIT value list — without one Spark runs an extra distinct job to
+    discover the pivot values, a hidden pass over the fact table at scale.
+    Missing (status, priority) cells count 0, matching the SQL CASE form."""
+    o = load_table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("bigint").alias(a)
+            for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+        ],
+    )
+    return renamed
+
+
 # --- scale lever: salted skew join is row-identical to the plain join ------
 @register(
     "op_salted_join",
