@@ -62,6 +62,13 @@ HEADLINERS = [
     "win_topk_per_group",
     "asof_purchase_signup",
     "mm_extract_features",
+    # r3 additions: repetition gates, BM25 search, stratified sampling,
+    # int8 quantization, cross-modal dedup
+    "text_repetition",
+    "text_bm25_topk",
+    "sample_stratified",
+    "emb_quantize",
+    "mm_dedup_media",
 ]
 
 
