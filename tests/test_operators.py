@@ -429,3 +429,30 @@ def test_quantize_vectors_known_values(spark):
     # scale=1.0: round half away from zero -> -63.5 => -64, 31.75 => 32
     assert rows[1].qvec == [127, -64, 32]
     assert rows[2].qvec == [0, 0, 0]  # zero vector: no division by zero
+
+
+def test_narrow_map_operators_have_no_exchange(spark, sf_dir):
+    # the r3 curation operators are sold as scan-fused narrow maps — pin
+    # that property so a refactor cannot silently introduce a shuffle
+    from wikidatabots_spark import plans
+
+    for name in ("text_repetition", "emb_quantize", "sample_stratified"):
+        plan = (
+            plans.REGISTRY[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan}"
+    # bm25: no tokenize-explode anywhere; its only joins are the 1-row
+    # stats broadcast (BNLJ by construction) — but never a cartesian
+    bm25 = (
+        plans.REGISTRY["text_bm25_topk"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in bm25
+    assert "CartesianProduct" not in bm25
