@@ -456,3 +456,19 @@ def test_narrow_map_operators_have_no_exchange(spark, sf_dir):
     )
     assert "Generate" not in bm25
     assert "CartesianProduct" not in bm25
+
+
+def test_connected_components_shapes(spark):
+    from wikidatabots_spark.operators.dedup import connected_components
+
+    # chain (diameter 3), triangle, isolated pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (8, 9), (7, 9), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (7, 7), (8, 7), (9, 7),
+        (20, 20), (21, 20),
+    }

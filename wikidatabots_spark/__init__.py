@@ -40,6 +40,7 @@ from wikidatabots_spark.functions.core import (  # noqa: F401
 )
 from wikidatabots_spark.operators.asof import asof_join  # noqa: F401
 from wikidatabots_spark.operators.dedup import (  # noqa: F401
+    connected_components,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,

@@ -584,3 +584,62 @@ def winnow_fingerprints(
         .select(id_col, "fp")
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph → (node, component),
+    component = the smallest node id reachable from ``node``.
+
+    THE missing step between near-dup PAIR generation (MinHash / SimHash /
+    winnowing / embedding LSH emit pairs) and actual deduplication: pairs
+    must be collapsed into groups so each group keeps one canonical
+    document. Min-label propagation: every node starts labeled with its
+    own id; each round takes the min of its and its neighbors' labels;
+    converged when no label changes. Deterministic — the fixed point is
+    the component-min regardless of execution order — so the result is
+    DuckDB-oracle-checkable (recursive CTE).
+
+    Scale shape: each round is one equi-join of the edge list against the
+    label table plus a groupBy-min — shuffles keyed on node id only, with
+    map-side partial mins. Rounds needed = graph diameter; dup graphs are
+    overwhelmingly tiny cliques/chains (diameter ≤ 3). The label frame is
+    ``localCheckpoint``-ed each round to cut lineage growth — without it
+    the plan doubles per iteration. For adversarial long-chain graphs use
+    the large-star/small-star variant (alternating pointer-jumping,
+    O(log n) rounds); for dedup workloads this simple form is the right
+    cost.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "v"), on="v"
+        ).select(F.col("u").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, on="node")
+            .where(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

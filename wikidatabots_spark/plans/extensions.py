@@ -1050,6 +1050,39 @@ HAVING COUNT(*) >= 3
 """
 
 
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE
+pairs AS ({_WINNOW_PAIRS_ORACLE}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.node
+)
+SELECT node, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+
+@register("dedup_components", oracle=_COMPONENTS_ORACLE)
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs collapsed into dedup GROUPS — the step every real
+    dedup pipeline needs between pair generation and 'keep one canonical
+    doc per group'. Spark side: iterative min-label propagation over the
+    winnowing pair graph (operators.dedup.connected_components); oracle:
+    DuckDB recursive-CTE reachability closure. Both converge to the same
+    fixed point (component = min reachable id), so the iterative
+    algorithm is hash-checked end-to-end."""
+    from wikidatabots_spark.operators.dedup import connected_components
+
+    pairs = dedup_winnow_q(spark, sf_dir)
+    return connected_components(pairs)
+
+
 @register("dedup_winnow", oracle=_WINNOW_PAIRS_ORACLE)
 def dedup_winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidates by shared winnowing fingerprints — the

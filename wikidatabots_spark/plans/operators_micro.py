@@ -685,6 +685,45 @@ def op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return renamed
 
 
+# --- unpivot (melt): wide measures → long (measure, value) rows ------------
+@register(
+    "op_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       CAST(l_quantity AS DOUBLE) AS value
+FROM lineitem WHERE l_orderkey < 1000
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+FROM lineitem WHERE l_orderkey < 1000
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE)
+FROM lineitem WHERE l_orderkey < 1000
+""",
+)
+def op_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of op_pivot via the native ``unpivot`` (melt) operator
+    — wide per-row measures become long (measure, value) rows, a narrow
+    map with no shuffle. Values pass through unchanged (no arithmetic),
+    so doubles are hash-safe."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+            F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+            F.col("l_discount").cast("double").alias("l_discount"),
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
 # --- scale lever: salted skew join is row-identical to the plain join ------
 @register(
     "op_salted_join",
