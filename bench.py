@@ -69,6 +69,7 @@ HEADLINERS = [
     "sample_stratified",
     "emb_quantize",
     "mm_dedup_media",
+    "curate_corpus_v2",
 ]
 
 

@@ -79,6 +79,130 @@ WHERE qual.quality >= 0.5 AND lng.lang_guess = 'en'
 """
 
 
+_SPLIT_BUCKET_SQL = """
+    (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+  + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+  + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+  + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+"""
+
+
+def _curate_v2_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import (
+        _REPETITION_ORACLE,
+        _WINNOW_PAIRS_ORACLE,
+    )
+
+    return f"""
+WITH RECURSIVE
+qual AS ({_QUALITY_ORACLE}),
+lng AS ({_LANGID_ORACLE}),
+rep AS ({_REPETITION_ORACLE}),
+pairs AS ({_WINNOW_PAIRS_ORACLE}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL SELECT id_b, id_a FROM pairs
+),
+gnodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM gnodes
+    UNION
+    SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+dup_nodes AS (SELECT node FROM comp WHERE node != component),
+exact_canon AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+survivors AS (
+    SELECT doc_id FROM exact_canon
+    WHERE doc_id NOT IN (SELECT node FROM dup_nodes)
+),
+bucket AS (
+    SELECT doc_id, {_SPLIT_BUCKET_SQL} AS b FROM documents
+)
+SELECT s.doc_id, lng.lang_guess, qual.quality,
+       rep.type_token_ratio, rep.dup_2gram_frac,
+       CASE WHEN bucket.b < {_SPLIT_CUT} THEN 'train' ELSE 'holdout' END AS split
+FROM survivors s
+JOIN qual ON qual.doc_id = s.doc_id
+JOIN lng ON lng.doc_id = s.doc_id
+JOIN rep ON rep.doc_id = s.doc_id
+JOIN bucket ON bucket.doc_id = s.doc_id
+WHERE qual.quality >= 0.5 AND lng.lang_guess = 'en'
+  AND rep.dup_2gram_frac <= 0.05 AND rep.type_token_ratio >= 0.35
+"""
+
+
+@register("curate_corpus_v2", oracle=_curate_v2_oracle())
+def curate_corpus_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r3 flagship composition: exact dedup → winnowing near-dup
+    pairs → CONNECTED COMPONENTS (keep each group's min id) → quality +
+    language + Gopher-repetition gates → deterministic content-hash
+    split. vs curate_corpus (v1): near-dup grouping is transitive (a
+    pair chain collapses to ONE canonical doc, not pairwise survivors)
+    and the repetition gates are new. Every stage shuffles only
+    (hash/id) keys; the gates fuse into one codegen stage; the oracle
+    reproduces the whole pipeline including the component fixed point
+    (recursive CTE)."""
+    from wikidatabots_spark.operators.dedup import (
+        connected_components,
+        ensure_parallelism,
+        winnow_fingerprints,
+    )
+    from wikidatabots_spark.operators.textstats import with_repetition
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = (
+        d.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    fps = winnow_fingerprints(d, k=3, window=4)
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = (
+        a.join(b, on="fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+    comp = connected_components(pairs)
+    dup_nodes = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = exact.join(dup_nodes, "doc_id", "left_anti")
+    scored = with_repetition(
+        with_lang_guess(with_quality(ensure_parallelism(d, "doc_id")))
+    ).select(
+        "doc_id", "lang_guess", "quality", "type_token_ratio", "dup_2gram_frac"
+    )
+    split_bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        survivors.join(scored, "doc_id")
+        .where(
+            (F.col("quality") >= 0.5)
+            & (F.col("lang_guess") == "en")
+            & (F.col("dup_2gram_frac") <= 0.05)
+            & (F.col("type_token_ratio") >= 0.35)
+        )
+        .withColumn(
+            "split",
+            F.when(split_bucket < _SPLIT_CUT, F.lit("train")).otherwise(
+                F.lit("holdout")
+            ),
+        )
+    )
+
+
 @register("curate_corpus", oracle=_CURATE_ORACLE)
 def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
