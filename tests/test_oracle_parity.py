@@ -21,6 +21,8 @@ FAST = [
     "op_dates",
     "q1_pricing_summary",
     "q6_revenue_forecast",
+    "q13_customer_distribution",
+    "q21_waiting_supplier",
     "ev_hourly_rollup",
     "text_fingerprint",
     "tmdb_via_imdb",

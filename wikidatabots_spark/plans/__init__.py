@@ -15,6 +15,7 @@ from wikidatabots_spark.plans import (  # noqa: F401
     sql_api,
     tmdb,
     tpch,
+    tpch2,
 )
 from wikidatabots_spark.plans.registry import REGISTRY, oracle_sql, queries
 
