@@ -472,3 +472,38 @@ def test_connected_components_shapes(spark):
         (7, 7), (8, 7), (9, 7),
         (20, 20), (21, 20),
     }
+
+
+def test_vocab_topk_df_and_rank(spark):
+    from wikidatabots_spark.operators.textstats import vocab_topk
+
+    df = _docs(
+        spark,
+        [
+            (1, "apple banana apple"),   # apple counts once per doc (df)
+            (2, "apple cherry"),
+            (3, "banana cherry"),
+        ],
+    )
+    rows = {r.token: (r.df, r.rank) for r in vocab_topk(df, k=2).collect()}
+    # df: apple=2 banana=2 cherry=2 -> top-2 by (df desc, token) = apple, banana
+    assert rows == {"apple": (2, 1), "banana": (2, 2)}
+
+
+def test_ngram_collisions_detects_shared_gram(spark):
+    from wikidatabots_spark.operators.textstats import ngram_collisions
+
+    shared = "one two three four five"  # exactly one 5-gram
+    train = _docs(
+        spark,
+        [
+            (10, f"lead in {shared} and more words"),
+            (11, "totally disjoint text with no overlap at all"),
+        ],
+    )
+    bench = _docs(spark, [(99, f"{shared} benchmark continuation words")])
+    got = {
+        r.train_id: (r.n_collided_grams, r.n_bench_docs)
+        for r in ngram_collisions(train, bench, n=5).collect()
+    }
+    assert got == {10: (1, 1)}

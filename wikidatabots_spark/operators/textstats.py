@@ -199,6 +199,73 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("__w", "__nw", "__g2", "__g3")
 
 
+def vocab_topk(
+    df: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary by document frequency: the top-k tokens a
+    tokenizer-training / stopword-mining step starts from.
+
+    Returns (token, df BIGINT, rank INT), rank 1 = most common, ties
+    broken by token. Per-document distinct tokens (``array_distinct``
+    before the explode) so a doc votes once per type — document
+    frequency, not term frequency.
+
+    Scale shape: explode of per-doc distinct tokens → map-side-combined
+    groupBy(token) → global top-k via TakeOrderedAndProject (each task
+    keeps k rows; no full sort). The rank window runs on k rows only.
+    """
+    toks = df.select(
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("token")
+    )
+    counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    top = counted.orderBy(F.col("df").desc(), "token").limit(k)
+    w = Window.orderBy(F.col("df").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "token", "df", "rank"
+    )
+
+
+def ngram_collisions(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: word n-gram collisions between a
+    training corpus and an evaluation set (the GPT-3/PaLM-style 13-gram
+    overlap check, parameterized on n).
+
+    Returns one row per contaminated training doc:
+    (train_id, n_collided_grams BIGINT, n_bench_docs BIGINT).
+
+    Scale shape: both sides reduce to distinct (id, md5(gram)) pairs —
+    the text column never travels. The benchmark side is small by
+    definition (an eval set), so it broadcasts and the training side
+    never shuffles; the per-doc count_distinct is the only wide op.
+    """
+    def grams(d: DataFrame, out_id: str) -> DataFrame:
+        d2 = d.withColumn("__w", words(F.col(text_col))).withColumn(
+            "__nw", F.size(F.col("__w"))
+        )
+        g = _ngram_array(F.col("__w"), F.col("__nw"), n)
+        return d2.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(g)).alias("__g"),
+        ).select(out_id, F.md5(F.col("__g")).alias("gram_hash"))
+
+    tg = grams(train, "train_id")
+    bg = grams(bench, "bench_id")
+    return (
+        tg.join(F.broadcast(bg), "gram_hash")
+        .groupBy("train_id")
+        .agg(
+            F.count_distinct("gram_hash").alias("n_collided_grams"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     terms: list[str],

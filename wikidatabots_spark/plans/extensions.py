@@ -1003,6 +1003,107 @@ def emb_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_vocab_topk",
+    oracle="""
+SELECT token, df, rank FROM (
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(row_number() OVER (ORDER BY COUNT(*) DESC, token) AS INT)
+               AS rank
+    FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(lower(text), '\\s+'),
+                   x -> x != ''))) AS token
+        FROM documents
+    )
+    GROUP BY token
+) WHERE rank <= 100
+""",
+)
+def text_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by document frequency — the
+    stopword-mining / tokenizer-seeding step. Global top-k plans as
+    TakeOrderedAndProject (per-task k rows), not a full sort."""
+    from wikidatabots_spark.operators.textstats import vocab_topk
+
+    return vocab_topk(load_table(spark, sf_dir, "documents"), k=100)
+
+
+@register(
+    "text_contamination",
+    oracle="""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x != '') AS wl
+    FROM documents
+),
+g AS (
+    SELECT doc_id, md5(gr) AS gram_hash FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(wl) - 4, 0)),
+                   i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]
+                        || ' ' || wl[i+3] || ' ' || wl[i+4]))) AS gr
+        FROM w)
+)
+SELECT t.doc_id AS train_id,
+       CAST(COUNT(DISTINCT t.gram_hash) AS BIGINT) AS n_collided_grams,
+       CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+FROM (SELECT * FROM g WHERE doc_id % 7 <> 0) t
+JOIN (SELECT * FROM g WHERE doc_id % 7 = 0) b USING (gram_hash)
+GROUP BY t.doc_id
+""",
+)
+def text_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 5-gram
+    with the held-out slice (doc_id % 7 == 0 stands in for the eval
+    set). The eval side broadcasts — the training corpus never
+    shuffles."""
+    from wikidatabots_spark.operators.textstats import ngram_collisions
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    return ngram_collisions(train, bench, n=5)
+
+
+@register(
+    "corpus_length_histogram",
+    oracle="""
+SELECT CAST(length(CAST(n_chars AS VARCHAR)) AS INT) AS n_digits,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents
+GROUP BY CAST(length(CAST(n_chars AS VARCHAR)) AS INT)
+""",
+)
+def corpus_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: decimal-magnitude length histogram (bucket =
+    digit count of n_chars — exact integer math, unlike floor(log2)
+    whose libm rounding differs across engines at power boundaries)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.length(F.col("n_chars").cast("string")).alias("n_digits")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                "avg_chars"
+            ),
+        )
+    )
+
+
 _WINNOW_ORACLE = """
 WITH words AS (
     SELECT doc_id,
