@@ -70,6 +70,12 @@ HEADLINERS = [
     "emb_quantize",
     "mm_dedup_media",
     "curate_corpus_v2",
+    # round-3 wave 2: remaining TPC-H shapes + decontamination + vocab
+    "q9_product_profit",
+    "q21_waiting_supplier",
+    "text_contamination",
+    "text_vocab_topk",
+    "dedup_winnow",
 ]
 
 

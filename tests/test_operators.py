@@ -507,3 +507,33 @@ def test_ngram_collisions_detects_shared_gram(spark):
         for r in ngram_collisions(train, bench, n=5).collect()
     }
     assert got == {10: (1, 1)}
+
+
+def test_vocab_topk_plan_is_partial_topk(spark, sf_dir):
+    """Global top-k must plan as TakeOrderedAndProject (per-task k rows),
+    never a full global sort of the vocabulary."""
+    from wikidatabots_spark.operators.textstats import vocab_topk
+    from wikidatabots_spark.sources.tables import load_table
+
+    out = vocab_topk(load_table(spark, sf_dir, "documents"), k=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ngram_collisions_plan_broadcasts_bench(spark, sf_dir):
+    """The eval-set side must broadcast: the training corpus never
+    shuffles for the collision join."""
+    from pyspark.sql import functions as F
+
+    from wikidatabots_spark.operators.textstats import ngram_collisions
+    from wikidatabots_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_collisions(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0),
+        n=5,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
