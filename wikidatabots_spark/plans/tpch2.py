@@ -250,25 +250,28 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, one multiply, bit-identical across engines, so the strict
     ``<`` filters the same rows.
 
-    Scale notes: at 100 TB the per-part average is computed only for
-    the filtered parts' rows if the optimizer pushes the semi-join —
-    here it stays a full per-part agg (the oracle must see identical
-    thresholds), which is one map-side-combined shuffle of (partkey,
-    sum, count) — still linear and skew-free.
+    Scale notes: the part filter is pushed INTO the average — a part's
+    threshold depends only on that part's own lineitem rows, so
+    averaging over the broadcast-filtered join produces bit-identical
+    thresholds while shuffling only the filtered parts' rows (the
+    oracle computes thresholds for every part, then discards the
+    unfiltered ones — same values, so the hash still matches).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "ECONOMY")
+    )
+    lp = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = lp.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         (
             F.lit(0.2)
             * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
         ).alias("threshold")
     )
-    p = load_table(spark, sf_dir, "part").where(
-        (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "ECONOMY")
-    )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        lp.join(avg_qty, lp.l_partkey == F.col("ap_partkey"))
         .where(F.col("l_quantity") < F.col("threshold"))
         .agg(
             (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
@@ -348,50 +351,51 @@ LIMIT 10
 )
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q21 shape with lateness := shipped >45 days after the order
-    date (the schema has no commit/receipt dates). One semi-join keeps
-    multi-supplier orders, one anti-join drops orders where any OTHER
-    supplier was also late; ranked output has a total (numwait desc,
-    s_name) order so the LIMIT 10 set is deterministic.
+    date (the schema has no commit/receipt dates). Ranked output has a
+    total (numwait desc, s_name) order so the LIMIT 10 set is
+    deterministic.
 
-    Scale notes: ``late`` is lineitem⋈orders projected to 17 bytes/row;
-    the self-semi/anti joins shuffle only (orderkey, suppkey, flag).
-    Spark plans the two EXISTS as shuffle joins on l_orderkey — the same
-    partitioning all three sides share, so AQE coalesces into one
-    exchange reuse.
+    Spark-first re-expression: the literal EXISTS/NOT-EXISTS translation
+    (the oracle's form) is two self-joins against ``late`` — three full
+    recomputations of lineitem⋈orders, since the differing filters make
+    the exchanges non-reusable. Per-order aggregation is equivalent and
+    touches the fact join once:
+
+    - supplier s "kept order o waiting" ⇔ s is late in o, o has another
+      supplier (EXISTS), and no OTHER supplier is late (NOT EXISTS)
+      ⇔ o's distinct-supplier count > 1 and its late-supplier set is
+      exactly {s}; numwait counts s's late line items in such orders.
+
+    Two shuffles total — groupBy (orderkey, suppkey), then groupBy
+    orderkey — both of 16-byte rows; the text-book anti-join plan is
+    strictly worse at any scale.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
-    late = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            (
-                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
-            ).alias("is_late"),
-        )
+    late = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+        ).alias("is_late"),
     )
-    l1 = late.where(F.col("is_late"))
-    l2 = late.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    per_os = late.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.col("is_late").cast("bigint")).alias("late_rows")
     )
-    l3 = late.where(F.col("is_late")).select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("late_rows") > 0).cast("bigint")).alias("n_late_supp"),
     )
     su = load_table(spark, sf_dir, "supplier")
     waiting = (
-        l1.join(
-            l2,
-            (l1.l_orderkey == F.col("o2")) & (l1.l_suppkey != F.col("s2")),
-            "left_semi",
+        per_os.join(per_o, "l_orderkey")
+        .where(
+            (F.col("late_rows") > 0)
+            & (F.col("n_late_supp") == 1)
+            & (F.col("n_supp") > 1)
         )
-        .join(
-            l3,
-            (l1.l_orderkey == F.col("o3")) & (l1.l_suppkey != F.col("s3")),
-            "left_anti",
-        )
-        .join(F.broadcast(su), l1.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(su), per_os.l_suppkey == su.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_rows").alias("numwait"))
     )
     return waiting.orderBy(F.col("numwait").desc(), "s_name").limit(10)
