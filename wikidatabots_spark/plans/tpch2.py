@@ -399,3 +399,67 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("late_rows").alias("numwait"))
     )
     return waiting.orderBy(F.col("numwait").desc(), "s_name").limit(10)
+
+
+# --- q11: important stock identification ------------------------------------
+@register(
+    "q11_important_stock",
+    oracle="""
+WITH per_part AS (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS value
+FROM per_part,
+     (SELECT SUM(val) AS total, CAST(COUNT(*) AS DECIMAL(9,0)) AS nparts
+      FROM per_part) t
+WHERE val * nparts > total * CAST(2 AS DECIMAL(1,0))
+""",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape adapted to the schema (no ``partsupp``): a part is
+    "important stock" for NATION_3 when its suppliers' lineitem revenue
+    exceeds twice the average per-part revenue for that nation. The spec
+    scales its fixed fraction by 1/SF so the result set stays stable as
+    data grows; a relative threshold achieves the same scale-invariance
+    without an out-of-band SF constant. The comparison is cross-multiplied
+    (``val·nparts > 2·total``) so both sides are exact decimal products —
+    no division, no rounding, bit-identical kept set across engines.
+    decimal(18,2) sums cap the product at precision 28, inside both
+    engines' exact range.
+
+    Scale notes: supplier filtered by a broadcast nation semi-join, then
+    broadcast into lineitem (dim-sized), so the only full shuffle is the
+    per-part aggregation. The global total re-aggregates the per-part
+    result (thousands of rows, not the fact table) and broadcasts back —
+    the textbook scalar-subquery plan with one scan of lineitem.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    nat_su = su.join(F.broadcast(n), su.s_nationkey == n.n_nationkey, "left_semi")
+    per_part = (
+        li.join(F.broadcast(nat_su), li.l_suppkey == nat_su.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice", "18,2")).alias("val"))
+    )
+    total = per_part.agg(
+        F.sum("val").alias("total"),
+        F.count(F.lit(1)).cast("decimal(9,0)").alias("nparts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(
+            F.col("val") * F.col("nparts")
+            > F.col("total") * F.lit(2).cast("decimal(1,0)")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("val").cast("double").alias("value"),
+        )
+    )
