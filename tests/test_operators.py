@@ -537,3 +537,30 @@ def test_ngram_collisions_plan_broadcasts_bench(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_substring_duplication_counts(spark):
+    """A window duplicated anywhere in the corpus (across OR within
+    documents) is counted at every occurrence; unique docs count zero."""
+    from wikidatabots_spark.operators.dedup import substring_duplication
+
+    run = "s1 s2 s3 s4 s5 s6 s7 s8"  # one exact 8-word window
+    df = _docs(
+        spark,
+        [
+            (1, f"a1 a2 {run}"),           # 10 words -> 3 windows, 1 dup
+            (2, f"{run} b1 b2"),           # 10 words -> 3 windows, 1 dup
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),  # unique -> 0 dup
+            (4, f"{run} zz {run}"),        # within-doc repeat -> 2 dup
+            (5, "too short"),              # < k words -> 0 windows
+        ],
+    )
+    out = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in substring_duplication(df, k=8).collect()
+    }
+    assert out[1] == (3, 1)
+    assert out[2] == (3, 1)
+    assert out[3] == (2, 0)
+    assert out[4] == (10, 2)
+    assert out[5] == (0, 0)

@@ -653,3 +653,76 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def substring_duplication(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-level duplication stats (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL '22): every run of
+    ``k`` consecutive words is a window; a window whose text occurs more
+    than once ANYWHERE in the corpus (within or across documents) is
+    duplicated. Returns one row per document:
+    ``(id, n_windows, n_dup_windows)`` — the standard inputs to both
+    span-removal and doc-level "mostly duplicated" gates.
+
+    The reference has no counterpart (north-star component). Paper-default
+    windows are 50 tokens; ``k`` is a parameter because the synthetic docs
+    are 10-99 words.
+
+    Plan shape: window GENERATION is the same zero-shuffle array math as
+    ``winnow_fingerprints`` — one narrow map producing an xxhash64 per
+    window (hashes are join keys only, never output, so they need no
+    cross-engine reproducibility — only within-engine determinism).
+    Then three narrow-row shuffles, each skew-bounded:
+
+    1. groupBy (h, id) count — map-side combine collapses within-doc
+       repeats of a hot window before anything crosses the wire;
+    2. a SUM window over the h partitioning (corpus-total occurrences);
+       a boilerplate window shared by every document sees at most one
+       row per document here, not one per occurrence, because of (1);
+    3. groupBy id over the dup-filtered rows, joined back to the narrow
+       (id, n_windows) projection.
+
+    At 100 TB nothing wide ever moves: shuffled rows are (8-byte hash,
+    id, count). The blob column never leaves stage one.
+    """
+    from pyspark.sql import Window
+
+    wl_expr = F.filter(F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != "")
+    base = ensure_parallelism(
+        df.select(F.col(id_col), wl_expr.alias("__wl")), id_col
+    )
+    wl = F.col("__wl")
+    idx = F.when(
+        F.size(wl) >= k, F.sequence(F.lit(1), F.size(wl) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    # materialize the window-hash array as a projected column: no CSE
+    # through HOF lambdas (same 10x trap as winnow/shingles)
+    hashed = base.select(
+        F.col(id_col),
+        F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(wl, i, k)))
+        ).alias("__ws"),
+    )
+    per_doc = hashed.select(
+        F.col(id_col), F.size("__ws").cast("bigint").alias("n_windows"), "__ws"
+    )
+    wins = per_doc.select(F.col(id_col), F.explode("__ws").alias("h"))
+    g1 = wins.groupBy("h", id_col).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = g1.withColumn(
+        "tot", F.sum("cnt").over(Window.partitionBy("h"))
+    )
+    dup = (
+        tot.where(F.col("tot") > 1)
+        .groupBy(id_col)
+        .agg(F.sum("cnt").alias("__nd"))
+    )
+    return per_doc.drop("__ws").join(dup, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_windows"),
+        F.coalesce(F.col("__nd"), F.lit(0).cast("bigint")).alias("n_dup_windows"),
+    )

@@ -1204,3 +1204,47 @@ def dedup_winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= 3)
     )
+
+
+_SUBSTRING_ORACLE = """
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x != '') AS wl
+    FROM documents
+),
+base AS (
+    SELECT doc_id, CAST(greatest(len(wl) - 7, 0) AS BIGINT) AS n_windows
+    FROM words
+),
+wins AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(wl) - 7, 0)),
+                  i -> array_to_string(wl[i:i+7], ' '))) AS win
+    FROM words
+),
+dupwin AS (SELECT win FROM wins GROUP BY win HAVING COUNT(*) > 1),
+dup AS (
+    SELECT doc_id, COUNT(*) AS n_dup
+    FROM wins
+    WHERE win IN (SELECT win FROM dupwin)
+    GROUP BY doc_id
+)
+SELECT b.doc_id AS doc_id, b.n_windows,
+       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_windows
+FROM base b LEFT JOIN dup d ON b.doc_id = d.doc_id
+"""
+
+
+@register("dedup_substring", oracle=_SUBSTRING_ORACLE)
+def dedup_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring duplication (Lee et al. ACL'22): per-document count
+    of 8-word windows whose text occurs more than once in the corpus —
+    the inputs to span-removal / mostly-duplicated-document gates. The
+    oracle rebuilds the windows as strings; Spark ships only xxhash64
+    window keys (internal join identity, never output)."""
+    from wikidatabots_spark.operators.dedup import substring_duplication
+
+    return substring_duplication(
+        load_table(spark, sf_dir, "documents"), k=8
+    )
