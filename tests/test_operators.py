@@ -564,3 +564,23 @@ def test_substring_duplication_counts(spark):
     assert out[3] == (2, 0)
     assert out[4] == (10, 2)
     assert out[5] == (0, 0)
+
+
+def test_pii_redaction(spark):
+    from wikidatabots_spark.operators.textstats import with_pii_redacted
+
+    df = _docs(
+        spark,
+        [
+            (1, "mail a.b+c@foo-bar.example.COM and 192.168.0.1 ok"),
+            (2, "call +44 (0) 20 7946 0958 twice: 555 123 4567 x"),
+            (3, "clean text with no pii at all"),
+        ],
+    )
+    out = {r.doc_id: r for r in with_pii_redacted(df).collect()}
+    assert out[1].n_emails == 1 and out[1].n_ips == 1
+    assert out[1].redacted == "mail <EMAIL> and <IP> ok"
+    assert out[2].n_phones == 2
+    assert "<PHONE>" in out[2].redacted and "0958" not in out[2].redacted
+    assert out[3].redacted == "clean text with no pii at all"
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 0)

@@ -351,3 +351,49 @@ def bm25_topk(
         .cast("int"),
     )
     return ranked.where(F.col("rank") <= k).select(id_col, "rank", "total_tf")
+
+
+# PII patterns — deliberately restricted to syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB oracle): character
+# classes with trailing literal '-', bounded repetition, no backrefs,
+# no lookaround. Order matters: emails first (their local parts contain
+# digit runs), then IPs (dots keep them out of the phone class), then
+# free-standing phone-like digit runs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+PII_PHONE = r"[0-9][0-9 ()+-]{7,}[0-9]"
+
+
+def with_pii_redacted(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """PII scrub — the standard pre-training hygiene pass: replace
+    emails / IPv4 addresses / phone-like digit runs with typed
+    placeholder tokens and count each kind (the counts feed doc-level
+    "PII-dense" drop gates).
+
+    Counts are computed on the ORIGINAL text, independently per kind —
+    safe because the three patterns cannot overlap (the email local part
+    is capped under the phone run length by '@', and dots exclude IPs
+    from the phone class); redaction applies sequentially in the same
+    order both here and in the oracle.
+
+    Scale: one narrow map, three JVM regex passes over the text column,
+    zero shuffles; pipelines with the scan like every other textstats
+    operator. No reference counterpart (north-star component).
+    """
+    t = F.col(text_col)
+
+    def _n(pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pattern), 0)).cast("bigint")
+
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return df.select(
+        "*",
+        _n(PII_EMAIL).alias("n_emails"),
+        _n(PII_IPV4).alias("n_ips"),
+        _n(PII_PHONE).alias("n_phones"),
+        red.alias(out_col),
+    )

@@ -1248,3 +1248,58 @@ def dedup_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_duplication(
         load_table(spark, sf_dir, "documents"), k=8
     )
+
+
+_PII_ORACLE = """
+WITH injected AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@ex-' || source || '.org or 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.'
+                || CAST((doc_id * 7) % 256 AS VARCHAR)
+                || ' call +1 555 0'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '[0-9][0-9 ()+-]{7,}[0-9]')) AS BIGINT) AS n_phones,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+           '[0-9][0-9 ()+-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+FROM injected
+"""
+
+
+@register("text_pii_scrub", oracle=_PII_ORACLE)
+def text_pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus. The synthetic documents carry no
+    real PII, so the query deterministically injects an email, an IPv4
+    and a phone-like run derived from (doc_id, source) into every row
+    FIRST — the scrub then has real work whose counts and redacted text
+    the oracle reproduces byte-for-byte."""
+    from wikidatabots_spark.operators.textstats import with_pii_redacted
+
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex-"),
+            F.col("source"),
+            F.lit(".org or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" call +1 555 0"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        ).alias("t"),
+    )
+    return with_pii_redacted(injected, text_col="t").drop("t")
