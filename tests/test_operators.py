@@ -584,3 +584,23 @@ def test_pii_redaction(spark):
     assert "<PHONE>" in out[2].redacted and "0958" not in out[2].redacted
     assert out[3].redacted == "clean text with no pii at all"
     assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 0)
+
+
+def test_pack_sequences_contiguity(spark):
+    """Within a shard, bins are contiguous: each doc starts in the bin
+    where the previous doc ended (or the next one), offsets never skip."""
+    from wikidatabots_spark.operators.textstats import pack_sequences
+
+    docs = [(i, " ".join(["w"] * (30 + 17 * (i % 7)))) for i in range(1, 41)]
+    out = pack_sequences(_docs(spark, docs), ctx=64, n_shards=4).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    assert {r.shard for r in out} == {0, 1, 2, 3}
+    for rows in by_shard.values():
+        cum = 0
+        for r in rows:
+            assert r.bin_first == cum // 64
+            assert r.bin_last == (cum + r.n_tokens - 1) // 64
+            assert r.bin_first <= r.bin_last
+            cum += r.n_tokens

@@ -397,3 +397,56 @@ def with_pii_redacted(
         _n(PII_PHONE).alias("n_phones"),
         red.alias(out_col),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx: int = 512,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy contiguous sequence packing — the training-batch layout
+    step: documents are concatenated in deterministic order and chopped
+    into ``ctx``-token bins; each document learns which bins its tokens
+    land in (``bin_first``..``bin_last``, bins crossing document
+    boundaries as GPT-style packing does).
+
+    Packing is per-shard (``shard = id % n_shards``) rather than global:
+    membership and order depend only on the id, so the layout is
+    reproducible run-to-run AND each shard packs independently in
+    parallel — a global concatenation order would serialize the whole
+    corpus through one task. At 100 TB you raise ``n_shards`` to the
+    write parallelism you want; the per-shard window sort is the
+    unavoidable cost of contiguity (each shard is one sort partition).
+
+    All integer math (token counts, cumulative offsets, integer
+    division) — bit-identical across engines by construction.
+    """
+    wl = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    t = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        F.size(wl).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    last_tok = F.when(F.col("n_tokens") == 0, start).otherwise(F.col("cum") - 1)
+    return c.select(
+        F.col(id_col),
+        "shard",
+        "n_tokens",
+        start.alias("__start"),
+        last_tok.alias("__lt"),
+    ).select(
+        F.col(id_col),
+        "shard",
+        "n_tokens",
+        F.expr(f"__start DIV {ctx}").alias("bin_first"),
+        F.expr(f"__lt DIV {ctx}").alias("bin_last"),
+    )

@@ -1303,3 +1303,36 @@ def text_pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     return with_pii_redacted(injected, text_col="t").drop("t")
+
+
+_PACK_ORACLE = """
+WITH t AS (
+    SELECT doc_id, CAST(doc_id % 32 AS INT) AS shard,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x != '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, shard, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_first,
+       CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens)
+                 ELSE cum - 1 END // 512 AS BIGINT) AS bin_last
+FROM c
+"""
+
+
+@register("corpus_pack_sequences", oracle=_PACK_ORACLE)
+def corpus_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing of the corpus into 512-token bins,
+    sharded by doc_id % 32 so each shard packs independently (the global
+    concatenation order would serialize the corpus through one task)."""
+    from wikidatabots_spark.operators.textstats import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), ctx=512, n_shards=32
+    )
