@@ -263,3 +263,121 @@ def ev_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
+
+
+_EV_FUNNEL_ORACLE = """
+WITH su AS (
+    SELECT user_id, MIN(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+    SELECT s.user_id, MIN(e.ts) AS first_conv
+    FROM su s JOIN events e ON e.user_id = s.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+      AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+    GROUP BY s.user_id
+)
+SELECT CAST(date_trunc('day', s.signup_ts) AS DATE) AS signup_day,
+       COUNT(*) AS n_signups,
+       CAST(COUNT(c.first_conv) AS BIGINT) AS n_converted,
+       CAST(COALESCE(SUM(epoch_us(c.first_conv) - epoch_us(s.signup_ts)), 0)
+            AS BIGINT) AS sum_conv_us
+FROM su s LEFT JOIN conv c ON s.user_id = c.user_id
+GROUP BY 1
+"""
+
+
+@register("ev_funnel", oracle=_EV_FUNNEL_ORACLE)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion funnel: per signup-day cohort, how many
+    users signed up, how many made their first purchase within 7 days,
+    and the exact summed conversion latency (microseconds — integer,
+    engine-exact; the consumer divides for an average).
+
+    Scale notes: both sides reduce to per-user rows before anything
+    joins — signups aggregate to (user, min ts) and the purchase join
+    output re-aggregates on the same user_id partitioning, so the two
+    groupBys and the join share one exchange; the final per-day rollup
+    is dimension-sized. No window functions, no fact-x-fact blowup: the
+    join is per-user signup row x that user's purchases only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        su.join(pu, "user_id")
+        .where(
+            (F.col("pts") > F.col("signup_ts"))
+            & (F.col("pts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("first_conv"))
+    )
+    return (
+        su.join(conv, "user_id", "left")
+        .groupBy(F.to_date("signup_ts").alias("signup_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.count("first_conv").alias("n_converted"),
+            F.coalesce(
+                F.sum(F.unix_micros("first_conv") - F.unix_micros("signup_ts")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("sum_conv_us"),
+        )
+    )
+
+
+_EV_RETENTION_ORACLE = """
+WITH first_seen AS (
+    SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+    FROM events GROUP BY user_id
+),
+active AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+)
+SELECT CAST(f.cw AS DATE) AS cohort_week,
+       CAST(date_diff('day', f.cw, a.aw) // 7 AS INT) AS week_offset,
+       COUNT(*) AS n_active_users
+FROM first_seen f JOIN active a ON f.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("ev_retention", oracle=_EV_RETENTION_ORACLE)
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by the week of
+    their first event; each (cohort_week, week_offset) cell counts users
+    from that cohort active in that later week. Offsets are exact-int
+    (both engines truncate weeks to Monday, so the day diff is a
+    multiple of 7).
+
+    Scale notes: the fact table collapses to per-user rows twice —
+    groupBy user (first event) and distinct (user, week) — both
+    map-side-combined on the same user_id-prefixed keys; the join is
+    per-user and the retention matrix itself is tiny (weeks x offsets).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("aw")
+    ).distinct()
+    return (
+        first_seen.join(active, "user_id")
+        .groupBy(
+            F.to_date("cw").alias("cohort_week"),
+            (F.datediff(F.to_date("aw"), F.to_date("cw")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
