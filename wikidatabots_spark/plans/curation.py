@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wikidatabots_spark.functions.scale import pushdown_fence
 from wikidatabots_spark.operators.dedup import simhash
 from wikidatabots_spark.operators.textstats import with_lang_guess, with_quality
 from wikidatabots_spark.plans.extensions import (
@@ -174,10 +175,14 @@ def curate_corpus_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id")
     )
     survivors = exact.join(dup_nodes, "doc_id", "left_anti")
-    scored = with_repetition(
-        with_lang_guess(with_quality(ensure_parallelism(d, "doc_id")))
-    ).select(
-        "doc_id", "lang_guess", "quality", "type_token_ratio", "dup_2gram_frac"
+    # pushdown_fence: without it Catalyst substitutes the HOF-heavy
+    # score definitions into the gate predicate below (measured 20x)
+    scored = pushdown_fence(
+        with_repetition(
+            with_lang_guess(with_quality(ensure_parallelism(d, "doc_id")))
+        ).select(
+            "doc_id", "lang_guess", "quality", "type_token_ratio", "dup_2gram_frac"
+        )
     )
     split_bucket = F.conv(
         F.substring(
@@ -228,8 +233,10 @@ def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     #      cluster width (no-op on real multi-split inputs).
     from wikidatabots_spark.operators.dedup import ensure_parallelism
 
-    scored = with_lang_guess(with_quality(ensure_parallelism(d, "doc_id"))).select(
-        "doc_id", "lang_guess", "quality"
+    scored = pushdown_fence(
+        with_lang_guess(with_quality(ensure_parallelism(d, "doc_id"))).select(
+            "doc_id", "lang_guess", "quality"
+        )
     )
     split_bucket = F.conv(
         F.substring(
