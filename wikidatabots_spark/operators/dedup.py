@@ -623,15 +623,33 @@ def connected_components(
     # it, and without the checkpoint each iteration would re-execute the
     # whole upstream pair-generation pipeline (same reason GraphX caches
     # its edge RDD before iterating)
-    sym = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    # Hash-partition the edge list by the join side ONCE, before the
+    # checkpoint: LogicalRDD preserves outputPartitioning, and the label
+    # frame arrives at each round's join already hashed on the same key
+    # (it is the groupBy("node") output), so the per-round join runs
+    # exchange-free — the only shuffle left per iteration is the
+    # unavoidable groupBy("node") re-key from v-space to u-space.
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(F.col("v"))
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by the probe below
     )
+    # Convergence probe: per-node labels are monotonically non-increasing
+    # (each round takes min(own, neighbors')), so sum(label) strictly
+    # decreases until the fixed point. Reading the sum from the SAME
+    # action that materializes the round's lazy checkpoint makes each
+    # iteration exactly ONE Spark job (the eager-checkpoint + separate
+    # changed-count form was two). Decimal sum: exact at any node count,
+    # no bigint-overflow edge at cluster-scale id ranges.
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
     for _ in range(max_iter):
         nbr = sym.join(
             labels.withColumnRenamed("node", "v"), on="v"
@@ -640,18 +658,15 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, on="node")
-            .where(F.col("new_label") != F.col("label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("node", F.col("label").alias("component"))
 
 
