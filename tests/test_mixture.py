@@ -1,0 +1,57 @@
+"""Mixture-resampling semantics: target proportions hit within hash
+granularity, epochs for up-sampled strata, per-row determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikidatabots_spark.operators.mixture import mix_epochs
+from wikidatabots_spark.sources.tables import load_table
+
+
+def test_mix_epochs_hits_target_shares(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = mix_epochs(
+        d, "doc_id", "source", weights={"src0": 1, "src1": 9}, default_weight=3
+    )
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(per.values())
+    n_in = d.count()
+    # same-size remix: budget defaults to the input count
+    assert abs(total - n_in) / n_in < 0.05
+    # weights 1 / 9 / 3x18 -> shares 1/64, 9/64, 3/64 each
+    assert abs(per["src0"] / total - 1 / 64) < 0.01
+    assert abs(per["src1"] / total - 9 / 64) < 0.01
+    assert abs(per["src5"] / total - 3 / 64) < 0.015
+
+
+def test_mix_epochs_upsample_repeats_docs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = mix_epochs(
+        d, "doc_id", "source", weights={"src1": 9}, default_weight=3
+    ).where(F.col("source") == "src1")
+    # rate for src1 = 9/(9+19*3) * 66 per-source docs budget / cnt > 1:
+    # every src1 doc appears at least twice, epochs numbered from 1
+    mx = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.min("epoch").alias("lo"),
+        F.max("epoch").alias("hi"))
+    rows = mx.collect()
+    assert rows and all(r["n"] >= 2 for r in rows)
+    assert all(r["lo"] == 1 and r["hi"] == r["n"] for r in rows)
+
+
+def test_mix_epochs_membership_is_per_row_deterministic(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = mix_epochs(d, "doc_id", "source", weights={"src0": 1}, default_weight=3)
+    b = mix_epochs(d, "doc_id", "source", weights={"src0": 1}, default_weight=3)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # tuning ANOTHER stratum's weight must not move src5 rows the same
+    # direction-agnostic way sample_hash_stratified guarantees: src5's
+    # kept set under a src0-only change is a sub/superset, never a swap
+    c = mix_epochs(d, "doc_id", "source", weights={"src0": 9}, default_weight=3)
+    s5_b = {r["doc_id"] for r in b.where(F.col("source") == "src5")
+            .select("doc_id").distinct().collect()}
+    s5_c = {r["doc_id"] for r in c.where(F.col("source") == "src5")
+            .select("doc_id").distinct().collect()}
+    assert s5_c <= s5_b or s5_b <= s5_c
