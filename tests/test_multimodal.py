@@ -92,3 +92,16 @@ def test_decode_image_soft_import():
 
         with pytest.raises(NotImplementedError):
             decode_image(b"not-an-image")
+
+
+def test_resize_media_bounded_and_null_safe(spark):
+    from wikidatabots_spark.operators.multimodal import resize_media
+
+    out = resize_media(_media(spark), width=2, height=2).collect()
+    by_id = {r.media_id: r for r in out}
+    # 16 bytes at 2x2 -> stride 4: positions 0,4,8,12
+    assert bytes(by_id[1].resized) == b"048c"
+    # shorter than target: stride 1, whole blob survives
+    assert bytes(by_id[2].resized) == b"xy"
+    assert by_id[3].resized is None
+    assert all(r.resized is None or len(r.resized) <= 4 for r in out)

@@ -126,6 +126,46 @@ def sample_frames(
     return df.select(F.col(id_col), F.col(data_col)).mapInPandas(gen, FRAME_SCHEMA)
 
 
+def _fake_resize(data: bytes, n_target: int) -> bytes:
+    """DETERMINISTIC FAKE resize: stride-sample the blob down to at most
+    ``n_target`` bytes (positions 0, k, 2k, ... with k = len // n_target).
+
+    Stands in for 'decode image, bilinear-resample to w x h, re-encode';
+    keeps the real plumbing — binary in, smaller binary out, bounded
+    output size — with SQL-reproducible bytes (the stride positions are
+    pure integer arithmetic over the input length).
+    """
+    k = max(len(data) // n_target, 1)
+    return data[::k][:n_target]
+
+
+def resize_media(
+    df: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    out_col: str = "resized",
+) -> DataFrame:
+    """Resize every blob to a ``width x height`` thumbnail (pandas UDF,
+    Arrow-batched) — the decode step is stubbed like :func:`decode_image`
+    (no imaging lib in container); swap ``_fake_resize`` for
+    PIL ``Image.resize`` at deploy time without touching the plan shape.
+
+    Scale shape: narrow map over the blob column — the bytes never
+    shuffle, and the output is strictly smaller (bounded w*h), so a
+    downstream cache/collect of thumbnails is safe where the originals
+    would not be.
+    """
+    n_target = width * height
+
+    @F.pandas_udf(BinaryType())
+    def rz(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: None if b is None else _fake_resize(bytes(b), n_target))
+
+    return df.withColumn(out_col, rz(F.col(data_col)))
+
+
 def _fake_features(data: bytes) -> list[float]:
     """DETERMINISTIC FAKE embedding: sha256 bytes → FEATURE_DIM floats in
     [-1, 1). Replaces 'decode + model forward pass'."""

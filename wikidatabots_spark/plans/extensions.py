@@ -548,6 +548,52 @@ def mm_sample_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The fake resizer stride-samples bytes at positions j*k (k = len//64,
+# j < 64) — pure integer arithmetic over ASCII text, so DuckDB rebuilds
+# the identical thumbnail bytes with substr + string_agg and the sha256
+# digest pins them exactly.
+_MM_RESIZE_ORACLE = """
+WITH m AS (
+    SELECT doc_id AS media_id, text, length(text) AS n,
+           greatest(length(text) // 64, 1) AS k
+    FROM documents
+),
+px AS (
+    SELECT media_id, j,
+           substr(text, CAST(j * k + 1 AS BIGINT), 1) AS ch
+    FROM m, generate_series(0, 63) AS g(j)
+    WHERE j * k + 1 <= n
+),
+r AS (
+    SELECT media_id, string_agg(ch, '' ORDER BY j) AS resized
+    FROM px GROUP BY media_id
+)
+SELECT media_id,
+       CAST(length(resized) AS BIGINT) AS out_len,
+       sha256(resized) AS resized_sha256
+FROM r
+"""
+
+
+@register("mm_resize", oracle=_MM_RESIZE_ORACLE)
+def mm_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail resize over binary media: Arrow-batched pandas UDF,
+    blob never shuffles, output bounded at 8x8 bytes (deterministic
+    stride fake standing in for the container-absent image decoder).
+    Digest projection (length + sha256) keeps the row hash-checked."""
+    from wikidatabots_spark.operators.multimodal import resize_media
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+    return resize_media(d, width=8, height=8).select(
+        "media_id",
+        F.length("resized").cast("bigint").alias("out_len"),
+        F.sha2("resized", 256).alias("resized_sha256"),
+    )
+
+
 # The fake embedding is byte i of sha256(data), mapped to h/128-1 — a
 # dyadic rational exact in float32. The projection inverts that map back
 # to the integer byte (round((x+1)*128), exact in double), so the digest
