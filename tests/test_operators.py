@@ -604,3 +604,19 @@ def test_pack_sequences_contiguity(spark):
             assert r.bin_last == (cum + r.n_tokens - 1) // 64
             assert r.bin_first <= r.bin_last
             cum += r.n_tokens
+
+
+def test_classifier_score_deterministic_and_bounded(spark):
+    from wikidatabots_spark.operators.textstats import with_classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "the quick fox"), (2, ""), (3, None), (4, "the the the")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.cls_score for r in with_classifier_score(df).collect()}
+    assert out[2] is None and out[3] is None
+    assert -1.0 <= out[1] <= 1.0
+    # identical tokens -> score is the single-token weight regardless of count
+    one = {r.doc_id: r.cls_score for r in with_classifier_score(
+        spark.createDataFrame([(5, "the")], "doc_id long, text string")).collect()}
+    assert abs(out[4] - one[5]) < 1e-12

@@ -450,3 +450,67 @@ def pack_sequences(
         F.expr(f"__start DIV {ctx}").alias("bin_first"),
         F.expr(f"__lt DIV {ctx}").alias("bin_last"),
     )
+
+
+# hashed-feature linear classifier: bucket count + a multiplicative-hash
+# weight table. Knuth constant mod an ODD range centered on zero — every
+# quantity integer, so scores are bit-identical across engines.
+CLS_BUCKETS = 1024
+_CLS_MULT = 2654435761
+_CLS_RANGE = 2001  # weights in [-1000, 1000]
+
+
+def _token_weight(w: Column) -> Column:
+    """Integer weight of one token: md5 16-bit bucket -> multiplicative
+    hash into [-1000, 1000]."""
+    bucket = (
+        F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long") % CLS_BUCKETS
+    )
+    return (bucket * F.lit(_CLS_MULT)) % F.lit(_CLS_RANGE) - F.lit(
+        (_CLS_RANGE - 1) // 2
+    )
+
+
+def with_classifier_score(
+    df: DataFrame, text_col: str = "text", score_col: str = "cls_score"
+) -> DataFrame:
+    """Fasttext-shaped linear quality classifier over hashed token
+    features — the "model-based quality filter" stage of CCNet / LLaMA /
+    DCLM-style pipelines, with the model reduced to what a linear text
+    classifier IS at inference time: token -> hash bucket -> weight,
+    score = mean weight, gate on sign/threshold.
+
+    The weight table here is a deterministic function of the bucket id
+    (multiplicative hash into [-1000, 1000]) so the operator is
+    oracle-checkable end-to-end; swapping in TRAINED fasttext weights is
+    the same plan with the 1024-entry table broadcast instead of inlined
+    — identical scale shape.
+
+    Scale: ZERO shuffle — tokenize / hash / sum is one narrow codegen
+    stage per document, which is why linear classifiers (not LLM
+    scoring) remain the 100 TB quality-gate workhorse. Score = integer
+    weight sum / (1000 * n_tokens): two exact integers, one IEEE
+    division — bit-identical across engines. Empty docs score null.
+    """
+    toks = words(F.col(text_col))
+    return (
+        df.withColumn("__toks", toks)
+        .withColumn(
+            "__wsum",
+            F.aggregate(
+                "__toks",
+                F.lit(0).cast("long"),
+                lambda acc, w: acc + _token_weight(w),
+            ),
+        )
+        .withColumn("__n", F.size("__toks").cast("long"))
+        .withColumn(
+            score_col,
+            F.when(
+                F.col("__n") > 0,
+                F.col("__wsum").cast("double")
+                / (F.col("__n") * 1000).cast("double"),
+            ),
+        )
+        .drop("__toks", "__wsum", "__n")
+    )

@@ -1382,3 +1382,52 @@ def corpus_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         load_table(spark, sf_dir, "documents"), ctx=512, n_shards=32
     )
+
+
+# classifier oracle: per-token md5 16-bit bucket mod 1024, Knuth
+# multiplicative hash into [-1000,1000]; score = exact integer weight sum
+# over 1000*n_tokens (one IEEE division of exact integers — engine-neutral)
+_CLS_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != '')) AS w
+    FROM documents
+),
+tw AS (
+    SELECT doc_id,
+           (((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1)) % 1024)
+           * 2654435761 % 2001 - 1000 AS wt
+    FROM toks
+),
+agg AS (
+    SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS wsum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM tw GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN agg.n > 0
+            THEN CAST(agg.wsum AS DOUBLE) / CAST(agg.n * 1000 AS DOUBLE)
+       END AS cls_score,
+       COALESCE(CAST(agg.wsum AS DOUBLE) / CAST(agg.n * 1000 AS DOUBLE) >= 0.0,
+                FALSE) AS keep
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
+@register("text_classifier", oracle=_CLS_ORACLE)
+def text_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (fasttext-shaped): score
+    every document in one shuffle-free codegen stage and emit the keep
+    gate the CCNet/DCLM-style pipelines filter on."""
+    from wikidatabots_spark.operators.textstats import with_classifier_score
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_classifier_score(d).select(
+        "doc_id",
+        "cls_score",
+        F.coalesce(F.col("cls_score") >= 0.0, F.lit(False)).alias("keep"),
+    )
