@@ -620,3 +620,22 @@ def test_classifier_score_deterministic_and_bounded(spark):
     one = {r.doc_id: r.cls_score for r in with_classifier_score(
         spark.createDataFrame([(5, "the")], "doc_id long, text string")).collect()}
     assert abs(out[4] - one[5]) < 1e-12
+
+
+def test_remove_dup_spans_deletes_only_covered_tokens(spark):
+    from wikidatabots_spark.operators.dedup import remove_dup_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d x y"), (3, "p q r s t u")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_dup_spans(df, k=4).collect()}
+    # window "a b c d" is duplicated across docs 1/2: its 4 tokens go
+    assert out[1].cleaned == "e f" and out[1].n_removed == 4
+    assert out[2].cleaned == "x y" and out[2].n_removed == 4
+    assert out[3].cleaned == "p q r s t u" and out[3].n_removed == 0
+    # within-doc repetition also counts as duplication
+    rep = spark.createDataFrame(
+        [(9, "x y z w x y z w")], "doc_id long, text string")
+    r9 = remove_dup_spans(rep, k=4).collect()[0]
+    assert r9.n_removed == 8 and r9.cleaned == ""

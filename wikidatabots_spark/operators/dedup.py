@@ -741,3 +741,88 @@ def substring_duplication(
         F.col("n_windows"),
         F.coalesce(F.col("__nd"), F.lit(0).cast("bigint")).alias("n_dup_windows"),
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level deduplication (the REMOVAL step of Lee et al. ACL'22):
+    delete every token covered by a ``k``-word window whose text occurs
+    more than once anywhere in the corpus, and emit the cleaned text.
+    Doc-level dedup throws away whole documents for one boilerplate
+    paragraph; span removal keeps the unique remainder — the form the
+    paper actually applies to C4/RealNews.
+
+    Returns ``(id, n_tokens, n_removed, cleaned)`` where ``cleaned`` is
+    the surviving tokens joined by single spaces.
+
+    Plan shape: window hashing and corpus-wide duplicate marking are
+    exactly :func:`substring_duplication`'s three narrow-row shuffles
+    (hash, id, position) — the text column stays in the scan stage.  The
+    one extra exchange is joining each document's duplicated-window
+    START POSITIONS (a small int array per affected doc) back to the
+    token array; AQE broadcasts it when the affected-doc set is small,
+    else it is a plain co-partitioned join where the text moves once.
+    Coverage testing is per-row array math, O(n_tokens x n_dup_starts)
+    per document — fine for page-scale docs; for book-scale inputs swap
+    the nested ``exists`` for a sorted two-pointer sweep in
+    ``mapInPandas`` (same surrounding plan).
+    """
+    from pyspark.sql import Window
+
+    wl_expr = F.filter(
+        F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != ""
+    )
+    base = ensure_parallelism(
+        df.select(F.col(id_col), wl_expr.alias("__wl")), id_col
+    )
+    wl = F.col("__wl")
+    idx = F.when(
+        F.size(wl) >= k, F.sequence(F.lit(1), F.size(wl) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    hashed = base.select(
+        F.col(id_col),
+        "__wl",
+        F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(wl, i, k)))
+        ).alias("__ws"),
+    )
+    wins = hashed.select(
+        F.col(id_col), F.posexplode("__ws").alias("__pos0", "h")
+    ).select(F.col(id_col), (F.col("__pos0") + 1).alias("s"), "h")
+    g1 = wins.groupBy("h", id_col).agg(
+        F.collect_list("s").alias("__starts_h"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    tot = g1.withColumn("tot", F.sum("cnt").over(Window.partitionBy("h")))
+    dup_starts = (
+        tot.where(F.col("tot") > 1)
+        .select(F.col(id_col), F.explode("__starts_h").alias("s"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("s")).alias("__dups"))
+    )
+    joined = hashed.drop("__ws").join(dup_starts, on=id_col, how="left")
+    dups = F.coalesce(F.col("__dups"), F.array().cast("array<int>"))
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size(wl)),
+        lambda j: ~F.exists(
+            dups, lambda s: (s <= j) & (s >= j - F.lit(k - 1))
+        ),
+    )
+    out = joined.select(
+        F.col(id_col),
+        F.size(wl).cast("bigint").alias("n_tokens"),
+        kept_idx.alias("__kept"),
+        "__wl",
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.size("__kept")).cast("bigint").alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform("__kept", lambda j: F.element_at(F.col("__wl"), j))
+        ).alias("cleaned"),
+    )
+    return out

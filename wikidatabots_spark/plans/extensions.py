@@ -1431,3 +1431,60 @@ def text_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cls_score",
         F.coalesce(F.col("cls_score") >= 0.0, F.lit(False)).alias("keep"),
     )
+
+
+# span-removal oracle: rebuild the k=8 windows as strings, mark corpus-
+# duplicated window texts, delete covered token positions per document
+# with nested list lambdas, digest the cleaned text. COALESCE guards
+# DuckDB's array_to_string([]) -> NULL (Spark array_join -> '').
+_SPAN_REMOVAL_ORACLE = """
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x != '') AS wl
+    FROM documents
+),
+wins AS (
+    SELECT doc_id, unnest(generate_series(1, greatest(len(wl) - 7, 0))) AS s,
+           wl
+    FROM words
+),
+wtext AS (
+    SELECT doc_id, s, array_to_string(wl[s:s+7], ' ') AS win FROM wins
+),
+dupwin AS (SELECT win FROM wtext GROUP BY win HAVING COUNT(*) > 1),
+dstarts AS (
+    SELECT doc_id, list(s ORDER BY s) AS dups
+    FROM wtext WHERE win IN (SELECT win FROM dupwin)
+    GROUP BY doc_id
+),
+cleaned AS (
+    SELECT w.doc_id,
+           CAST(len(w.wl) AS BIGINT) AS n_tokens,
+           list_transform(
+               list_filter(generate_series(1, len(w.wl)),
+                           j -> len(list_filter(COALESCE(d.dups, []),
+                                                s -> s <= j AND s >= j - 7)) = 0),
+               j -> w.wl[j]) AS kept
+    FROM words w LEFT JOIN dstarts d ON d.doc_id = w.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+       sha256(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_sha256
+FROM cleaned
+"""
+
+
+@register("dedup_span_removal", oracle=_SPAN_REMOVAL_ORACLE)
+def dedup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup REMOVAL (Lee et al. ACL'22): every token covered
+    by a corpus-duplicated 8-word window is deleted and the cleaned text
+    re-emitted — doc-level dedup's destructive cousin that keeps the
+    unique remainder. Digest projection pins the cleaned bytes."""
+    from wikidatabots_spark.operators.dedup import remove_dup_spans
+
+    out = remove_dup_spans(load_table(spark, sf_dir, "documents"), k=8)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed",
+        F.sha2("cleaned", 256).alias("cleaned_sha256"),
+    )
