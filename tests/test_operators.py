@@ -639,3 +639,23 @@ def test_remove_dup_spans_deletes_only_covered_tokens(spark):
         [(9, "x y z w x y z w")], "doc_id long, text string")
     r9 = remove_dup_spans(rep, k=4).collect()[0]
     assert r9.n_removed == 8 and r9.cleaned == ""
+
+
+def test_connected_components_pointer_jump_long_chain(spark):
+    from wikidatabots_spark.operators.dedup import connected_components
+
+    # diameter-199 chain: plain min-propagation needs 199 rounds and
+    # would NOT converge inside max_iter; path halving needs ~log2(199)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 200)], "id_a long, id_b long"
+    )
+    out = connected_components(edges, pointer_jump=True, max_iter=25).collect()
+    assert len(out) == 200 and all(r.component == 1 for r in out)
+    # equivalence with the plain form on a clique+chain mix
+    e2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    a = sorted(map(tuple, connected_components(e2).collect()))
+    b = sorted(map(tuple, connected_components(e2, pointer_jump=True).collect()))
+    assert a == b

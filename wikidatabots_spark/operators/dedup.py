@@ -595,6 +595,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    pointer_jump: bool = False,
 ) -> DataFrame:
     """Connected components of an undirected pair graph → (node, component),
     component = the smallest node id reachable from ``node``.
@@ -613,10 +614,16 @@ def connected_components(
     map-side partial mins. Rounds needed = graph diameter; dup graphs are
     overwhelmingly tiny cliques/chains (diameter ≤ 3). The label frame is
     ``localCheckpoint``-ed each round to cut lineage growth — without it
-    the plan doubles per iteration. For adversarial long-chain graphs use
-    the large-star/small-star variant (alternating pointer-jumping,
-    O(log n) rounds); for dedup workloads this simple form is the right
-    cost.
+    the plan doubles per iteration.
+
+    ``pointer_jump=True`` adds path halving: after the neighbor-min step
+    each node also adopts its LABEL's label (one extra self-join of the
+    label table, keyed on label), so label chains collapse doubly per
+    round and convergence drops from O(diameter) to O(log diameter)
+    rounds — the Hash-to-Min trick (Rastogi et al., ICDE'13). Leave it
+    off for dup graphs (tiny cliques/chains, diameter <= 3: the extra
+    join costs more than the saved rounds); turn it on when components
+    can be long paths (cross-snapshot chains, link graphs).
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # materialize the (small) edge list once: every round joins against
@@ -654,12 +661,25 @@ def connected_components(
         nbr = sym.join(
             labels.withColumnRenamed("node", "v"), on="v"
         ).select(F.col("u").alias("node"), "label")
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
+        merged = labels.unionByName(nbr).groupBy("node").agg(
+            F.min("label").alias("label")
         )
+        if pointer_jump:
+            # path halving: label <- min(label, label[label]); the self-
+            # join is keyed on the label column, so chains fold in half
+            parent = merged.select(
+                F.col("node").alias("label"), F.col("label").alias("glabel")
+            )
+            merged = (
+                merged.join(parent, on="label", how="left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("glabel", "label")
+                    ).alias("label"),
+                )
+            )
+        new_labels = merged.localCheckpoint(eager=False)
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
