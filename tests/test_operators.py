@@ -659,3 +659,22 @@ def test_connected_components_pointer_jump_long_chain(spark):
     a = sorted(map(tuple, connected_components(e2).collect()))
     b = sorted(map(tuple, connected_components(e2, pointer_jump=True).collect()))
     assert a == b
+
+
+def test_hll_registers_mergeable_and_estimate_sane(spark):
+    from wikidatabots_spark.operators.sketch import hll_estimate, hll_registers
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    whole = hll_registers(df, "k")
+    # mergeability: element-wise max of the two halves' registers == whole
+    lo = hll_registers(df.where("k < 1000"), "k")
+    hi = hll_registers(df.where("k >= 1000"), "k")
+    merged = (
+        lo.unionByName(hi).groupBy("register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    est = hll_estimate(whole).collect()[0].estimate
+    # raw-HLL std error at m=64 is ~13%
+    assert abs(est - 2000) / 2000 < 0.4

@@ -146,3 +146,80 @@ def with_bloom_might_contain(
     return out.withColumn(out_col, cond).drop(
         *[f"__bloom{j}" for j in range(k)]
     )
+
+
+def hll_registers(
+    df: DataFrame, col: str, p: int = 6
+) -> DataFrame:
+    """HyperLogLog registers → (register INT, max_rank INT), m = 2^p.
+
+    The distinct-count companion to the count-min sketch: each value's
+    md5 picks a register (first ``p`` bits) and contributes the position
+    of the first 1-bit in the next 48 bits (its "rank"); the register
+    keeps the max. Two HLLs merge by element-wise max — the property
+    that makes distinct-counting mergeable across partitions, days, and
+    datasets at 100 TB where exact distinct needs a full shuffle of
+    every key.
+
+    Spark-first shape: one narrow map + one groupBy over at most m=2^p
+    groups with map-side partial max — shuffle traffic is bounded by
+    m rows per map task regardless of input size.
+
+    Determinism: md5-derived register and rank (no RNG); rank uses
+    ``bin()`` bit-length (identical '0' edge case in Spark and DuckDB),
+    so the register table is engine-exact and oracle-checkable.
+    """
+    c = F.col(col)
+    hx = F.md5(c.cast("string"))
+    # first 16 bits (4 hex chars) -> register = top p bits
+    h16 = F.conv(F.substring(hx, 1, 4), 16, 10).cast("long")
+    register = (h16 % (1 << p)).cast("int")
+    # next 48 bits (hex chars 5..16) -> rank = leading zeros + 1
+    x = F.conv(F.substring(hx, 5, 12), 16, 10).cast("long")
+    rank = F.when(x == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.bin(x))
+    ).cast("int")
+    return (
+        df.where(c.isNotNull())
+        .select(register.alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
+    """Cardinality estimate from a register table → one row
+    ``(m, n_registers, s_scaled, estimate)``.
+
+    ``s_scaled = sum(2^(50 - max_rank))`` is the harmonic denominator
+    kept as an EXACT BIGINT (max_rank <= 49, so the exponent stays >= 1);
+    the only float op is one literal-constant multiply and one IEEE
+    division of exact integers — bit-identical across engines. Registers
+    never hit by any value contribute rank 0 (2^50 each), folded in via
+    the (m - n_registers) correction instead of materializing empty
+    registers. Raw HLL estimate only (no small/large-range corrections)
+    — this is the mergeable building block, not a DataSketches clone.
+    """
+    m = 1 << p
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - max_rank)"))
+        .cast("long")
+        .alias("s_hit"),
+    )
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        "n_registers",
+        (
+            F.col("s_hit")
+            + (F.lit(m) - F.col("n_registers")) * F.lit(1 << 50).cast("long")
+        ).alias("s_scaled"),
+        (
+            F.lit(alpha * m * m * float(1 << 50))
+            / (
+                F.col("s_hit")
+                + (F.lit(m) - F.col("n_registers")) * F.lit(1 << 50).cast("long")
+            ).cast("double")
+        ).alias("estimate"),
+    )

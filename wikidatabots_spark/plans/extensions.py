@@ -1488,3 +1488,63 @@ def dedup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "n_removed",
         F.sha2("cleaned", 256).alias("cleaned_sha256"),
     )
+
+
+def _hex_int_sql(col_expr: str, start: int, n: int) -> str:
+    """SQL: integer value of ``n`` hex chars of ``col_expr`` starting at
+    1-based ``start`` (the strpos ladder every md5-derived oracle uses)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({col_expr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _hll_oracle() -> str:
+    h16 = _hex_int_sql("hx", 1, 4)
+    x = _hex_int_sql("hx", 5, 12)
+    # alpha_64 * m^2 * 2^50: 0.709 * 64 is a power-of-two scaling of the
+    # parsed double literal — exact, order-independent in both engines
+    return f"""
+WITH hashed AS (
+    SELECT md5(CAST(user_id AS VARCHAR)) AS hx
+    FROM events WHERE user_id IS NOT NULL
+),
+rr AS (
+    SELECT CAST({h16} % 64 AS INT) AS register,
+           CAST(CASE WHEN {x} = 0 THEN 49
+                ELSE 49 - length(bin(CAST({x} AS BIGINT))) END AS INT) AS rank
+    FROM hashed
+),
+regs AS (
+    SELECT register, MAX(rank) AS max_rank FROM rr GROUP BY register
+),
+est AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_registers,
+           CAST(SUM(CAST(1 AS BIGINT) << (50 - max_rank)) AS BIGINT) AS s_hit
+    FROM regs
+)
+SELECT r.register, r.max_rank,
+       CAST(64 AS BIGINT) AS m,
+       e.s_hit + (64 - e.n_registers) * (CAST(1 AS BIGINT) << 50) AS s_scaled,
+       CAST(0.709 AS DOUBLE) * 64 * 64 * CAST(1125899906842624 AS DOUBLE) /
+           CAST(e.s_hit + (64 - e.n_registers) * (CAST(1 AS BIGINT) << 50)
+                AS DOUBLE) AS estimate
+FROM regs r, est e
+"""
+
+
+@register("sketch_hll", oracle=_hll_oracle())
+def sketch_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch over the event stream: md5-
+    deterministic registers (engine-exact, mergeable by element-wise
+    max) plus the raw harmonic estimate attached to every row — shuffle
+    traffic bounded at m=64 rows per map task regardless of stream
+    size."""
+    from wikidatabots_spark.operators.sketch import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", p=6)
+    est = hll_estimate(regs, p=6).select("m", "s_scaled", "estimate")
+    return regs.crossJoin(F.broadcast(est))
