@@ -158,3 +158,29 @@ def test_interval_overlap_join_defaults_usable(spark):
     )
     rows = interval_overlap_join(left, right, on=["k"]).collect()
     assert len(rows) == 1
+
+
+def test_asof_directions_and_tolerance(spark):
+    from wikidatabots_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame([("k", 10), ("k", 20), ("k", 35)], "key string, ts long")
+    R = spark.createDataFrame(
+        [("k", 8, "a"), ("k", 19, "b"), ("k", 30, "c"), ("k", 41, "d")],
+        "key string, ts long, v string",
+    )
+    def run(**kw):
+        return [
+            (r.ts, r.v, r.asof_ts)
+            for r in asof_join(L, R, on=["key"], **kw).orderBy("ts").collect()
+        ]
+    assert run(direction="backward") == [(10, "a", 8), (20, "b", 19), (35, "c", 30)]
+    assert run(direction="forward") == [(10, "b", 19), (20, "c", 30), (35, "d", 41)]
+    assert run(direction="nearest") == [(10, "a", 8), (20, "b", 19), (35, "c", 30)]
+    assert run(direction="nearest", tolerance_seconds=2) == [
+        (10, "a", 8), (20, "b", 19), (35, None, None)]
+    # inclusive at equal ts, both directions
+    R2 = spark.createDataFrame([("k", 20, "x")], "key string, ts long, v string")
+    eq_b = asof_join(L, R2, on=["key"], direction="backward").orderBy("ts").collect()
+    eq_f = asof_join(L, R2, on=["key"], direction="forward").orderBy("ts").collect()
+    assert [r.v for r in eq_b] == [None, "x", "x"]
+    assert [r.v for r in eq_f] == ["x", "x", None]

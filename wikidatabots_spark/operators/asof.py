@@ -34,15 +34,30 @@ def asof_join(
     on: Sequence[str],
     left_ts: str = "ts",
     right_ts: str = "ts",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join (inclusive: a right row at exactly left_ts wins).
+    """As-of join, pandas ``merge_asof``-complete (inclusive at equal ts).
+
+    ``direction``: ``backward`` (most recent right row at or before
+    left_ts — DuckDB ASOF semantics), ``forward`` (earliest right row at
+    or after), or ``nearest`` (whichever side is closer in time; exact
+    ties resolve backward). ``tolerance_seconds`` nulls the match when
+    ``|left_ts - asof_ts|`` exceeds it (timestamps compare as epoch
+    seconds; numeric ts columns compare numerically).
 
     Right value columns (everything except ``on`` + ``right_ts``) are
-    appended to every left row, null when no right row precedes it.
+    appended to every left row, null when no right row matches.
     ``right_ts`` itself is carried as ``asof_ts``. Duplicate right rows
     per (key, ts) must be resolved upstream (dedupe first) — the carry
     keeps the last one in (ts, input) order otherwise.
+
+    All three directions keep the same scale shape: one shuffle on the
+    key, one per-key sort, two window passes at most — never a per-key
+    pair blowup.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     def qcol(c: str):
         # backtick-quoted reference: a bare F.col("a.b") parses as a
         # nested-field path, not the column literally named "a.b"
@@ -91,19 +106,51 @@ def asof_join(
         F.col("__rv"),
     )
     u = l_full.unionByName(r_full)
-    # right rows (marker 0) sort before a left row at the same ts →
-    # inclusive semantics, matching DuckDB ASOF (l.ts >= r.ts)
-    w = (
+    # backward: right rows (marker 0) sort before a left row at the same
+    # ts → inclusive semantics, matching DuckDB ASOF (l.ts >= r.ts).
+    # forward mirrors it: left rows sort first so a right row at the
+    # same ts is inside the following frame. Both windows share the
+    # partitioning, so `nearest` still costs ONE exchange (two sorts).
+    w_bw = (
         Window.partitionBy(*on)
         .orderBy(F.col("__t"), F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    w_fw = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t"), F.col("__is_left").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carries = {}
+    if direction in ("backward", "nearest"):
+        carries["__rv_bw"] = F.last(F.col("__rv"), ignorenulls=True).over(w_bw)
+    if direction in ("forward", "nearest"):
+        carries["__rv_fw"] = F.first(F.col("__rv"), ignorenulls=True).over(w_fw)
     carried = u.select(
         *[qcol(c).alias(c) for c in left.columns],
         F.col("__is_left"),
-        F.last(F.col("__rv"), ignorenulls=True).over(w).alias("__rv"),
+        F.col("__t"),
+        *[c.alias(n) for n, c in carries.items()],
     )
-    rv = F.col("__rv")
+    lt = F.col("__t").cast("double")
+    if direction == "backward":
+        rv = F.col("__rv_bw")
+    elif direction == "forward":
+        rv = F.col("__rv_fw")
+    else:
+        bw, fw = F.col("__rv_bw"), F.col("__rv_fw")
+        d_bw = lt - bw.getField("asof_ts").cast("double")
+        d_fw = fw.getField("asof_ts").cast("double") - lt
+        rv = (
+            F.when(bw.isNull(), fw)
+            .when(fw.isNull(), bw)
+            # strict <: an exact tie (d_fw == d_bw) resolves backward
+            .when(d_fw < d_bw, fw)
+            .otherwise(bw)
+        )
+    if tolerance_seconds is not None:
+        dist = F.abs(lt - rv.getField("asof_ts").cast("double"))
+        rv = F.when(dist <= F.lit(float(tolerance_seconds)), rv)
     return (
         carried.where(F.col("__is_left") == 1)
         .select(

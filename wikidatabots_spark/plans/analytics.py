@@ -769,3 +769,55 @@ def op_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("int").alias("quarter")
     )
     return r.crossJoin(q)
+
+
+# forward as-of with tolerance: DuckDB has no forward ASOF operator, so
+# the oracle states the semantics directly (min next ts per key, join
+# back, tolerance nulls the match). epoch() and Spark's cast-to-double
+# both yield exact seconds at the data's µs resolution.
+_ASOF_FWD_ORACLE = """
+WITH signups AS (
+    SELECT user_id, ts, MIN(event_id) AS signup_id
+    FROM events WHERE event_type = 'signup'
+    GROUP BY user_id, ts
+),
+purchases AS (
+    SELECT user_id, ts, MIN(event_id) AS purchase_id
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+),
+nxt AS (
+    SELECT s.user_id, s.ts, s.signup_id, MIN(p.ts) AS nts
+    FROM signups s
+    LEFT JOIN purchases p ON p.user_id = s.user_id AND p.ts >= s.ts
+    GROUP BY s.user_id, s.ts, s.signup_id
+),
+tol AS (
+    SELECT user_id, ts, signup_id,
+           CASE WHEN nts IS NOT NULL AND epoch(nts) - epoch(ts) <= 3600
+                THEN nts END AS nts
+    FROM nxt
+)
+SELECT t.user_id, t.signup_id, p.purchase_id, t.nts AS asof_ts
+FROM tol t
+LEFT JOIN purchases p ON p.user_id = t.user_id AND p.ts = t.nts
+"""
+
+
+@register("asof_next_purchase", oracle=_ASOF_FWD_ORACLE)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each signup enriched with the user's NEXT purchase within an hour
+    — the forward as-of direction plus tolerance (pandas merge_asof
+    surface), same one-shuffle carry-forward shape as backward."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").groupBy(
+        "user_id", "ts"
+    ).agg(F.min("event_id").alias("signup_id"))
+    purchases = ev.where(F.col("event_type") == "purchase").groupBy(
+        "user_id", "ts"
+    ).agg(F.min("event_id").alias("purchase_id"))
+    out = asof_join(
+        signups, purchases, on=["user_id"],
+        direction="forward", tolerance_seconds=3600,
+    )
+    return out.select("user_id", "signup_id", "purchase_id", "asof_ts")
