@@ -84,6 +84,14 @@ HEADLINERS = [
     "ev_funnel",
     "ev_retention",
     "q11_important_stock",
+    # round-3 wave 4: mixture resampling, classifier gate, span removal,
+    # multimodal resize, HLL sketch, forward as-of
+    "corpus_mix_epochs",
+    "text_classifier",
+    "dedup_span_removal",
+    "mm_resize",
+    "sketch_hll",
+    "asof_next_purchase",
 ]
 
 
