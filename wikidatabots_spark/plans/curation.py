@@ -307,3 +307,171 @@ def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _curate_v3_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import (
+        _CLS_ORACLE,
+        _REPETITION_ORACLE,
+        _WINNOW_PAIRS_ORACLE,
+    )
+
+    return f"""
+WITH RECURSIVE
+qual AS ({_QUALITY_ORACLE}),
+lng AS ({_LANGID_ORACLE}),
+rep AS ({_REPETITION_ORACLE}),
+cls AS ({_CLS_ORACLE}),
+pairs AS ({_WINNOW_PAIRS_ORACLE}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL SELECT id_b, id_a FROM pairs
+),
+gnodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM gnodes
+    UNION
+    SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+dup_nodes AS (SELECT node FROM comp WHERE node != component),
+exact_canon AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+survivors AS (
+    SELECT doc_id FROM exact_canon
+    WHERE doc_id NOT IN (SELECT node FROM dup_nodes)
+),
+gated AS (
+    SELECT s.doc_id, d.source
+    FROM survivors s
+    JOIN qual ON qual.doc_id = s.doc_id
+    JOIN lng ON lng.doc_id = s.doc_id
+    JOIN rep ON rep.doc_id = s.doc_id
+    JOIN cls ON cls.doc_id = s.doc_id
+    JOIN documents d ON d.doc_id = s.doc_id
+    WHERE qual.quality >= 0.5 AND lng.lang_guess = 'en'
+      AND rep.dup_2gram_frac <= 0.05 AND rep.type_token_ratio >= 0.35
+      AND cls.keep
+),
+counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(CASE WHEN source = 'src0' THEN 1
+                     WHEN source = 'src1' THEN 9
+                     ELSE 3 END AS BIGINT) AS wt
+    FROM gated GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS t, CAST(SUM(wt) AS BIGINT) AS w
+    FROM counts
+),
+rates AS (
+    SELECT source, (wt * t * 65536) // (w * cnt) AS k FROM counts, tot
+),
+mixdocs AS (
+    SELECT g.doc_id, g.source, {_MIX_BUCKET_SQL.replace("doc_id", "g.doc_id")} AS b
+    FROM gated g
+),
+expanded AS (
+    SELECT m.doc_id, m.source,
+           r.k // 65536 + CASE WHEN m.b < r.k % 65536 THEN 1 ELSE 0 END AS n
+    FROM mixdocs m JOIN rates r USING (source)
+),
+final AS (
+    SELECT doc_id, source,
+           CAST(UNNEST(generate_series(1, n)) AS BIGINT) AS epoch
+    FROM expanded WHERE n >= 1
+),
+bucket AS (
+    SELECT doc_id, {_SPLIT_BUCKET_SQL} AS b FROM documents
+)
+SELECT f.doc_id, f.source, f.epoch,
+       CASE WHEN bucket.b < {_SPLIT_CUT} THEN 'train' ELSE 'holdout' END AS split
+FROM final f JOIN bucket ON bucket.doc_id = f.doc_id
+"""
+
+
+@register("curate_corpus_v3", oracle=_curate_v3_oracle())
+def curate_corpus_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern pre-training pipeline as ONE oracle-checked query:
+    exact dedup → winnowing near-dup pairs → connected components →
+    quality + language + Gopher-repetition + CLASSIFIER gates →
+    domain-mixture resampling with epochs → deterministic content-hash
+    split. vs v2: adds the fasttext-shaped classifier gate and ends with
+    Pile-style integer-exact mixture (up-sampled sources repeat docs).
+    Every stage shuffles only hashes/ids; gates fuse into one codegen
+    stage; the oracle reproduces the whole thing including the component
+    fixed point and every mixture copy count."""
+    from wikidatabots_spark.operators.dedup import (
+        connected_components,
+        ensure_parallelism,
+        winnow_fingerprints,
+    )
+    from wikidatabots_spark.operators.mixture import mix_epochs
+    from wikidatabots_spark.operators.textstats import (
+        with_classifier_score,
+        with_repetition,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = (
+        d.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    fps = winnow_fingerprints(d, k=3, window=4)
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = (
+        a.join(b, on="fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+    comp = connected_components(pairs)
+    dup_nodes = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = exact.join(dup_nodes, "doc_id", "left_anti")
+    scored = pushdown_fence(
+        with_classifier_score(
+            with_repetition(
+                with_lang_guess(with_quality(ensure_parallelism(d, "doc_id")))
+            )
+        ).select(
+            "doc_id", "source", "lang_guess", "quality",
+            "type_token_ratio", "dup_2gram_frac", "cls_score",
+        )
+    )
+    gated = (
+        survivors.join(scored, "doc_id")
+        .where(
+            (F.col("quality") >= 0.5)
+            & (F.col("lang_guess") == "en")
+            & (F.col("dup_2gram_frac") <= 0.05)
+            & (F.col("type_token_ratio") >= 0.35)
+            & F.coalesce(F.col("cls_score") >= 0.0, F.lit(False))
+        )
+        .select("doc_id", "source")
+    )
+    mixed = mix_epochs(
+        gated, key="doc_id", strata="source",
+        weights={"src0": 1, "src1": 9}, default_weight=3,
+    )
+    split_bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    return mixed.select(
+        "doc_id",
+        "source",
+        "epoch",
+        F.when(split_bucket < _SPLIT_CUT, F.lit("train"))
+        .otherwise(F.lit("holdout"))
+        .alias("split"),
+    )
