@@ -55,3 +55,26 @@ def test_mix_epochs_membership_is_per_row_deterministic(spark, sf_dir):
     s5_c = {r["doc_id"] for r in c.where(F.col("source") == "src5")
             .select("doc_id").distinct().collect()}
     assert s5_c <= s5_b or s5_b <= s5_c
+
+
+def test_classifier_and_mixture_plan_shapes(spark, sf_dir):
+    from wikidatabots_spark.operators.mixture import mix_epochs
+    from wikidatabots_spark.operators.textstats import with_classifier_score
+    from wikidatabots_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # classifier scoring is one narrow codegen stage: zero exchanges
+    plan = (
+        with_classifier_score(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    # mixture: the corpus side must join the tiny rate table broadcast —
+    # the full input never shuffles (the only exchanges feed the
+    # |sources|-row aggregates)
+    ds = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mplan = (
+        mix_epochs(ds, "doc_id", "source", weights={"src0": 1})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in mplan

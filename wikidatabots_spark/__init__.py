@@ -44,10 +44,19 @@ from wikidatabots_spark.operators.dedup import (  # noqa: F401
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    remove_dup_spans,
     simhash,
     simhash_dup_pairs,
     simhash_near_pairs,
+    substring_duplication,
     winnow_fingerprints,
+)
+from wikidatabots_spark.operators.mixture import mix_epochs  # noqa: F401
+from wikidatabots_spark.operators.multimodal import (  # noqa: F401
+    extract_features,
+    resize_media,
+    sample_frames,
+    with_media_meta,
 )
 from wikidatabots_spark.operators.rangejoin import (  # noqa: F401
     interval_overlap_join,
@@ -68,12 +77,17 @@ from wikidatabots_spark.operators.sketch import (  # noqa: F401
     bloom_bits,
     cms_estimate,
     count_min_sketch,
+    hll_estimate,
+    hll_registers,
     with_bloom_might_contain,
 )
 from wikidatabots_spark.operators.textstats import (  # noqa: F401
     bm25_topk,
+    pack_sequences,
+    with_classifier_score,
     with_fingerprint,
     with_lang_guess,
+    with_pii_redacted,
     with_quality,
     with_repetition,
     with_token_count,
