@@ -111,3 +111,24 @@ def test_purchase_attribution_stream_matches_batch_range_join(spark, sf_dir):
         for r in ev_range_join(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_hll_stream_registers_match_batch(spark, sf_dir):
+    from wikidatabots_spark.operators.sketch import hll_registers
+    from wikidatabots_spark.sources.tables import load_table
+    from wikidatabots_spark.streaming.events_stream import (
+        hll_distinct_users_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    _run_to_memory(hll_distinct_users_stream(ev), "hll_s")
+    got = sorted(
+        (r.register, r.max_rank)
+        for r in spark.sql("select * from hll_s").collect()
+    )
+    want = sorted(
+        map(tuple, hll_registers(
+            load_table(spark, sf_dir, "events"), "user_id").collect())
+    )
+    # bounded state (<= 64 rows) and bit-exact parity with the batch twin
+    assert got == want and len(got) <= 64

@@ -199,3 +199,16 @@ def purchase_attribution_stream(
         ],
         "inner",
     ).select("purchase_id", "signup_id", purchases.user_id.alias("user_id"))
+
+
+def hll_distinct_users_stream(ev: DataFrame) -> DataFrame:
+    """Streaming distinct-user HLL: the register table as a continuously
+    updated aggregate. Mergeability (element-wise max) is exactly what a
+    streaming MAX aggregation computes incrementally — state is bounded
+    at m=64 rows FOREVER, versus unbounded state for exact streaming
+    distinct. The batch twin (``operators.sketch.hll_registers``) over
+    the same files produces the identical register table, so streaming
+    distinct counts converge to batch bit-for-bit (test-pinned)."""
+    from wikidatabots_spark.operators.sketch import hll_registers
+
+    return hll_registers(ev, "user_id", p=6)
