@@ -52,3 +52,32 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         .collect()
     )
     assert plain == salted
+
+
+def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from wikidatabots_spark.functions.scale import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 256).alias("u"),
+        (F.col("event_id") % 256).alias("e"),
+        "value",
+    )
+    path = str(tmp_path / "ev_z")
+    write_zordered(ev, path, ["u", "e"], bits=8, n_files=8)
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) >= 4
+    # clustering proof: per-file min/max spans on BOTH interleaved
+    # dimensions are far narrower than the global [0, 255] domain, so a
+    # selective filter on either column skips most files' stats ranges
+    spans_u, spans_e = [], []
+    for f in files:
+        t = pq.read_table(f, columns=["u", "e"])
+        u, e = t.column("u").to_pylist(), t.column("e").to_pylist()
+        spans_u.append(max(u) - min(u))
+        spans_e.append(max(e) - min(e))
+    assert sum(spans_u) / len(spans_u) < 200
+    assert sum(spans_e) / len(spans_e) < 200

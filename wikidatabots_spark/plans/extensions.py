@@ -1548,3 +1548,33 @@ def sketch_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = hll_registers(ev, "user_id", p=6)
     est = hll_estimate(regs, p=6).select("m", "s_scaled", "estimate")
     return regs.crossJoin(F.broadcast(est))
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    def interleave(expr: str, j: int) -> str:
+        return " | ".join(
+            f"((({expr} >> {i}) & 1) << {i * 2 + j})" for i in range(bits)
+        )
+
+    x = "(doc_id & 255)"
+    y = "(n_chars & 255)"
+    return f"""
+SELECT doc_id,
+       CAST({interleave(x, 0)} | {interleave(y, 1)} AS BIGINT) AS zkey
+FROM documents
+"""
+
+
+@register("op_zorder_key", oracle=_zorder_oracle())
+def op_zorder_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over two dimensions — the layout
+    primitive behind multi-dimensional row-group pruning; pure integer
+    bit interleaving, engine-exact."""
+    from wikidatabots_spark.functions.scale import zorder_key
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        zorder_key(F.col("doc_id") % 256, F.col("n_chars") % 256, bits=8)
+        .alias("zkey"),
+    )
