@@ -678,3 +678,22 @@ def test_hll_registers_mergeable_and_estimate_sane(spark):
     est = hll_estimate(whole).collect()[0].estimate
     # raw-HLL std error at m=64 is ~13%
     assert abs(est - 2000) / 2000 < 0.4
+
+
+def test_kmeans_int_assign_partitions_planted_clusters(spark):
+    from wikidatabots_spark.operators.clustering import kmeans_int_assign
+    from pyspark.sql import functions as F
+
+    # two tight planted blobs + ids 0/1 inside them as init seeds
+    rows = [(0, [10, 10, 10]), (2, [11, 10, 9]), (4, [9, 11, 10]),
+            (1, [100, 100, 100]), (3, [99, 101, 100]), (5, [101, 99, 100])]
+    df = spark.createDataFrame(rows, "vec_id long, v array<int>")
+    out = {r.vec_id: r.cluster for r in
+           kmeans_int_assign(df, k=2, rounds=2).collect()}
+    assert out[0] == out[2] == out[4]
+    assert out[1] == out[3] == out[5]
+    assert out[0] != out[1]
+    # assignment is total and deterministic across re-runs
+    again = {r.vec_id: r.cluster for r in
+             kmeans_int_assign(df, k=2, rounds=2).collect()}
+    assert out == again

@@ -1578,3 +1578,75 @@ def op_zorder_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_key(F.col("doc_id") % 256, F.col("n_chars") % 256, bits=8)
         .alias("zkey"),
     )
+
+
+def _kmeans_oracle(k: int = 4, dim: int = 64) -> str:
+    # dist as a correlated list lambda; integer math end to end, one
+    # Lloyd update between two assignments (mirrors kmeans_int_assign
+    # rounds=2). Ties: lowest cluster id (row_number orders dist, cluster).
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round((CAST(x AS DOUBLE) + 1.0) * 100) AS INT)) AS v
+    FROM embeddings
+),
+c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM q WHERE vec_id < {k}),
+d1 AS (
+    SELECT q.vec_id, c.cluster,
+           list_sum(list_transform(generate_series(1, {dim}),
+               i -> CAST((q.v[i] - c.cv[i]) AS BIGINT)
+                    * CAST((q.v[i] - c.cv[i]) AS BIGINT))) AS dist
+    FROM q CROSS JOIN c0 c
+),
+a1 AS (
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d1
+    ) WHERE rn = 1
+),
+cdims AS (
+    SELECT a1.cluster, g.i,
+           CAST(SUM(q.v[g.i]) // COUNT(*) AS INT) AS m
+    FROM a1 JOIN q USING (vec_id), generate_series(1, {dim}) g(i)
+    GROUP BY a1.cluster, g.i
+),
+c1 AS (
+    SELECT cluster, list(m ORDER BY i) AS cv FROM cdims GROUP BY cluster
+),
+d2 AS (
+    SELECT q.vec_id, c.cluster,
+           list_sum(list_transform(generate_series(1, {dim}),
+               i -> CAST((q.v[i] - c.cv[i]) AS BIGINT)
+                    * CAST((q.v[i] - c.cv[i]) AS BIGINT))) AS dist
+    FROM q CROSS JOIN c1 c
+)
+SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM d2
+) WHERE rn = 1
+"""
+
+
+@register("emb_kmeans", oracle=_kmeans_oracle())
+def emb_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer k-means over quantized embeddings (the IVF
+    coarse-centroid training step): 2 Lloyd assignment rounds, integer
+    distances, k-smallest-id init, ties to the lowest cluster — the
+    full iteration is engine-exact and oracle-unrolled."""
+    from wikidatabots_spark.operators.clustering import kmeans_int_assign
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round((x.cast("double") + F.lit(1.0)) * F.lit(100.0))
+            .cast("int"),
+        ).alias("v"),
+    )
+    out = kmeans_int_assign(emb, k=4, rounds=2, id_col="vec_id", vec_col="v")
+    return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
