@@ -135,3 +135,46 @@ def test_asof_matches_pandas_merge_asof(spark, left_rows, right_rows):
             return None if x is None or (isinstance(x, float) and pd.isna(x)) else int(x)
 
         assert got[row["lrow"]] == (norm(row["v1"]), norm(row["v2"]), norm(row["asof_ts"]))
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1, max_size=24, unique=True,
+    )
+)
+@SETTINGS
+def test_zorder_key_is_injective_and_bounded(spark, pts):
+    from wikidatabots_spark.functions.scale import zorder_key
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = df.select("x", "y", zorder_key("x", "y", bits=8).alias("z")).collect()
+    zs = [r.z for r in out]
+    # interleaving distinct (x, y) pairs is injective and stays in 2*bits
+    assert len(set(zs)) == len(pts)
+    assert all(0 <= z < (1 << 16) for z in zs)
+
+
+@given(
+    weights=st.tuples(st.integers(0, 8), st.integers(1, 8), st.integers(1, 8))
+)
+@SETTINGS
+def test_mix_epochs_total_tracks_budget(spark, weights):
+    from wikidatabots_spark.operators.mixture import mix_epochs
+
+    w0, w1, dflt = weights
+    rows = [(i, f"s{i % 3}") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_epochs(
+        df, "doc_id", "source", weights={"s0": w0, "s1": w1},
+        default_weight=dflt,
+    )
+    total = out.count()
+    # same-size remix: the fractional part of each stratum's rate is
+    # realized by hash buckets over only ~40 docs, so each stratum can
+    # deviate by several docs (binomial tail) — the invariant is that
+    # the total TRACKS the budget, not that it hits it exactly
+    assert abs(total - 120) <= 15
+    # a zero weight empties its stratum entirely
+    if w0 == 0:
+        assert out.where(F.col("source") == "s0").count() == 0
