@@ -69,11 +69,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            from pyspark.sql import functions as F
 
-        # integer div — ns values exceed double's exact range, so no `/`
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # integer div — ns values exceed double's exact range, so no `/`
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            from pyspark.sql import functions as F
+
+            # newer testdata writes plain µs TIMESTAMP (isAdjustedToUTC=
+            # false) which Spark 4 infers as NTZ; session tz is pinned UTC,
+            # so this cast is wall-clock-identity and restores the LTZ
+            # timestamp every downstream query (and the oracle) expects
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
