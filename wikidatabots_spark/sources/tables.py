@@ -62,10 +62,19 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one synthetic table (TESTDATA.md layout).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the footer; Spark has no nanosecond
-    timestamps, so (with ``spark.sql.legacy.parquet.nanosAsLong``) it scans
-    as a long which we floor-divide to µs — the same truncation DuckDB
-    applies when it reads nanos into its µs timestamps.
+    ``events.ts`` has two known physical encodings across testdata
+    generations, handled by branching on the scanned dtype:
+    - legacy TIMESTAMP(NANOS): Spark has no nanosecond timestamps, so
+      (with ``spark.sql.legacy.parquet.nanosAsLong``) it scans as a long
+      which we floor-divide to µs — the same truncation DuckDB applies
+      when it reads nanos into its µs timestamps;
+    - newer µs TIMESTAMP with isAdjustedToUTC=false: Spark 4 scans it as
+      timestamp_ntz; with the session tz pinned UTC the NTZ→LTZ cast is
+      wall-clock-identity. The pin is *verified* (not assumed): there is
+      no tz-independent NTZ→LTZ expression — ``to_utc_timestamp(ntz,
+      'UTC')`` implicitly casts through the session tz first (measured),
+      so if the tz conf could not be set we raise rather than silently
+      shift every event by the session offset.
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -80,9 +89,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             # newer testdata writes plain µs TIMESTAMP (isAdjustedToUTC=
-            # false) which Spark 4 infers as NTZ; session tz is pinned UTC,
-            # so this cast is wall-clock-identity and restores the LTZ
-            # timestamp every downstream query (and the oracle) expects
+            # false) which Spark 4 infers as NTZ; the cast below is only
+            # wall-clock-identity when the session tz is UTC, and
+            # ensure_session_confs swallows set failures — so verify, and
+            # fail loudly instead of silently shifting by the tz offset
+            tz = spark.conf.get("spark.sql.session.timeZone", "")
+            if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                raise RuntimeError(
+                    "events.ts is timestamp_ntz and spark.sql.session."
+                    f"timeZone={tz!r} could not be pinned to UTC; the "
+                    "NTZ->LTZ cast would shift every event by the session "
+                    "offset. Set the session timeZone to UTC."
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

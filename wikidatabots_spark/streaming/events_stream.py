@@ -7,8 +7,9 @@ the batch/stream parity here means one logical definition serves both.
 
 Design notes:
 - file source + ``schema()``: streams never infer schemas (SURVEY §1) —
-  ``ts`` arrives as nanos-int (the parquet footer's TIMESTAMP(NANOS))
-  and is converted to a µs timestamp exactly like the batch loader.
+  ``ts`` arrives either as nanos-int (legacy TIMESTAMP(NANOS) footers) or
+  as µs timestamp_ntz (newer testdata); the footer is probed and the same
+  conversion the batch loader applies is chosen per file generation.
 - ``withWatermark`` bounds state: late events beyond the horizon are
   dropped instead of growing state forever — mandatory at scale.
 - tumbling windows via ``window()``, sessions via ``session_window()``
@@ -27,19 +28,43 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-# events.parquet footer schema with ts as nanos-long (see sources.tables)
-EVENTS_FILE_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_file_schema(src: str) -> tuple[StructType, str]:
+    """Probe the parquet footer and return (declared schema, ts kind).
+
+    Streams never infer schemas, but the testdata's ``ts`` physical type
+    has drifted across generations — TIMESTAMP(NANOS) (scanned as long
+    under nanosAsLong) vs TIMESTAMP_MICROS with isAdjustedToUTC=false
+    (scanned as timestamp_ntz). The batch loader (sources.tables.load_table)
+    branches on the scanned dtype; a file stream must declare the schema
+    up front, so probe the footer with pyarrow the same way and branch.
+    """
+    ts_field: StructType | None = None
+    kind = "nanos_long"
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        field = pq.read_schema(src).field("ts")
+        if pa.types.is_timestamp(field.type) and field.type.unit in ("us", "ms", "s"):
+            kind = "ntz_us"
+    except Exception:
+        pass  # unreadable footer: keep the legacy nanos-long declaration
+    ts_type = TimestampNTZType() if kind == "ntz_us" else LongType()
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    return schema, kind
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,17 +72,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The file source requires a *directory* (it tails it for new files —
     exactly how a production drop-zone works), so the single parquet file
-    is staged into a per-SF cache dir via symlink.
+    is staged into a per-SF cache dir via symlink. The ``ts`` conversion
+    mirrors sources.tables.load_table exactly (schema-adaptive, see
+    ``_events_file_schema``) so stream and batch agree on event time.
     """
     import hashlib
     import os
     import tempfile
 
     src = os.path.join(sf_dir, "events.parquet")
+    schema, kind = _events_file_schema(src)
     stage = os.path.join(
         tempfile.gettempdir(),
         "wdb_spark_stream",
-        hashlib.sha256(src.encode()).hexdigest()[:16],
+        # key by schema kind too: a regenerated testdata file must not
+        # reuse a stage dir whose checkpoint/listing assumed the old schema
+        hashlib.sha256(f"{src}|{kind}".encode()).hexdigest()[:16],
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
@@ -68,9 +98,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil
 
             shutil.copyfile(src, link)
-    raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA).format("parquet").load(stage)
-    )
+    raw = spark.readStream.schema(schema).format("parquet").load(stage)
+    if kind == "ntz_us":
+        # session tz is pinned UTC (ensure_session_confs) so NTZ→LTZ is
+        # wall-clock-identity — identical to the batch loader's branch,
+        # including its verify-don't-assume tz check
+        from wikidatabots_spark.sources.tables import ensure_session_confs
+
+        ensure_session_confs(spark)
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise RuntimeError(
+                "events.ts is timestamp_ntz and spark.sql.session."
+                f"timeZone={tz!r} could not be pinned to UTC; the NTZ->LTZ "
+                "cast would shift every event by the session offset."
+            )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
