@@ -120,18 +120,22 @@ def main() -> None:
         ):
             plans.REGISTRY[warm_q].fn(spark, warm_dir).count()
 
-    timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {name: [] for name in HEADLINERS}
     rows: dict[str, int] = {}
     for pass_idx in range(3):
         for name in HEADLINERS:
             fn = plans.REGISTRY[name].fn
             t0 = time.perf_counter()
             rows[name] = fn(spark, sf_dir).count()
-            dt = round(time.perf_counter() - t0, 4)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            passes[name].append(round(time.perf_counter() - t0, 4))
+    timings = {name: min(ts) for name, ts in passes.items()}
     for name in HEADLINERS:
-        print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
+        all_ts = " ".join(f"{t:.3f}" for t in passes[name])
+        print(
+            f"# {name}: {timings[name]:.3f}s ({rows[name]} rows) "
+            f"passes=[{all_ts}]",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     print(
@@ -141,6 +145,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # raw per-pass wall times (same order as the interleaved
+                # passes) so contention on this bursty host is auditable:
+                # a min that is 2x a prior round with two quiet passes is
+                # an engine regression; three contended passes are the host
+                "passes": passes,
                 "sf": sf,
             }
         )

@@ -345,6 +345,36 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
 
 
+def test_winnow_pairs_caps_hot_fingerprint(spark):
+    """Skew fence (VERDICT r3 #3): a fingerprint shared by every document
+    (license-header boilerplate) must be cut by the relative max_df BEFORE
+    the self-join — without the cut a hot fp shared by f docs emits f²
+    join rows. Docs here share ONLY the planted boilerplate run plus one
+    genuine duplicate pair; the fence must kill the boilerplate pairs and
+    keep the real one."""
+    from wikidatabots_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    boiler = "standard license header words common to every file here"
+    dup = "unique duplicated body alpha beta gamma delta epsilon zeta eta"
+    rows = [(i, f"{boiler} distinct tail {i} filler") for i in range(1, 19)]
+    rows += [(19, f"{dup} ending one"), (20, f"{dup} ending two")]
+    d = _docs(spark, rows)
+    fps = winnow_fingerprints(d, k=3, window=4)
+    # sanity: the boilerplate really is hot (some fp in >=18 of 20 docs)
+    hot_df = fps.groupBy("fp").count().agg(F.max("count")).first()[0]
+    assert hot_df >= 18
+    pairs = winnow_pairs(fps, d, min_shared=1, max_df=0.2).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (19, 20) in got  # the genuine near-dup survives
+    # cut = ceil(0.2*20) = 4: every boilerplate-only pair is fenced out —
+    # without the cut the 18 boilerplate docs alone give 153 pairs
+    assert len(got) < 10
+    assert not any(a <= 18 and b <= 18 for a, b in got)
+
+
 def test_partition_estimate_only_trusts_narrow_scans(spark, sf_dir):
     # ADVICE r2 dedup.py:59 — the file-inventory estimate must not apply
     # to coalesced/limited/shuffled frames; those fall back to the real
@@ -697,3 +727,17 @@ def test_kmeans_int_assign_partitions_planted_clusters(spark):
     again = {r.vec_id: r.cluster for r in
              kmeans_int_assign(df, k=2, rounds=2).collect()}
     assert out == again
+
+
+def test_kmeans_assignment_plan_has_no_exchange(spark):
+    """VERDICT r3 #4: assignment must be a narrow map — centroids ride
+    the expression as driver-embedded literals, so the vector table
+    never exchanges (the old crossJoin+groupBy(id) shape shuffled n·k
+    vector-carrying rows per Lloyd round)."""
+    from wikidatabots_spark.operators.clustering import kmeans_int_assign
+
+    rows = [(i, [i % 7, (i * 3) % 5, i % 11]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<int>")
+    plan = kmeans_int_assign(df, k=3, rounds=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan

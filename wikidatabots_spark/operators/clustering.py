@@ -18,11 +18,20 @@ A FIXED number of rounds rather than convergence detection: the whole
 computation is then one static DAG the DuckDB oracle can unroll CTE by
 CTE — and at scale you run Lloyd for a fixed budget anyway.
 
-Scale shape per round: assignment is a BROADCAST cross join against the
-k×dim centroid table (the fact table never shuffles) + a per-row argmin;
-the update is posexplode to (cluster, dim, value) rows and one groupBy —
-the same n·d-row tree-aggregate shape MLlib's KMeans uses. Empty
-clusters simply vanish (no centroid row → nothing assigns to them).
+Scale shape per round (r4, after the VERDICT r3 #4 finding): the k×dim
+centroid table is collected to the driver — it is tiny (k·dim ints, KB
+at any realistic k) — and embedded in the assignment expression as
+literal arrays, so assignment is a NARROW MAP: the vector table never
+exchanges, not per round and not at all (the r3 shape crossJoined then
+``groupBy(id)``-ed, shuffling n·k vector-carrying rows every round —
+the dominant cost at 100×). MLlib's KMeans does exactly this (centroids
+ride a broadcast variable; assignment is mapPartitions). The centroid
+UPDATE is posexplode to (cluster, dim, value) and one groupBy — partial
+aggregation map-side, only k·dim aggregated rows cross the wire. The
+per-round ``collect()`` of k·dim centroid rows is the standard
+iterative-driver pattern (same class as ``connected_components``'s
+convergence probe), not a data-path collect. Empty clusters simply
+vanish (no centroid row → nothing assigns to them).
 
 No reference counterpart (north-star extension).
 """
@@ -33,23 +42,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _assign(vectors: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    dist = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, d: acc + d,
-    )
-    scored = vectors.crossJoin(
-        F.broadcast(cents.select(F.col("cluster"), F.col("__cv")))
-    ).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.struct(dist.alias("d"), F.col("cluster").alias("c")).alias("__dc"),
-    )
-    return scored.groupBy(id_col).agg(
-        F.first(vec_col).alias(vec_col),
-        F.min("__dc").getField("c").alias("cluster"),
-    )
+def _assign(
+    vectors: DataFrame,
+    cent_rows: list[tuple[int, list[int]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Narrow-map assignment against driver-held centroids: per row,
+    integer squared distance to each literal centroid array, argmin via
+    ``array_min`` over (dist, cluster) structs — lowest cluster wins
+    ties, identical semantics to the former join-based shape but with
+    ZERO exchanges of the vector relation."""
+    if not cent_rows:
+        # no centroids → nothing can assign (the former join shape
+        # produced an empty frame here too)
+        return vectors.where(F.lit(False)).select(
+            F.col(id_col), F.col(vec_col), F.lit(0).cast("int").alias("cluster")
+        )
+    structs = []
+    for cluster, cv in cent_rows:
+        cv_lit = F.array(*[F.lit(int(x)) for x in cv])
+        dist = F.aggregate(
+            F.zip_with(F.col(vec_col), cv_lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+        structs.append(
+            F.struct(dist.alias("d"), F.lit(int(cluster)).cast("int").alias("c"))
+        )
+    best = F.array_min(F.array(*structs)).getField("c")
+    return vectors.select(F.col(id_col), F.col(vec_col), best.alias("cluster"))
 
 
 def _recompute(assigned: DataFrame, vec_col: str) -> DataFrame:
@@ -79,15 +101,27 @@ def kmeans_int_assign(
 
     ``vectors[vec_col]`` must be non-negative integer arrays of uniform
     length. Centroids re-estimate between rounds (``rounds - 1``
-    updates); the final output is the last assignment.
+    updates); the final output is the last assignment. Each update
+    round runs one Spark job (the centroid ``collect``); the returned
+    frame's plan is a pure narrow map over the vector table.
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    cents = vectors.where(F.col(id_col) < k).select(
-        F.col(id_col).cast("int").alias("cluster"), F.col(vec_col).alias("__cv")
-    )
-    assigned = _assign(vectors, cents, id_col, vec_col)
+    cent_rows = [
+        (r["cluster"], r["__cv"])
+        for r in vectors.where(F.col(id_col) < k)
+        .select(
+            F.col(id_col).cast("int").alias("cluster"),
+            F.col(vec_col).alias("__cv"),
+        )
+        .collect()
+    ]
+    cent_rows.sort()
+    assigned = _assign(vectors, cent_rows, id_col, vec_col)
     for _ in range(rounds - 1):
-        cents = _recompute(assigned, vec_col)
-        assigned = _assign(vectors, cents, id_col, vec_col)
+        cent_rows = sorted(
+            (r["cluster"], r["__cv"])
+            for r in _recompute(assigned, vec_col).collect()
+        )
+        assigned = _assign(vectors, cent_rows, id_col, vec_col)
     return assigned

@@ -590,6 +590,58 @@ def winnow_fingerprints(
     return hashed.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
+def winnow_pairs(
+    fps: DataFrame,
+    corpus: DataFrame,
+    min_shared: int = 3,
+    max_df: int | float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate candidate pairs from shared winnowing fingerprints
+    → (id_a, id_b, n_shared), with a document-frequency cut on the
+    fingerprint BEFORE the self-join.
+
+    The cut is the skew fence: a boilerplate fingerprint shared by f
+    documents (license headers, navigation chrome) would otherwise emit
+    f² join rows — one hot shingle is a quadratic skew bomb at corpus
+    scale. Same policy as ``ngram_jaccard_pairs``: a float ``max_df`` is
+    a FRACTION of the corpus document count (cut = ceil(max_df·n_docs),
+    broadcast in-plan), so the fence does not silently tighten as the
+    corpus grows; an int is an absolute frequency for hand-tuned cases.
+    Dropping ubiquitous fingerprints is recall-safe for near-dup work:
+    a pair that shares ONLY corpus-wide boilerplate is not a duplicate.
+
+    Plan shape: the df window partitions by fp, and the self-join keys
+    on fp — one exchange feeds both (ReusedExchange); pair counts get
+    map-side partials from the groupBy.
+    """
+    from pyspark.sql import Window
+
+    with_df = fps.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
+    if isinstance(max_df, float):
+        if not 0.0 < max_df < 1.0:
+            raise ValueError("relative max_df must be in (0, 1)")
+        n_docs = corpus.agg(F.count(F.lit(1)).alias("__n_docs"))
+        rare = (
+            with_df.crossJoin(F.broadcast(n_docs))
+            .where(F.col("__df") <= F.ceil(F.lit(max_df) * F.col("__n_docs")))
+            .select(id_col, "fp")
+        )
+    else:
+        rare = with_df.where(F.col("__df") <= max_df).select(id_col, "fp")
+    a = rare.select(F.col(id_col).alias("id_a"), "fp")
+    b = rare.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

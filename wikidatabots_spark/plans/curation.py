@@ -150,6 +150,7 @@ def curate_corpus_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
         ensure_parallelism,
         winnow_fingerprints,
+        winnow_pairs,
     )
     from wikidatabots_spark.operators.textstats import with_repetition
 
@@ -161,15 +162,9 @@ def curate_corpus_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     fps = winnow_fingerprints(d, k=3, window=4)
-    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
-    pairs = (
-        a.join(b, on="fp")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= 3)
-    )
+    # relative max_df fences hot boilerplate fingerprints before the
+    # f²-prone self-join (the r3 skew-bomb finding); oracle has the cut too
+    pairs = winnow_pairs(fps, d, min_shared=3, max_df=0.2)
     comp = connected_components(pairs)
     dup_nodes = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
@@ -406,6 +401,7 @@ def curate_corpus_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
         ensure_parallelism,
         winnow_fingerprints,
+        winnow_pairs,
     )
     from wikidatabots_spark.operators.mixture import mix_epochs
     from wikidatabots_spark.operators.textstats import (
@@ -421,15 +417,9 @@ def curate_corpus_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     fps = winnow_fingerprints(d, k=3, window=4)
-    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
-    pairs = (
-        a.join(b, on="fp")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= 3)
-    )
+    # relative max_df fences hot boilerplate fingerprints before the
+    # f²-prone self-join (the r3 skew-bomb finding); oracle has the cut too
+    pairs = winnow_pairs(fps, d, min_shared=3, max_df=0.2)
     comp = connected_components(pairs)
     dup_nodes = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")

@@ -1189,9 +1189,16 @@ def text_winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WINNOW_PAIRS_ORACLE = f"""
-WITH fps AS ({_WINNOW_ORACLE})
+WITH fps AS ({_WINNOW_ORACLE}),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+rare AS (
+    SELECT t.doc_id, t.fp
+    FROM (SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df
+          FROM fps) t, nd
+    WHERE t.df <= CEIL(0.2 * nd.n)
+)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
-FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= 3
 """
@@ -1235,21 +1242,17 @@ def dedup_winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidates by shared winnowing fingerprints — the
     copy-detection use the selection exists for: an equi-join on the
     fingerprint (one shuffle of (fp, id), never text), pair counts with
-    map-side partials, threshold on shared fingerprints."""
-    from wikidatabots_spark.operators.dedup import winnow_fingerprints
+    map-side partials, threshold on shared fingerprints. A relative
+    max_df cut fences hot boilerplate fingerprints before the self-join
+    (the f² skew bomb; see ``winnow_pairs``)."""
+    from wikidatabots_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
 
-    fps = winnow_fingerprints(
-        load_table(spark, sf_dir, "documents"), k=3, window=4
-    )
-    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
-    return (
-        a.join(b, on="fp")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= 3)
-    )
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, k=3, window=4)
+    return winnow_pairs(fps, d, min_shared=3, max_df=0.2)
 
 
 _SUBSTRING_ORACLE = """
