@@ -28,10 +28,11 @@ def test_registry_priority_window():
     window = list(q)[:50]
     assert window == PRIORITY
     must_have = {
-        # §2 micro pins named by the r1 verdict (try_cast/sample now live
-        # inside the merged op_scalar_micro / op_sample slots)
-        "op_regexp_extract_null", "op_pl_format", "op_unique_first_by",
-        "op_unique_keep_none", "op_dates", "op_explode_outer",
+        # §2 micro pins named by the r1 verdict (try_cast/sample live in
+        # the merged op_scalar_micro / op_sample slots; the A1/A2 unique
+        # pair and U2/R1 explode pair merged r4 into op_unique/op_explode)
+        "op_regexp_extract_null", "op_pl_format", "op_unique",
+        "op_dates", "op_explode",
         "op_scalar_micro", "op_sample", "op_strings",
         # pipelines + headliners + SQL API
         "tmdb_via_imdb", "tmdb_via_tvdb", "tmdb_not_found", "tmdb_main",
@@ -45,9 +46,10 @@ def test_registry_priority_window():
         "dedup_embedding_cosine_lsh",
         "mm_media_meta", "mm_sample_frames", "mm_extract_features",
         "text_profile", "knn_cosine_topk",
-        # promoted composed pipelines / extensions (VERDICT r2 next #2)
+        # promoted composed pipelines / extensions (VERDICT r2 next #2,
+        # r3 next #5)
         "curate_corpus", "asof_purchase_signup", "sketch_count_min",
-        "dedup_winnow",
+        "dedup_winnow", "curate_corpus_v3", "corpus_mix_epochs",
     }
     assert must_have <= set(window)
     # every window entry carries a DuckDB oracle (the mm fakes gained

@@ -70,6 +70,54 @@ def op_unique_keep_none(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unique_keep_none(o, "o_custkey")
 
 
+# --- A1+A2 merged: both unique surfaces in one driver slot -----------------
+@register(
+    "op_unique",
+    oracle="""
+SELECT 'first_by' AS kind, CAST(l_orderkey AS BIGINT) AS k1,
+       CAST(l_partkey AS BIGINT) AS k2, CAST(l_linenumber AS BIGINT) AS k3
+FROM (
+    SELECT l_orderkey, l_partkey, l_linenumber,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber, l_partkey) AS rn
+    FROM lineitem
+) WHERE rn = 1
+UNION ALL
+SELECT 'keep_none' AS kind, CAST(o_orderkey AS BIGINT) AS k1,
+       CAST(o_custkey AS BIGINT) AS k2, CAST(NULL AS BIGINT) AS k3
+FROM (
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+    FROM orders
+) WHERE cnt = 1
+""",
+)
+def op_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op_unique_first_by (A1) + op_unique_keep_none (A2) folded into one
+    tagged frame so both unique semantics keep driver-hash pins in a
+    single capped-window slot (VERDICT r3 next #5); the individual
+    micro-queries stay registered for the local gate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    first_by = unique_first_by(
+        li, ["l_orderkey"], ["l_linenumber", "l_partkey"]
+    ).select(
+        F.lit("first_by").alias("kind"),
+        F.col("l_orderkey").cast("bigint").alias("k1"),
+        F.col("l_partkey").cast("bigint").alias("k2"),
+        F.col("l_linenumber").cast("bigint").alias("k3"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    keep_none = unique_keep_none(o, "o_custkey").select(
+        F.lit("keep_none").alias("kind"),
+        F.col("o_orderkey").cast("bigint").alias("k1"),
+        F.col("o_custkey").cast("bigint").alias("k2"),
+        F.lit(None).cast("bigint").alias("k3"),
+    )
+    return first_by.unionByName(keep_none)
+
+
 # --- T1: regex extract with null-on-miss ----------------------------------
 @register(
     "op_regexp_extract_null",
@@ -516,6 +564,44 @@ def op_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("text"), F.lit(r"(zz[a-z]+)"), 1)
         ).alias("zz_word"),
     )
+
+
+# --- U2+R1 merged: both explode surfaces in one driver slot ----------------
+@register(
+    "op_explode",
+    oracle="""
+SELECT 'words' AS kind, doc_id,
+       unnest(string_split_regex(text, '\\s+')) AS word
+FROM documents
+WHERE doc_id < 100
+UNION ALL
+SELECT 'zz_outer' AS kind, doc_id,
+       unnest(CASE WHEN len(m) = 0 THEN [NULL] ELSE m END) AS word
+FROM (
+    SELECT doc_id, regexp_extract_all(text, '(zz[a-z]+)', 1) AS m
+    FROM documents
+)
+""",
+)
+def op_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op_explode_words (U2) + op_explode_outer (R1⚠, null row per empty
+    list) folded into one tagged frame — one capped-window slot for the
+    explode family (VERDICT r3 next #5); individuals stay registered for
+    the local gate."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.where(F.col("doc_id") < 100).select(
+        F.lit("words").alias("kind"),
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word"),
+    )
+    outer = d.select(
+        F.lit("zz_outer").alias("kind"),
+        "doc_id",
+        F.explode_outer(
+            F.regexp_extract_all(F.col("text"), F.lit(r"(zz[a-z]+)"), 1)
+        ).alias("word"),
+    )
+    return words.unionByName(outer)
 
 
 # --- set ops beyond the reference: intersect / except ----------------------

@@ -40,16 +40,17 @@ REGISTRY: dict[str, Entry] = {}
 # runs ALL entries) — only the driver's capped window is ordered here.
 PRIORITY: list[str] = [
     # §2 micro-queries (one per operator family; the O3 sampling pair,
-    # the T2/T3 string pair, and the F6/F9/N1 scalar trio are folded into
-    # tagged merged queries — op_sample / op_strings / op_scalar_micro —
-    # so the window budget covers the graded composed pipelines below;
-    # the individual micro-queries stay registered for the local gate)
+    # the T2/T3 string pair, the F6/F9/N1 scalar trio, the A1/A2 unique
+    # pair, and the U2/R1 explode pair are folded into tagged merged
+    # queries — op_sample / op_strings / op_scalar_micro / op_unique /
+    # op_explode — so the window budget covers the graded composed
+    # pipelines below; the individual micro-queries stay registered for
+    # the local gate)
     "op_null_funcs",
     "op_prefix_columns",
-    "op_unique_first_by",
-    "op_unique_keep_none",
+    "op_unique",
     "op_regexp_extract_null",
-    "op_explode_words",
+    "op_explode",
     "op_pl_format",
     "op_scalar_micro",
     "op_union_all",
@@ -61,7 +62,6 @@ PRIORITY: list[str] = [
     "op_strings",
     "op_dates",
     "op_scan_parquet_url",
-    "op_explode_outer",
     "op_set_ops",
     # the reference's five pipelines + the two composed mains
     "tmdb_via_imdb",
@@ -101,6 +101,10 @@ PRIORITY: list[str] = [
     "asof_purchase_signup",
     "sketch_count_min",
     "dedup_winnow",
+    # promoted r4 (VERDICT r3 next #5): the full modern pipeline (CC +
+    # classifier + mixture) and the mixture operator get hard-signal rows
+    "curate_corpus_v3",
+    "corpus_mix_epochs",
 ]
 
 
