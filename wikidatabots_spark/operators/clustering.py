@@ -53,25 +53,9 @@ def _assign(
     ``array_min`` over (dist, cluster) structs — lowest cluster wins
     ties, identical semantics to the former join-based shape but with
     ZERO exchanges of the vector relation."""
-    if not cent_rows:
-        # no centroids → nothing can assign (the former join shape
-        # produced an empty frame here too)
-        return vectors.where(F.lit(False)).select(
-            F.col(id_col), F.col(vec_col), F.lit(0).cast("int").alias("cluster")
-        )
-    structs = []
-    for cluster, cv in cent_rows:
-        cv_lit = F.array(*[F.lit(int(x)) for x in cv])
-        dist = F.aggregate(
-            F.zip_with(F.col(vec_col), cv_lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc + d,
-        )
-        structs.append(
-            F.struct(dist.alias("d"), F.lit(int(cluster)).cast("int").alias("c"))
-        )
-    best = F.array_min(F.array(*structs)).getField("c")
-    return vectors.select(F.col(id_col), F.col(vec_col), best.alias("cluster"))
+    return with_cluster(
+        vectors.select(F.col(id_col), F.col(vec_col)), cent_rows, vec_col
+    )
 
 
 def _recompute(assigned: DataFrame, vec_col: str) -> DataFrame:
@@ -87,6 +71,66 @@ def _recompute(assigned: DataFrame, vec_col: str) -> DataFrame:
             lambda s: s.getField("__m"),
         ).alias("__cv")
     )
+
+
+def kmeans_int_fit(
+    vectors: DataFrame,
+    k: int = 4,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> list[tuple[int, list[int]]]:
+    """Train the centroid table: ``rounds - 1`` Lloyd updates from the
+    k-smallest-ids init → sorted ``[(cluster, centroid), ...]`` on the
+    driver. One Spark job per update round (the k·dim ``collect``); the
+    vector table never exchanges — assignment inside each round is the
+    same literal-centroid narrow map ``with_cluster`` applies."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    cent_rows = sorted(
+        (r["cluster"], r["__cv"])
+        for r in vectors.where(F.col(id_col) < k)
+        .select(
+            F.col(id_col).cast("int").alias("cluster"),
+            F.col(vec_col).alias("__cv"),
+        )
+        .collect()
+    )
+    for _ in range(rounds - 1):
+        assigned = _assign(vectors, cent_rows, id_col, vec_col)
+        cent_rows = sorted(
+            (r["cluster"], r["__cv"])
+            for r in _recompute(assigned, vec_col).collect()
+        )
+    return cent_rows
+
+
+def with_cluster(
+    df: DataFrame,
+    cent_rows: list[tuple[int, list[int]]],
+    vec_col: str,
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Attach the nearest-centroid id as ``out_col``, preserving every
+    existing column — a pure narrow map (centroids are expression
+    literals), so downstream ops see the cluster key without any join
+    or exchange of the fact table."""
+    if not cent_rows:
+        return df.where(F.lit(False)).withColumn(
+            out_col, F.lit(0).cast("int")
+        )
+    structs = []
+    for cluster, cv in cent_rows:
+        cv_lit = F.array(*[F.lit(int(x)) for x in cv])
+        dist = F.aggregate(
+            F.zip_with(F.col(vec_col), cv_lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+        structs.append(
+            F.struct(dist.alias("d"), F.lit(int(cluster)).cast("int").alias("c"))
+        )
+    return df.withColumn(out_col, F.array_min(F.array(*structs)).getField("c"))
 
 
 def kmeans_int_assign(
@@ -105,23 +149,5 @@ def kmeans_int_assign(
     round runs one Spark job (the centroid ``collect``); the returned
     frame's plan is a pure narrow map over the vector table.
     """
-    if rounds < 1:
-        raise ValueError("rounds must be >= 1")
-    cent_rows = [
-        (r["cluster"], r["__cv"])
-        for r in vectors.where(F.col(id_col) < k)
-        .select(
-            F.col(id_col).cast("int").alias("cluster"),
-            F.col(vec_col).alias("__cv"),
-        )
-        .collect()
-    ]
-    cent_rows.sort()
-    assigned = _assign(vectors, cent_rows, id_col, vec_col)
-    for _ in range(rounds - 1):
-        cent_rows = sorted(
-            (r["cluster"], r["__cv"])
-            for r in _recompute(assigned, vec_col).collect()
-        )
-        assigned = _assign(vectors, cent_rows, id_col, vec_col)
-    return assigned
+    cent_rows = kmeans_int_fit(vectors, k, rounds, id_col, vec_col)
+    return _assign(vectors, cent_rows, id_col, vec_col)

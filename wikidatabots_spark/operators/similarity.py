@@ -400,6 +400,95 @@ def embedding_dup_pairs_blocked(
     return grid.mapInPandas(cell, "id_a long, id_b long")
 
 
+def semdedup_flags(
+    df: DataFrame,
+    k: int = 4,
+    rounds: int = 2,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then exact cosine near-dup detection WITHIN each
+    cluster only — the cluster fence turns O(n²) semantic dedup into
+    O(Σ cluster²). A vector is dropped when a LOWER-id vector in its
+    cluster is ≥ ``threshold`` cosine-similar (deterministic greedy
+    keep-lowest, no RNG). → (id, cluster, is_kept).
+
+    Scale shape: clustering is ``kmeans_int_fit`` (centroids collected,
+    k·dim ints) + ``with_cluster`` (narrow map — the embedding table
+    never exchanges for assignment); the pair stage is a CLUSTER-KEYED
+    equi-join, so Spark partitions by cluster id and AQE can split a
+    skewed mega-cluster. Production tuning: pick k ≈ n / desired
+    cluster size so per-cluster all-pairs stays bounded — exactly the
+    SemDeDup paper's design point (they use k=50k for 5B embeddings);
+    k=4 here matches the oracle-unrolled training depth. Cross-cluster
+    near-dups are invisible by design — that recall loss is the price
+    of sub-quadratic scaling and is the paper's documented tradeoff.
+    """
+    from wikidatabots_spark.operators.clustering import (
+        kmeans_int_fit,
+        with_cluster,
+    )
+
+    quant = F.transform(
+        F.col(vec_col),
+        lambda x: F.round((x.cast("double") + F.lit(1.0)) * F.lit(100.0)).cast(
+            "int"
+        ),
+    )
+    cents = kmeans_int_fit(
+        df.select(F.col(id_col), quant.alias("__v")),
+        k=k,
+        rounds=rounds,
+        id_col=id_col,
+        vec_col="__v",
+    )
+    base = with_cluster(
+        df.select(F.col(id_col), F.col(vec_col), quant.alias("__v")),
+        cents,
+        "__v",
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("__n"),
+        "cluster",
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+        "cluster",
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "cluster",
+    )
+    dropped = (
+        a.join(b, on="cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            _dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        base.select(F.col(id_col), F.col("cluster"))
+        .join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.col("__dropped").isNull().alias("is_kept"),
+        )
+    )
+
+
 def quantize_vectors(
     df: DataFrame,
     id_col: str = "vec_id",

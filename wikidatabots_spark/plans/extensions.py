@@ -1635,6 +1635,57 @@ SELECT vec_id, cluster FROM (
 """
 
 
+def _semdedup_oracle(threshold: float = 0.45) -> str:
+    # composes the unrolled k-means assignment with within-cluster exact
+    # cosine pairs; drop rule = "has a lower-id >= t neighbor in-cluster"
+    return f"""
+WITH asg AS ({_kmeans_oracle()}),
+norms AS (
+    SELECT vec_id,
+           sqrt(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+               AS nrm
+    FROM embeddings, generate_series(1, 64) t(i)
+    GROUP BY vec_id
+),
+pairs AS (
+    SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
+           SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))
+               AS dot
+    FROM asg ca
+    JOIN asg cb ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id
+    JOIN embeddings ea ON ea.vec_id = ca.vec_id
+    JOIN embeddings eb ON eb.vec_id = cb.vec_id,
+    generate_series(1, 64) t(i)
+    GROUP BY ca.vec_id, cb.vec_id
+),
+dropped AS (
+    SELECT DISTINCT p.id_b
+    FROM pairs p
+    JOIN norms na ON na.vec_id = p.id_a
+    JOIN norms nb ON nb.vec_id = p.id_b
+    WHERE p.dot / (na.nrm * nb.nrm) >= {threshold}
+)
+SELECT a.vec_id, a.cluster,
+       (a.vec_id NOT IN (SELECT id_b FROM dropped)) AS is_kept
+FROM asg a
+"""
+
+
+@register("dedup_semantic", oracle=_semdedup_oracle())
+def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. '23): k-means-cluster the embeddings, then
+    exact cosine near-dup detection within each cluster only; a vector
+    with a lower-id >=0.45 neighbor in its cluster is flagged dropped.
+    The oracle unrolls the full composition — Lloyd rounds, cluster-
+    fenced pair generation, the keep/drop verdict — so the whole
+    sub-quadratic semantic-dedup pipeline is hash-verified end-to-end."""
+    from wikidatabots_spark.operators.similarity import semdedup_flags
+
+    return semdedup_flags(
+        load_table(spark, sf_dir, "embeddings"), k=4, rounds=2, threshold=0.45
+    )
+
+
 @register("emb_kmeans", oracle=_kmeans_oracle())
 def emb_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic integer k-means over quantized embeddings (the IVF
