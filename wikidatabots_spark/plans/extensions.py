@@ -1704,3 +1704,46 @@ def emb_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = kmeans_int_assign(emb, k=4, rounds=2, id_col="vec_id", vec_col="v")
     return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
+def _shard_manifest_oracle(n_shards: int = 64) -> str:
+    def hex_int(md5_expr: str, ndigits: int) -> str:
+        terms = " + ".join(
+            f"(strpos('0123456789abcdef', substr({md5_expr}, {i + 1}, 1)) - 1)"
+            f" * {16 ** (ndigits - 1 - i)}"
+            for i in range(ndigits)
+        )
+        return f"({terms})"
+
+    shard = hex_int("md5('shard:' || CAST(doc_id AS VARCHAR))", 4)
+    rowh = hex_int("md5(CAST(doc_id AS VARCHAR) || ':' || text)", 8)
+    return f"""
+WITH sharded AS (
+    SELECT {shard} % {n_shards} AS shard,
+           CAST({rowh} AS BIGINT) AS h,
+           n_chars
+    FROM documents
+)
+SELECT CAST(shard AS INT) AS shard,
+       COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS total_size,
+       bit_xor(h) AS checksum
+FROM sharded
+GROUP BY shard
+"""
+
+
+@register("corpus_shard_manifest", oracle=_shard_manifest_oracle())
+def corpus_shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export manifest (sinks.training_shards): the
+    deterministic content-hash shard assignment plus per-shard row
+    counts, byte totals, and ORDER-INSENSITIVE XOR checksums — the
+    verification artifact a trainer checks before consuming an exported
+    corpus. Assignment is a narrow map; the only shuffle is the
+    per-shard aggregation (map-side partials), the same exchange the
+    shard write itself needs."""
+    from wikidatabots_spark.sinks.training_shards import shard_manifest
+
+    return shard_manifest(
+        load_table(spark, sf_dir, "documents"), n_shards=64
+    )
