@@ -92,6 +92,10 @@ HEADLINERS = [
     "mm_resize",
     "sketch_hll",
     "asof_next_purchase",
+    # round-4 additions: SemDeDup cluster-fenced semantic dedup and the
+    # training-shard export manifest
+    "dedup_semantic",
+    "corpus_shard_manifest",
 ]
 
 

@@ -764,3 +764,35 @@ def test_kmeans_assignment_plan_has_no_exchange(spark):
     plan = kmeans_int_assign(df, k=3, rounds=3)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_semdedup_pair_stage_is_cluster_keyed(spark, sf_dir):
+    """The SemDeDup pair join must key on the cluster id (equi-join,
+    AQE-splittable) — never a cartesian/broadcast-nested-loop all-pairs
+    stage; and kmeans assignment must stay join-free."""
+    from wikidatabots_spark.operators.similarity import semdedup_flags
+    from wikidatabots_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        semdedup_flags(emb, k=4, rounds=2, threshold=0.45)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cluster" in plan  # the pair equi-join keys on the cluster id
+
+
+def test_shard_manifest_plan_single_aggregation_exchange(spark, sf_dir):
+    """The manifest is one hash-partial aggregation over the narrow-map
+    shard assignment: exactly one exchange, keyed by the shard id."""
+    from wikidatabots_spark.sinks.training_shards import shard_manifest
+    from wikidatabots_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = (
+        shard_manifest(d, 64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan

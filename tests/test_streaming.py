@@ -156,3 +156,46 @@ def test_hll_stream_registers_match_batch(spark, sf_dir):
     )
     # bounded state (<= 64 rows) and bit-exact parity with the batch twin
     assert got == want and len(got) <= 64
+
+
+def test_checkpointed_stream_is_exactly_once_incremental(spark, tmp_path):
+    """Production resume semantics: with a checkpointLocation, each
+    availableNow run processes ONLY files that arrived since the last
+    run — a restart neither drops nor re-processes data (file-source
+    exactly-once). This is the property that makes the drop-zone
+    pattern in read_events_stream safe to re-trigger from cron."""
+    stage = str(tmp_path / "stage")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sch = "id long, v double"
+
+    def land(name: str, lo: int, hi: int) -> None:
+        (spark.range(lo, hi)
+         .selectExpr("id", "cast(id as double) * 0.5 as v")
+         .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name)))
+        import shutil, glob, os
+        os.makedirs(stage, exist_ok=True)
+        src = glob.glob(str(tmp_path / name / "*.parquet"))[0]
+        shutil.copyfile(src, os.path.join(stage, f"{name}.parquet"))
+
+    def run() -> None:
+        q = (spark.readStream.schema(sch).parquet(stage)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+
+    land("a", 0, 100)
+    run()
+    assert spark.read.parquet(out).count() == 100
+    land("b", 100, 150)
+    run()
+    # exactly the 50 new rows appended; file A not re-processed
+    got = spark.read.parquet(out)
+    assert got.count() == 150
+    assert got.select("id").distinct().count() == 150
+    # an idle re-trigger (no new files) appends nothing
+    run()
+    assert spark.read.parquet(out).count() == 150
