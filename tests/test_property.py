@@ -178,3 +178,69 @@ def test_mix_epochs_total_tracks_budget(spark, weights):
     # a zero weight empties its stratum entirely
     if w0 == 0:
         assert out.where(F.col("source") == "s0").count() == 0
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40),
+        min_size=2,
+        max_size=10,
+    ),
+    cut=st.integers(min_value=1, max_value=3),
+)
+@SETTINGS
+def test_winnow_pairs_fence_only_removes(spark, docs, cut):
+    """The df fence is monotone: fenced pairs are a SUBSET of unfenced
+    pairs (it can only remove candidates, never invent them), and with
+    an absolute cut >= n_docs the fence is a no-op."""
+    from wikidatabots_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(d, k=2, window=2)
+    all_pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_pairs(fps, d, min_shared=1, max_df=len(docs)).collect()
+    }
+    fenced = {
+        (r.id_a, r.id_b)
+        for r in winnow_pairs(fps, d, min_shared=1, max_df=cut).collect()
+    }
+    assert fenced <= all_pairs
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=8,
+        unique_by=lambda v: tuple(v),
+    )
+)
+@SETTINGS
+def test_semdedup_total_and_lowest_kept(spark, vecs):
+    """SemDeDup verdict invariants: one verdict per vector; the lowest
+    id of every cluster is always kept (it can have no lower-id
+    neighbor); k=1 with threshold > 1 keeps everything."""
+    from wikidatabots_spark.operators.similarity import semdedup_flags
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup_flags(df, k=2, rounds=2, threshold=0.9).collect()
+    assert len(out) == len(rows)
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for members in by_cluster.values():
+        lowest = min(m.vec_id for m in members)
+        assert next(m for m in members if m.vec_id == lowest).is_kept
+    keep_all = semdedup_flags(df, k=1, rounds=1, threshold=1.1).collect()
+    assert all(r.is_kept for r in keep_all)
