@@ -34,7 +34,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -60,7 +60,7 @@ def assign_shards(
     return df.withColumn(out_col, (bucket % n_shards).cast("int"))
 
 
-def _row_hash(key_col: str, payload_col: str) -> F.Column:
+def _row_hash(key_col: str, payload_col: str) -> Column:
     """32-bit content hash of one row (md5 hex → long): small enough to
     XOR safely in any engine, wide enough that a manifest mismatch on a
     corrupted shard is near-certain."""
@@ -136,6 +136,7 @@ def write_training_shards(
     manifest = {
         "n_shards": n_shards,
         "key": key_col,
+        "payload": payload_col,
         "shards": [
             {
                 "shard": r["shard"],
@@ -160,8 +161,9 @@ def verify_training_shards(spark, path: str) -> bool:
         want = json.load(fh)
     df = spark.read.parquet(path)
     key_col = want["key"]
+    payload_col = want.get("payload", "text")
     got_rows = (
-        df.withColumn("__h", _row_hash(key_col, "text"))
+        df.withColumn("__h", _row_hash(key_col, payload_col))
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
