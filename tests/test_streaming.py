@@ -199,3 +199,31 @@ def test_checkpointed_stream_is_exactly_once_incremental(spark, tmp_path):
     # an idle re-trigger (no new files) appends nothing
     run()
     assert spark.read.parquet(out).count() == 150
+
+
+def test_shard_manifest_stream_matches_batch(spark, sf_dir):
+    """The shard manifest is a mergeable streaming aggregate (count /
+    sum / bit_xor are all commutative+associative): streamed over the
+    same files it converges to the batch manifest bit-for-bit, with
+    state bounded at n_shards rows."""
+    from wikidatabots_spark.sinks.training_shards import shard_manifest
+    from wikidatabots_spark.sources.tables import load_table
+    from wikidatabots_spark.streaming.docs_stream import (
+        read_documents_stream,
+        shard_manifest_stream,
+    )
+
+    docs = read_documents_stream(spark, sf_dir)
+    assert docs.isStreaming
+    _run_to_memory(shard_manifest_stream(docs, 16), "manifest_s")
+    got = sorted(
+        map(tuple, spark.sql(
+            "select shard, n_rows, total_size, checksum from manifest_s"
+        ).collect())
+    )
+    want = sorted(
+        map(tuple,
+            shard_manifest(load_table(spark, sf_dir, "documents"), 16)
+            .collect())
+    )
+    assert got == want and 0 < len(got) <= 16

@@ -1,0 +1,71 @@
+"""Streaming documents source + incremental shard-manifest twin.
+
+``shard_manifest`` (sinks.training_shards) is built from commutative,
+associative aggregates — count, sum, bit_xor — which is exactly what a
+streaming groupBy maintains incrementally. Run as a stream over a
+drop-zone of document files, the manifest UPDATES AS SHARDS LAND: when
+the corpus ingest finishes, the streaming manifest equals the batch
+manifest bit-for-bit (parity-tested), so a trainer can watch one table
+instead of re-scanning the corpus after every delivery. Same mergeable-
+state family as the HLL register twin (events_stream).
+
+Scale: state is exactly n_shards rows FOREVER — the same bounded-state
+argument as the HLL registers; the per-batch work is the narrow-map
+shard assignment plus one partial aggregation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOCS_FILE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (drop-zone staging,
+    same pattern as ``read_events_stream``; documents carry no event
+    time, so no conversion branch is needed)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "wdb_spark_stream_docs",
+        hashlib.sha256(src.encode()).hexdigest()[:16],
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(src, link)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(src, link)
+    return spark.readStream.schema(DOCS_FILE_SCHEMA).format("parquet").load(stage)
+
+
+def shard_manifest_stream(docs: DataFrame, n_shards: int = 64) -> DataFrame:
+    """Streaming twin of ``sinks.training_shards.shard_manifest``: the
+    identical aggregation expression over a streaming frame — count,
+    byte total, and XOR checksum per shard, maintained incrementally
+    with state bounded at ``n_shards`` rows."""
+    from wikidatabots_spark.sinks.training_shards import shard_manifest
+
+    return shard_manifest(docs, n_shards)
