@@ -796,3 +796,38 @@ def test_shard_manifest_plan_single_aggregation_exchange(spark, sf_dir):
     )
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_new_ops_empty_input_safety(spark):
+    """Empty-corpus edges: winnow_pairs, semdedup_flags, kmeans fit, and
+    shard_manifest must return empty/well-typed frames, not throw."""
+    from wikidatabots_spark.operators.clustering import kmeans_int_fit
+    from wikidatabots_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+    from wikidatabots_spark.operators.similarity import semdedup_flags
+    from wikidatabots_spark.sinks.training_shards import shard_manifest
+
+    docs = spark.createDataFrame([], "doc_id long, text string, n_chars long")
+    fps = winnow_fingerprints(docs, k=3, window=4)
+    assert winnow_pairs(fps, docs, max_df=0.2).count() == 0
+    assert winnow_pairs(fps, docs, max_df=5).count() == 0
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semdedup_flags(emb, k=2, rounds=2).count() == 0
+    assert kmeans_int_fit(
+        spark.createDataFrame([], "vec_id long, v array<int>"), k=3
+    ) == []
+    assert shard_manifest(docs, 8).count() == 0
+
+
+def test_semdedup_k_exceeding_n_and_single_vector(spark):
+    """k larger than the corpus: only existing low ids seed centroids;
+    a single vector is trivially kept."""
+    from wikidatabots_spark.operators.similarity import semdedup_flags
+
+    one = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    out = semdedup_flags(one, k=5, rounds=2, threshold=0.5).collect()
+    assert len(out) == 1 and out[0].is_kept
