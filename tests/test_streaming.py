@@ -227,3 +227,59 @@ def test_shard_manifest_stream_matches_batch(spark, sf_dir):
             .collect())
     )
     assert got == want and 0 < len(got) <= 16
+
+
+def test_stateful_quota_matches_batch_rank_gate(spark, sf_dir):
+    """Per-source ingest-quota stateful operator: streamed acceptance
+    equals the batch row_number-by-doc_id gate (the processor sorts
+    within the batch so parity is deterministic). Runs whichever API
+    the environment supports — transformWithState when protobuf +
+    RocksDB are available, applyInPandasWithState otherwise; both
+    paths share the same semantics."""
+    from pyspark.sql import Window
+    from wikidatabots_spark.sources.tables import load_table
+    from wikidatabots_spark.streaming.docs_stream import read_documents_stream
+    from wikidatabots_spark.streaming.stateful import (
+        _tws_available,
+        source_quota_stream,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    if _tws_available():
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        docs = read_documents_stream(spark, sf_dir)
+        q = (
+            source_quota_stream(docs, quota=25)
+            .writeStream.format("memory")
+            .queryName("quota")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.source, r.doc_id)
+            for r in spark.sql("select * from quota").collect()
+        }
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        elif _tws_available():
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    want = {
+        (r.source, r.doc_id)
+        for r in load_table(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .select("source", "doc_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0

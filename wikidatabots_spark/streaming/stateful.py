@@ -21,9 +21,11 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -105,4 +107,102 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
+    )
+
+
+QUOTA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("doc_id", LongType()),
+    ]
+)
+
+
+class SourceQuotaProcessor(StatefulProcessor):
+    """``transformWithState`` processor (the Spark-4 successor to
+    applyInPandasWithState, RocksDB-backed): per-source ingest quota.
+
+    State = one ValueState long per source (accepted-so-far). Each batch
+    sorts its rows by doc_id and accepts until the quota is exhausted —
+    deterministic regardless of shuffle arrival order, so the stream is
+    parity-testable against the batch row_number gate. The real-world
+    shape: capping an over-represented domain AT INGEST, before
+    downstream stages pay to process documents the mixture step would
+    discard anyway.
+    """
+
+    def __init__(self, quota: int) -> None:
+        self._quota = quota
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._n = handle.getValueState("n", "n long")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows), ignore_index=True)
+        batch = batch.sort_values("doc_id")
+        taken = self._n.get()[0] if self._n.exists() else 0
+        room = max(self._quota - taken, 0)
+        out = batch.head(room)
+        self._n.update((taken + len(out),))
+        if len(out):
+            yield out[["source", "doc_id"]]
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_available() -> bool:
+    """transformWithState's Python↔JVM state protocol is protobuf-based;
+    without the ``protobuf`` package the driver worker crashes at the
+    first state call. Soft-detect (same pattern as the imaging-lib gate
+    in operators.multimodal)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def source_quota_stream(
+    docs: DataFrame, quota: int = 50, api: str = "auto"
+) -> DataFrame:
+    """Per-source quota gate over a streaming documents frame → the
+    accepted (source, doc_id) rows.
+
+    ``api="tws"`` uses transformWithStateInPandas (Spark 4, requires the
+    RocksDB state store provider AND the protobuf package);
+    ``api="apiws"`` uses applyInPandasWithState (works everywhere);
+    ``"auto"`` picks tws when its runtime deps exist. Both paths run the
+    IDENTICAL quota semantics (sort batch by doc_id, accept until the
+    per-source budget is spent), so the parity test pins whichever path
+    the environment supports.
+    """
+    if api == "auto":
+        api = "tws" if _tws_available() else "apiws"
+    if api == "tws":
+        return docs.groupBy("source").transformWithStateInPandas(
+            statefulProcessor=SourceQuotaProcessor(quota),
+            outputStructType=QUOTA_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+
+    def quota_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        taken = state.get[0] if state.exists else 0
+        room = max(quota - taken, 0)
+        out = batch.head(room)
+        state.update((taken + len(out),))
+        if len(out):
+            yield out[["source", "doc_id"]]
+
+    return docs.groupBy("source").applyInPandasWithState(
+        quota_fn,
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
