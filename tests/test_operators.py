@@ -831,3 +831,21 @@ def test_semdedup_k_exceeding_n_and_single_vector(spark):
     )
     out = semdedup_flags(one, k=5, rounds=2, threshold=0.5).collect()
     assert len(out) == 1 and out[0].is_kept
+
+
+def test_chunk_documents_overlap_and_boundaries(spark):
+    """Chunk windows: stride-spaced starts, overlap = chunk - stride,
+    short final window, empty doc yields nothing."""
+    from wikidatabots_spark.operators.textstats import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = _docs(spark, [(1, words), (2, ""), (3, "solo")])
+    out = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+           for r in chunk_documents(df, chunk=4, stride=3).collect()}
+    assert {k[0] for k in out} == {1, 3}
+    # doc 1: starts at 0,3,6,9 — 10 words → 4 windows, last is short
+    assert out[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert out[(1, 1)] == ("w3 w4 w5 w6", 4)   # overlaps w3 with window 0
+    assert out[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert out[(1, 3)] == ("w9", 1)
+    assert out[(3, 0)] == ("solo", 1)

@@ -514,3 +514,52 @@ def with_classifier_score(
         )
         .drop("__toks", "__wsum", "__n")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-window document chunking with overlap — the context-window
+    preparation step (and the RAG indexing unit): window ``i`` covers
+    words [i·stride, i·stride + chunk); ``stride < chunk`` overlaps
+    consecutive windows so no span longer than ``chunk - stride`` words
+    is ever split across a window boundary without appearing whole in
+    some window. → (id, chunk_idx, chunk_text, n_tokens); empty
+    documents produce no chunks; the final window may be short.
+
+    Text is lower-cased and whitespace-normalized (the same token
+    stream every dedup/fingerprint operator here sees).
+
+    Scale shape: one narrow map — split once, per-window ``slice`` of
+    the cached word array, explode. Zero shuffles, no UDF; ~n_words/
+    stride output rows per document, each built JVM-side.
+    """
+    from wikidatabots_spark.operators.dedup import WORD_SPLIT
+
+    wl_expr = F.filter(
+        F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != ""
+    )
+    base = df.select(F.col(id_col), wl_expr.alias("__wl"))
+    wl = F.col("__wl")
+    n = F.size(wl)
+    idx = F.when(
+        n > 0, F.sequence(F.lit(0), F.expr(f"(size(__wl) - 1) div {stride}"))
+    ).otherwise(F.array().cast("array<bigint>"))
+    exploded = base.select(
+        F.col(id_col), wl.alias("__wl"), F.explode(idx).alias("chunk_idx")
+    )
+    sl = F.slice(
+        F.col("__wl"),
+        (F.col("chunk_idx") * stride + 1).cast("int"),
+        chunk,
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.concat_ws(" ", sl).alias("chunk_text"),
+        F.size(sl).cast("bigint").alias("n_tokens"),
+    )

@@ -1747,3 +1747,40 @@ def corpus_shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(
         load_table(spark, sf_dir, "documents"), n_shards=64
     )
+
+
+def _chunk_oracle(chunk: int = 64, stride: int = 48) -> str:
+    return f"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x != '') AS wl
+    FROM documents
+),
+ch AS (
+    SELECT doc_id, wl,
+           unnest(generate_series(0, (len(wl) - 1) // {stride})) AS chunk_idx
+    FROM words WHERE len(wl) > 0
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(
+           list_slice(wl, chunk_idx * {stride} + 1,
+                      chunk_idx * {stride} + {chunk}), ' ') AS chunk_text,
+       CAST(len(list_slice(wl, chunk_idx * {stride} + 1,
+                           chunk_idx * {stride} + {chunk})) AS BIGINT)
+           AS n_tokens
+FROM ch
+"""
+
+
+@register("corpus_chunk_windows", oracle=_chunk_oracle())
+def corpus_chunk_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking with overlap (context-window prep / RAG
+    indexing unit): 64-word windows, stride 48 — a zero-shuffle narrow
+    map; every window's text and token count hash-checked."""
+    from wikidatabots_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk=64, stride=48
+    )
