@@ -1784,3 +1784,50 @@ def corpus_chunk_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         load_table(spark, sf_dir, "documents"), chunk=64, stride=48
     )
+
+
+_QUALITY_TOPFRAC_ORACLE = f"""
+WITH qual AS ({_QUALITY_ORACLE}),
+ranked AS (
+    SELECT d.source, q.doc_id, q.quality,
+           row_number() OVER (PARTITION BY d.source
+                              ORDER BY q.quality DESC, q.doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY d.source) AS cnt
+    FROM qual q JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id, quality, CAST(rn AS BIGINT) AS rank_in_source
+FROM ranked
+WHERE rn <= CEIL(0.5 * cnt)
+"""
+
+
+@register("text_quality_topfrac", oracle=_QUALITY_TOPFRAC_ORACLE)
+def text_quality_topfrac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DYNAMIC quality gate: keep each source's top 50% by
+    quality score (rank-based, ties to lowest doc_id) — the per-domain
+    adaptive threshold real pipelines use instead of one global cut
+    (a fixed threshold over-prunes weak domains and under-prunes strong
+    ones). Exact rank math, no percentile interpolation — engine-exact
+    by construction. One exchange (the source window partitioning);
+    the quality features fuse into the scan stage."""
+    from pyspark.sql import Window
+
+    from wikidatabots_spark.operators.textstats import with_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = with_quality(d).select("source", "doc_id", "quality")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("source")
+    return (
+        scored.withColumn("rank_in_source", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+        .where(F.col("rank_in_source") <= F.ceil(F.lit(0.5) * F.col("__cnt")))
+        .select(
+            "source",
+            "doc_id",
+            "quality",
+            F.col("rank_in_source").cast("bigint").alias("rank_in_source"),
+        )
+    )
