@@ -92,10 +92,13 @@ HEADLINERS = [
     "mm_resize",
     "sketch_hll",
     "asof_next_purchase",
-    # round-4 additions: SemDeDup cluster-fenced semantic dedup and the
-    # training-shard export manifest
+    # round-4 additions: SemDeDup cluster-fenced semantic dedup, the
+    # training-shard export manifest, context-window chunking, and the
+    # per-source dynamic quality gate
     "dedup_semantic",
     "corpus_shard_manifest",
+    "corpus_chunk_windows",
+    "text_quality_topfrac",
 ]
 
 
