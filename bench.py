@@ -99,6 +99,7 @@ HEADLINERS = [
     "corpus_shard_manifest",
     "corpus_chunk_windows",
     "text_quality_topfrac",
+    "curate_corpus_v3",
 ]
 
 
