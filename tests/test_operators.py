@@ -849,3 +849,24 @@ def test_chunk_documents_overlap_and_boundaries(spark):
     assert out[(1, 2)] == ("w6 w7 w8 w9", 4)
     assert out[(1, 3)] == ("w9", 1)
     assert out[(3, 0)] == ("solo", 1)
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    """Star graph: the hub (similar to everyone) must out-rank every
+    leaf; ranks are deterministic integers that approximately conserve
+    total mass."""
+    from wikidatabots_spark.operators.graph import RANK_SCALE, pagerank_int
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    out = {r.node: r.rank for r in pagerank_int(edges, iters=3).collect()}
+    assert len(out) == 9
+    hub, leaves = out[0], [out[i] for i in range(1, 9)]
+    assert all(hub > l for l in leaves)
+    assert len(set(leaves)) == 1  # symmetry → identical leaf ranks
+    total = sum(out.values())
+    assert abs(total - RANK_SCALE) < RANK_SCALE * 0.01
+    # deterministic across re-runs
+    again = {r.node: r.rank for r in pagerank_int(edges, iters=3).collect()}
+    assert out == again

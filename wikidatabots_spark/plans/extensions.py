@@ -1831,3 +1831,50 @@ def text_quality_topfrac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank_in_source").cast("bigint").alias("rank_in_source"),
         )
     )
+
+
+def _pagerank_oracle(iters: int = 2, m: int = 1_000_000_000) -> str:
+    # unrolled integer PageRank over the symmetrized winnow pair graph;
+    # every intermediate is a non-negative integer so // == Spark div
+    ctes = [
+        f"pairs AS ({_WINNOW_PAIRS_ORACLE})",
+        "sym AS (SELECT id_a AS u, id_b AS v FROM pairs"
+        " UNION ALL SELECT id_b, id_a FROM pairs)",
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg)",
+        f"r0 AS (SELECT u, {m} // nn.n AS rank, deg FROM deg, nn)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT s.v AS u,"
+            f" CAST(SUM(r.rank // r.deg) AS BIGINT) AS inc"
+            f" FROM sym s JOIN {prev} r ON r.u = s.u GROUP BY s.v)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT d.u,"
+            f" (15 * ({m} // nn.n)) // 100"
+            f" + (85 * COALESCE(c{i}.inc, 0)) // 100 AS rank, d.deg"
+            f" FROM deg d CROSS JOIN nn LEFT JOIN c{i} ON c{i}.u = d.u)"
+        )
+        prev = f"r{i}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT u AS node, CAST(rank AS BIGINT) AS rank FROM {prev}
+"""
+
+
+@register("graph_pagerank_dupgraph", oracle=_pagerank_oracle())
+def graph_pagerank_dupgraph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (2 unrolled iterations, damping 0.85 as exact
+    integer ops) over the winnowing near-dup pair graph: high-rank
+    nodes are boilerplate/template hubs — a curation signal the
+    connected-component id cannot provide. Per iteration: one
+    edges-to-ranks equi-join + one destination-keyed aggregation (the
+    classic distributed PageRank step); the oracle unrolls the whole
+    fixed-point-free computation CTE by CTE."""
+    from wikidatabots_spark.operators.graph import pagerank_int
+
+    pairs = dedup_winnow_q(spark, sf_dir)
+    return pagerank_int(pairs, iters=2)
