@@ -489,23 +489,55 @@ def simhash_near_pairs(
     confined to slice-collision groups.
     """
     sh = simhash(df, id_col, text_col)
-    sliced = sh.select(
+    return hamming_near_pairs(
+        sh,
+        id_col=id_col,
+        fp_col="simhash",
+        n_slices=4,
+        slice_bits=8,
+        max_hamming=max_hamming,
+    )
+
+
+def hamming_near_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    n_slices: int = 4,
+    slice_bits: int = 8,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Generic pigeonhole Hamming-LSH over an existing integer
+    fingerprint column → (id_a, id_b, hamming).
+
+    Split the fingerprint into ``n_slices`` slices of ``slice_bits``; a
+    pair with fewer flipped bits than slices must agree on at least one
+    slice (exact recall for ``max_hamming`` ≤ n_slices - 1). Candidates
+    = equi-join on (slice_idx, slice_value); verification =
+    ``bit_count(xor)`` on the full fingerprints. All integer ops; one
+    shuffle on the slice key; pair work confined to collision groups.
+    Reused by text SimHash (32-bit, 4×8) and media perceptual hashes
+    (16-bit, 4×4).
+    """
+    mask = (1 << slice_bits) - 1
+    sliced = fps.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(fp_col).alias("__fp"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("slice_idx"),
                         (
-                            F.shiftright(F.col("simhash"), 8 * i) % 256
+                            F.shiftright(F.col(fp_col), slice_bits * i)
+                            % (mask + 1)
                         ).alias("slice_val"),
                     )
-                    for i in range(4)
+                    for i in range(n_slices)
                 ]
             )
         ).alias("s"),
-    ).select(id_col, "simhash", "s.slice_idx", "s.slice_val")
+    ).select(id_col, "__fp", "s.slice_idx", "s.slice_val")
     a, b = sliced.alias("a"), sliced.alias("b")
     cand = (
         a.join(
@@ -517,8 +549,8 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("fp_a"),
-            F.col("b.simhash").alias("fp_b"),
+            F.col("a.__fp").alias("fp_a"),
+            F.col("b.__fp").alias("fp_b"),
         )
         .distinct()
     )

@@ -187,3 +187,39 @@ def extract_features(
         return s.map(lambda b: None if b is None else _fake_features(bytes(b)))
 
     return df.withColumn(out_col, feats(F.col(data_col)))
+
+
+def perceptual_hash(
+    df: DataFrame,
+    features_col: str = "features",
+    out_col: str = "phash",
+) -> DataFrame:
+    """Average-hash perceptual fingerprint from the feature vector:
+    bit i = 1 iff feature byte i >= the vector's integer mean —
+    the aHash scheme (mean-thresholded intensities), computed on the
+    recovered feature BYTES (``round((f+1)·128)``, an exact
+    float↔byte bijection) so every comparison is integer and the
+    whole hash is engine-exact (no float-mean tie risk).
+
+    A near-identical image flips few bits; feed the result to
+    ``operators.dedup.hamming_near_pairs`` (16-bit hash → 4 slices of
+    4 bits) for sub-quadratic perceptual near-dup detection. Pure
+    narrow map over the feature column; the blob never shuffles.
+    """
+    bs = F.transform(
+        F.col(features_col),
+        lambda x: F.round((x.cast("double") + F.lit(1.0)) * F.lit(128.0)).cast(
+            "long"
+        ),
+    )
+    df = df.withColumn("__bs", bs)
+    df = df.withColumn(
+        "__mean",
+        F.expr(f"aggregate(__bs, 0L, (a, x) -> a + x) div {FEATURE_DIM}"),
+    )
+    phash = F.expr(
+        "aggregate(transform(__bs, (x, i) -> "
+        "CASE WHEN x >= __mean THEN shiftleft(1L, i) ELSE 0L END), "
+        "0L, (a, x) -> a + x)"
+    )
+    return df.withColumn(out_col, phash).drop("__bs", "__mean")

@@ -1878,3 +1878,72 @@ def graph_pagerank_dupgraph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_winnow_q(spark, sf_dir)
     return pagerank_int(pairs, iters=2)
+
+
+_MM_PHASH_NEAR_ORACLE = """
+WITH h AS (
+    SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
+),
+ints AS (
+    SELECT media_id,
+           list_transform(generate_series(0, 15),
+               i -> (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1)) AS bs
+    FROM ints_src
+),
+ph AS (
+    SELECT media_id,
+           CAST(list_sum(list_transform(generate_series(0, 15),
+               i -> CASE WHEN bs[i + 1] >= CAST(list_sum(bs) AS BIGINT) // 16
+                         THEN CAST(1 AS BIGINT) << i
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+    FROM ints
+),
+sliced AS (
+    SELECT media_id, phash, j AS slice_idx,
+           (phash >> (4 * j)) & 15 AS slice_val
+    FROM ph, generate_series(0, 3) t(j)
+),
+cand AS (
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+           a.phash AS fa, b.phash AS fb
+    FROM sliced a
+    JOIN sliced b ON a.slice_idx = b.slice_idx
+                 AND a.slice_val = b.slice_val
+                 AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= 3
+""".replace("FROM ints_src", "FROM h")
+
+
+@register("mm_phash_near", oracle=_MM_PHASH_NEAR_ORACLE)
+def mm_phash_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup media pairs: aHash (mean-thresholded feature
+    bytes, engine-exact integer math) + pigeonhole Hamming-LSH (16-bit
+    hash, 4 slices of 4 bits, exact recall ≤ 3 flipped bits) — the
+    media analog of dedup_simhash_near, reusing the same generic
+    hamming_near_pairs machinery. The blob never shuffles; only the
+    16-bit hash does. (At production scale use a 64-bit phash — a
+    16-bit space birthday-collides quickly; dims here match the
+    container's stubbed 16-dim features.)"""
+    from wikidatabots_spark.operators.dedup import hamming_near_pairs
+    from wikidatabots_spark.operators.multimodal import (
+        extract_features,
+        perceptual_hash,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+    ph = perceptual_hash(extract_features(d)).select("media_id", "phash")
+    return hamming_near_pairs(
+        ph,
+        id_col="media_id",
+        fp_col="phash",
+        n_slices=4,
+        slice_bits=4,
+        max_hamming=3,
+    )
