@@ -244,3 +244,35 @@ def test_semdedup_total_and_lowest_kept(spark, vecs):
         assert next(m for m in members if m.vec_id == lowest).is_kept
     keep_all = semdedup_flags(df, k=1, rounds=1, threshold=1.1).collect()
     assert all(r.is_kept for r in keep_all)
+
+
+@given(
+    fps=st.lists(
+        st.integers(min_value=0, max_value=(1 << 16) - 1),
+        min_size=2,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_hamming_lsh_exact_recall_within_pigeonhole_bound(spark, fps):
+    """Pigeonhole guarantee: with 4 slices, the LSH candidate set
+    contains EVERY pair at Hamming distance <= 3 — LSH output equals
+    brute force exactly (the verification step removes false
+    positives, the slicing provably cannot remove true ones)."""
+    from wikidatabots_spark.operators.dedup import hamming_near_pairs
+
+    rows = [(i, fp) for i, fp in enumerate(fps)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_pairs(
+            df, n_slices=4, slice_bits=4, max_hamming=3
+        ).collect()
+    }
+    want = set()
+    for i, a in enumerate(fps):
+        for j in range(i + 1, len(fps)):
+            h = bin(a ^ fps[j]).count("1")
+            if h <= 3:
+                want.add((i, j, h))
+    assert got == want
