@@ -94,3 +94,35 @@ def test_rdf_pipelines_schema(spark, sf_dir, name):
 )
 def test_headliners_execute(spark, sf_dir, name):
     assert plans.REGISTRY[name].fn(spark, sf_dir).count() > 0
+
+
+def test_curate_v4_semantic_gate_strictly_prunes(spark, sf_dir):
+    """v4's cross-table semantic gate must actually FIRE on the test
+    corpus: its post-gate doc set (pre-mixture — mixture rates depend
+    on the gated counts, so FINAL outputs are deliberately not
+    comparable) is a strict subset of v3's — guards against the
+    anti-join silently becoming a no-op."""
+    from pyspark.sql import functions as F
+
+    from wikidatabots_spark.operators.similarity import semdedup_flags
+    from wikidatabots_spark.plans.curation import _v3_gated
+    from wikidatabots_spark.sources.tables import load_table
+
+    gated3 = {r.doc_id for r in _v3_gated(spark, sf_dir).collect()}
+    semdrop = {
+        r.vec_id
+        for r in semdedup_flags(
+            load_table(spark, sf_dir, "embeddings"), 4, 2, 0.3
+        )
+        .where(~F.col("is_kept"))
+        .collect()
+    }
+    gated4 = gated3 - semdrop
+    assert gated4 < gated3  # the gate fires on this corpus
+    assert len(gated4) > 0
+    # and the registered v4 output contains exactly gated4's docs
+    v4 = {
+        r.doc_id
+        for r in plans.REGISTRY["curate_corpus_v4"].fn(spark, sf_dir).collect()
+    }
+    assert v4 <= gated4

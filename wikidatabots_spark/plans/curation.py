@@ -386,24 +386,16 @@ FROM final f JOIN bucket ON bucket.doc_id = f.doc_id
 """
 
 
-@register("curate_corpus_v3", oracle=_curate_v3_oracle())
-def curate_corpus_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full modern pre-training pipeline as ONE oracle-checked query:
-    exact dedup → winnowing near-dup pairs → connected components →
-    quality + language + Gopher-repetition + CLASSIFIER gates →
-    domain-mixture resampling with epochs → deterministic content-hash
-    split. vs v2: adds the fasttext-shaped classifier gate and ends with
-    Pile-style integer-exact mixture (up-sampled sources repeat docs).
-    Every stage shuffles only hashes/ids; gates fuse into one codegen
-    stage; the oracle reproduces the whole thing including the component
-    fixed point and every mixture copy count."""
+def _v3_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared v3 gate stack → (doc_id, source): exact dedup →
+    fenced winnow pairs → connected components → quality + language +
+    repetition + classifier gates."""
     from wikidatabots_spark.operators.dedup import (
         connected_components,
         ensure_parallelism,
         winnow_fingerprints,
         winnow_pairs,
     )
-    from wikidatabots_spark.operators.mixture import mix_epochs
     from wikidatabots_spark.operators.textstats import (
         with_classifier_score,
         with_repetition,
@@ -435,7 +427,7 @@ def curate_corpus_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio", "dup_2gram_frac", "cls_score",
         )
     )
-    gated = (
+    return (
         survivors.join(scored, "doc_id")
         .where(
             (F.col("quality") >= 0.5)
@@ -446,6 +438,11 @@ def curate_corpus_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source")
     )
+
+
+def _mix_and_split(gated: DataFrame) -> DataFrame:
+    from wikidatabots_spark.operators.mixture import mix_epochs
+
     mixed = mix_epochs(
         gated, key="doc_id", strata="source",
         weights={"src0": 1, "src1": 9}, default_weight=3,
@@ -465,3 +462,130 @@ def curate_corpus_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("holdout"))
         .alias("split"),
     )
+
+
+@register("curate_corpus_v3", oracle=_curate_v3_oracle())
+def curate_corpus_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern pre-training pipeline as ONE oracle-checked query:
+    exact dedup → winnowing near-dup pairs → connected components →
+    quality + language + Gopher-repetition + CLASSIFIER gates →
+    domain-mixture resampling with epochs → deterministic content-hash
+    split. vs v2: adds the fasttext-shaped classifier gate and ends with
+    Pile-style integer-exact mixture (up-sampled sources repeat docs).
+    Every stage shuffles only hashes/ids; gates fuse into one codegen
+    stage; the oracle reproduces the whole thing including the component
+    fixed point and every mixture copy count."""
+    return _mix_and_split(_v3_gated(spark, sf_dir))
+
+
+def _curate_v4_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import (
+        _CLS_ORACLE,
+        _REPETITION_ORACLE,
+        _WINNOW_PAIRS_ORACLE,
+        _semdedup_oracle,
+    )
+
+    return f"""
+WITH RECURSIVE
+qual AS ({_QUALITY_ORACLE}),
+lng AS ({_LANGID_ORACLE}),
+rep AS ({_REPETITION_ORACLE}),
+cls AS ({_CLS_ORACLE}),
+pairs AS ({_WINNOW_PAIRS_ORACLE}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL SELECT id_b, id_a FROM pairs
+),
+gnodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM gnodes
+    UNION
+    SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+dup_nodes AS (SELECT node FROM comp WHERE node != component),
+exact_canon AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+survivors AS (
+    SELECT doc_id FROM exact_canon
+    WHERE doc_id NOT IN (SELECT node FROM dup_nodes)
+),
+sem AS ({_semdedup_oracle(0.3)}),
+semdrop AS (SELECT vec_id AS doc_id FROM sem WHERE NOT is_kept),
+gated AS (
+    SELECT s.doc_id, d.source
+    FROM survivors s
+    JOIN qual ON qual.doc_id = s.doc_id
+    JOIN lng ON lng.doc_id = s.doc_id
+    JOIN rep ON rep.doc_id = s.doc_id
+    JOIN cls ON cls.doc_id = s.doc_id
+    JOIN documents d ON d.doc_id = s.doc_id
+    WHERE qual.quality >= 0.5 AND lng.lang_guess = 'en'
+      AND rep.dup_2gram_frac <= 0.05 AND rep.type_token_ratio >= 0.35
+      AND cls.keep
+      AND s.doc_id NOT IN (SELECT doc_id FROM semdrop)
+),
+counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(CASE WHEN source = 'src0' THEN 1
+                     WHEN source = 'src1' THEN 9
+                     ELSE 3 END AS BIGINT) AS wt
+    FROM gated GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS t, CAST(SUM(wt) AS BIGINT) AS w
+    FROM counts
+),
+rates AS (
+    SELECT source, (wt * t * 65536) // (w * cnt) AS k FROM counts, tot
+),
+mixdocs AS (
+    SELECT g.doc_id, g.source, {_MIX_BUCKET_SQL.replace("doc_id", "g.doc_id")} AS b
+    FROM gated g
+),
+expanded AS (
+    SELECT m.doc_id, m.source,
+           r.k // 65536 + CASE WHEN m.b < r.k % 65536 THEN 1 ELSE 0 END AS n
+    FROM mixdocs m JOIN rates r USING (source)
+),
+final AS (
+    SELECT doc_id, source,
+           CAST(UNNEST(generate_series(1, n)) AS BIGINT) AS epoch
+    FROM expanded WHERE n >= 1
+),
+bucket AS (
+    SELECT doc_id, {_SPLIT_BUCKET_SQL} AS b FROM documents
+)
+SELECT f.doc_id, f.source, f.epoch,
+       CASE WHEN bucket.b < {_SPLIT_CUT} THEN 'train' ELSE 'holdout' END AS split
+FROM final f JOIN bucket ON bucket.doc_id = f.doc_id
+"""
+
+
+@register("curate_corpus_v4", oracle=_curate_v4_oracle())
+def curate_corpus_v4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 plus a CROSS-TABLE SEMANTIC gate: documents whose embedding
+    (embeddings.vec_id = doc_id, where one exists) was flagged a
+    semantic duplicate by SemDeDup are dropped before the mixture —
+    text-level dedup (exact + winnow/CC) and embedding-space dedup
+    composed in one oracle-checked pipeline. Docs without embeddings
+    pass the gate untouched (anti-join semantics). The oracle embeds
+    the full kmeans-unrolled SemDeDup verdict inside the recursive-CTE
+    curation program — the entire multi-modal pipeline is hash-checked
+    end-to-end."""
+    from wikidatabots_spark.operators.similarity import semdedup_flags
+
+    gated = _v3_gated(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 0.3 is deliberately aggressive (diversity pruning, not just
+    # near-dup removal) so the cross-table gate provably fires on the
+    # test corpus — the oracle then pins the anti-join itself, not a
+    # vacuous no-op
+    semdrop = (
+        semdedup_flags(emb, k=4, rounds=2, threshold=0.3)
+        .where(~F.col("is_kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return _mix_and_split(gated.join(semdrop, "doc_id", "left_anti"))
