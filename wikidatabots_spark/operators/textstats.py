@@ -540,6 +540,8 @@ def chunk_documents(
     """
     from wikidatabots_spark.operators.dedup import WORD_SPLIT
 
+    if chunk < 1 or stride < 1:
+        raise ValueError("chunk and stride must be >= 1")
     wl_expr = F.filter(
         F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != ""
     )
