@@ -870,3 +870,26 @@ def test_pagerank_hub_ranks_highest(spark):
     # deterministic across re-runs
     again = {r.node: r.rank for r in pagerank_int(edges, iters=3).collect()}
     assert out == again
+
+
+def test_mix_epochs_fact_table_never_shuffles(spark, sf_dir):
+    """mix_epochs' docstring claim, plan-pinned: the doc_id-carrying
+    fact relation joins the tiny rates table via broadcast — the only
+    shuffles are source-keyed PARTIAL COUNTS (|sources| x partitions
+    rows) and the single-row totals."""
+    from wikidatabots_spark.operators.mixture import mix_epochs
+    from wikidatabots_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    m = mix_epochs(
+        d, key="doc_id", strata="source",
+        weights={"src0": 1, "src1": 9}, default_weight=3,
+    )
+    m.collect()
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    for line in final.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" not in line  # fact rows never exchange
+    assert "BroadcastHashJoin [source" in final
