@@ -893,3 +893,49 @@ def test_mix_epochs_fact_table_never_shuffles(spark, sf_dir):
         if "Exchange hashpartitioning" in line:
             assert "doc_id" not in line  # fact rows never exchange
     assert "BroadcastHashJoin [source" in final
+
+
+def test_wide_columns_never_exchange_in_flagship_plans(spark, sf_dir):
+    """The repo-wide rule 'shuffle only keys/hashes, never wide
+    columns' — plan-pinned on the flagship operators: no Exchange in
+    any final adaptive plan carries the text or embedding column."""
+    from wikidatabots_spark import plans as _p
+
+    for name in (
+        "asof_purchase_signup",
+        "dedup_substring",
+        "knn_cosine_topk",
+        "dedup_winnow",
+        "dedup_minhash_lsh",
+        "corpus_shard_manifest",
+    ):
+        df = _p.REGISTRY[name].fn(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, name
+        final = plan.split("== Initial Plan ==")[0]
+        for line in final.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "text#" not in line and "embedding#" not in line, (
+                    name, line.strip()[:120]
+                )
+
+
+def test_knn_single_exchange_query_side_broadcast(spark, sf_dir):
+    """knn claim: the corpus streams through map tasks against a
+    broadcast query side; the ONLY shuffle is the final per-query
+    top-k window."""
+    from wikidatabots_spark import plans as _p
+
+    df = _p.REGISTRY["knn_cosine_topk"].fn(spark, sf_dir)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    hash_ex = [
+        l for l in final.splitlines()
+        if "Exchange hashpartitioning" in l and "Reused" not in l
+    ]
+    assert len(hash_ex) == 1 and "query_id" in hash_ex[0]
+    assert "BroadcastHashJoin" in final or "BroadcastNestedLoopJoin" in final
