@@ -466,7 +466,8 @@ def test_narrow_map_operators_have_no_exchange(spark, sf_dir):
     # that property so a refactor cannot silently introduce a shuffle
     from wikidatabots_spark import plans
 
-    for name in ("text_repetition", "emb_quantize", "sample_stratified"):
+    for name in ("text_repetition", "emb_quantize", "sample_stratified",
+                 "corpus_chunk_windows"):
         plan = (
             plans.REGISTRY[name]
             .fn(spark, sf_dir)
@@ -475,6 +476,18 @@ def test_narrow_map_operators_have_no_exchange(spark, sf_dir):
             .toString()
         )
         assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan}"
+    # winnowing is zero-shuffle array math; its ONLY exchange may be the
+    # deliberate ensure_parallelism fan-out guard (REPARTITION_BY_NUM,
+    # a no-op on real multi-split inputs) — never a requirement-driven
+    # shuffle
+    winnow = (
+        plans.REGISTRY["text_winnow"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ENSURE_REQUIREMENTS" not in winnow
     # bm25: no tokenize-explode anywhere; its only joins are the 1-row
     # stats broadcast (BNLJ by construction) — but never a cartesian
     bm25 = (
