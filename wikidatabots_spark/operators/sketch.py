@@ -149,7 +149,7 @@ def with_bloom_might_contain(
 
 
 def hll_registers(
-    df: DataFrame, col: str, p: int = 6
+    df: DataFrame, col: str, p: int = 6, group_cols: tuple[str, ...] = ()
 ) -> DataFrame:
     """HyperLogLog registers → (register INT, max_rank INT), m = 2^p.
 
@@ -181,15 +181,18 @@ def hll_registers(
     ).cast("int")
     return (
         df.where(c.isNotNull())
-        .select(register.alias("register"), rank.alias("rank"))
-        .groupBy("register")
+        .select(*group_cols, register.alias("register"), rank.alias("rank"))
+        .groupBy(*group_cols, "register")
         .agg(F.max("rank").alias("max_rank"))
     )
 
 
-def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
-    """Cardinality estimate from a register table → one row
-    ``(m, n_registers, s_scaled, estimate)``.
+def hll_estimate(
+    registers: DataFrame, p: int = 6, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Cardinality estimate from a register table → one row per group
+    (one row total without ``group_cols``):
+    ``(*group_cols, m, n_registers, s_scaled, estimate)``.
 
     ``s_scaled = sum(2^(50 - max_rank))`` is the harmonic denominator
     kept as an EXACT BIGINT (max_rank <= 49, so the exponent stays >= 1);
@@ -202,13 +205,14 @@ def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
     """
     m = 1 << p
     alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
-    agg = registers.agg(
+    agg = registers.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_registers"),
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - max_rank)"))
         .cast("long")
         .alias("s_hit"),
     )
     return agg.select(
+        *group_cols,
         F.lit(m).cast("long").alias("m"),
         "n_registers",
         (

@@ -1947,3 +1947,53 @@ def mm_phash_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         slice_bits=4,
         max_hamming=3,
     )
+
+
+def _hll_by_type_oracle() -> str:
+    h16 = _hex_int_sql("hx", 1, 4)
+    x = _hex_int_sql("hx", 5, 12)
+    return f"""
+WITH hashed AS (
+    SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+    FROM events WHERE user_id IS NOT NULL
+),
+rr AS (
+    SELECT event_type,
+           CAST({h16} % 64 AS INT) AS register,
+           CAST(CASE WHEN {x} = 0 THEN 49
+                ELSE 49 - length(bin(CAST({x} AS BIGINT))) END AS INT) AS rank
+    FROM hashed
+),
+regs AS (
+    SELECT event_type, register, MAX(rank) AS max_rank
+    FROM rr GROUP BY event_type, register
+),
+est AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_registers,
+           CAST(SUM(CAST(1 AS BIGINT) << (50 - max_rank)) AS BIGINT) AS s_hit
+    FROM regs GROUP BY event_type
+)
+SELECT event_type,
+       CAST(64 AS BIGINT) AS m,
+       n_registers,
+       s_hit + (64 - n_registers) * (CAST(1 AS BIGINT) << 50) AS s_scaled,
+       CAST(0.709 AS DOUBLE) * 64 * 64 * CAST(1125899906842624 AS DOUBLE) /
+           CAST(s_hit + (64 - n_registers) * (CAST(1 AS BIGINT) << 50)
+                AS DOUBLE) AS estimate
+FROM est
+"""
+
+
+@register("sketch_hll_by_type", oracle=_hll_by_type_oracle())
+def sketch_hll_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HyperLogLog: distinct users per event_type as one
+    sketch per group — the shape distinct-count dashboards actually
+    ship at scale (shuffle bounded at groups x m=64 rows regardless of
+    stream size; per-group sketches stay mergeable across days). Same
+    engine-exact register/rank math as sketch_hll, grouped."""
+    from wikidatabots_spark.operators.sketch import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", p=6, group_cols=("event_type",))
+    return hll_estimate(regs, p=6, group_cols=("event_type",))
