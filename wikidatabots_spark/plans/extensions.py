@@ -1997,3 +1997,53 @@ def sketch_hll_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     regs = hll_registers(ev, "user_id", p=6, group_cols=("event_type",))
     return hll_estimate(regs, p=6, group_cols=("event_type",))
+
+
+_LENGTH_QUANTILES_ORACLE = """
+WITH ranked AS (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS cnt
+    FROM documents
+)
+SELECT source,
+       CAST(MAX(cnt) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN rn = CEIL(0.5 * cnt) THEN n_chars END) AS BIGINT)
+           AS p50_chars,
+       CAST(MAX(CASE WHEN rn = CEIL(0.9 * cnt) THEN n_chars END) AS BIGINT)
+           AS p90_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM ranked
+GROUP BY source
+"""
+
+
+@register("corpus_length_quantiles", oracle=_LENGTH_QUANTILES_ORACLE)
+def corpus_length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EXACT length quantiles (p50/p90 by rank — element at
+    ceil(q*n), no interpolation, so both engines agree bit-for-bit,
+    unlike percentile_cont whose interpolation arithmetic differs):
+    the corpus profiling table a mixture design starts from. One
+    exchange (the source window), aggregation fused."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    ranked = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wc)
+    )
+    q = lambda frac: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(frac) * F.col("cnt")), F.col("n_chars")
+        )
+    ).cast("bigint")
+    return ranked.groupBy("source").agg(
+        F.max("cnt").cast("bigint").alias("n_docs"),
+        q(0.5).alias("p50_chars"),
+        q(0.9).alias("p90_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
