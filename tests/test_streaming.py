@@ -283,3 +283,31 @@ def test_stateful_quota_matches_batch_rank_gate(spark, sf_dir):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_grouped_hll_stream_matches_batch(spark, sf_dir):
+    """Grouped HLL registers are as streaming-mergeable as the global
+    ones (groupBy + max): streamed per-event_type register tables equal
+    the batch twin bit-for-bit; state bounded at groups x 64 rows."""
+    from wikidatabots_spark.operators.sketch import hll_registers
+    from wikidatabots_spark.sources.tables import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    _run_to_memory(
+        hll_registers(ev, "user_id", p=6, group_cols=("event_type",)),
+        "hll_grp",
+    )
+    got = sorted(
+        (r.event_type, r.register, r.max_rank)
+        for r in spark.sql("select * from hll_grp").collect()
+    )
+    want = sorted(
+        (r.event_type, r.register, r.max_rank)
+        for r in hll_registers(
+            load_table(spark, sf_dir, "events"),
+            "user_id",
+            p=6,
+            group_cols=("event_type",),
+        ).collect()
+    )
+    assert got == want and 0 < len(got) <= 5 * 64
