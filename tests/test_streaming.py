@@ -311,3 +311,39 @@ def test_grouped_hll_stream_matches_batch(spark, sf_dir):
         ).collect()
     )
     assert got == want and 0 < len(got) <= 5 * 64
+
+
+def test_funnel_stream_matches_batch_cohorts(spark, sf_dir):
+    """Stateful streaming funnel parity: per-user (signup, first
+    conversion within 7d) state rows, rolled up to signup-day cohorts,
+    equal the batch ev_funnel output exactly."""
+    from wikidatabots_spark.plans.events import ev_funnel
+    from wikidatabots_spark.streaming.stateful import funnel_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        funnel_stream(ev.select("user_id", "ts", "event_type"))
+        .writeStream.format("memory")
+        .queryName("funnel_s")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.signup_day, r.n_signups, r.n_converted, r.sum_conv_us)
+        for r in spark.sql(
+            """
+            select to_date(timestamp_micros(signup_us)) as signup_day,
+                   count(*) as n_signups,
+                   count(conv_us) as n_converted,
+                   coalesce(sum(conv_us - signup_us), 0) as sum_conv_us
+            from funnel_s group by 1
+            """
+        ).collect()
+    }
+    want = {
+        (r.signup_day, r.n_signups, r.n_converted, r.sum_conv_us)
+        for r in ev_funnel(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0

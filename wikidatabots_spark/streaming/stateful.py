@@ -206,3 +206,77 @@ def source_quota_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("signup_us", LongType()),
+        StructField("conv_us", LongType()),
+    ]
+)
+
+
+def funnel_stream(
+    events: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """Stateful streaming funnel: per user, earliest signup and first
+    purchase within ``window_days`` after it → (user_id, signup_us,
+    conv_us µs epoch, conv_us null until converted). The streaming twin
+    of the batch ``ev_funnel`` per-user reduction (the cohort rollup is
+    a plain downstream aggregation).
+
+    State per user is two longs — bounded by active users, evicted by
+    the processing-time timeout. Exactness caveat (documented, not
+    hidden): if a batch delivers a user's purchase and a LATER batch
+    retroactively delivers an EARLIER signup, a purchase that fell
+    outside the old window but inside the new one was already
+    discarded — exact replay of that case needs every purchase
+    retained (unbounded state). With event-time-ordered ingest (the
+    drop-zone pattern) or availableNow over complete files, results
+    are exact and equal the batch query.
+    """
+    win_us = window_days * 86_400_000_000
+    NONE = -1  # state sentinel: "no signup/conversion seen yet"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        su, cv = state.get if state.exists else (NONE, NONE)
+        batch = batch.assign(
+            __us=pd.to_datetime(batch["ts"]).astype("int64") // 1000
+        )
+        sign = batch.loc[batch["event_type"] == "signup", "__us"]
+        if len(sign):
+            mn = int(sign.min())
+            su = mn if su == NONE else min(su, mn)
+        if su != NONE:
+            pur = batch.loc[
+                (batch["event_type"] == "purchase")
+                & (batch["__us"] > su)
+                & (batch["__us"] <= su + win_us),
+                "__us",
+            ]
+            if len(pur):
+                mn = int(pur.min())
+                cv = mn if cv == NONE else min(cv, mn)
+            if cv != NONE and not (su < cv <= su + win_us):
+                cv = NONE  # retro-signup moved the window; drop stale conv
+        state.update((su, cv))
+        if su != NONE:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "signup_us": [su],
+                    "conv_us": [None if cv == NONE else cv],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType="signup_us long, conv_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
