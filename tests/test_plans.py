@@ -29,9 +29,10 @@ def test_registry_priority_window():
     assert window == PRIORITY
     must_have = {
         # §2 micro pins named by the r1 verdict (try_cast/sample live in
-        # the merged op_scalar_micro / op_sample slots; the A1/A2 unique
-        # pair and U2/R1 explode pair merged r4 into op_unique/op_explode)
-        "op_regexp_extract_null", "op_pl_format", "op_unique",
+        # the merged op_scalar_micro / op_sample slots; A1/A2 unique and
+        # U2/R1 explode merged r4 into op_unique/op_explode; T4
+        # pl_format folded into the op_strings slot late-r4)
+        "op_regexp_extract_null", "op_unique",
         "op_dates", "op_explode",
         "op_scalar_micro", "op_sample", "op_strings",
         # pipelines + headliners + SQL API
@@ -50,6 +51,7 @@ def test_registry_priority_window():
         # r3 next #5)
         "curate_corpus", "asof_purchase_signup", "sketch_count_min",
         "dedup_winnow", "curate_corpus_v3", "corpus_mix_epochs",
+        "curate_corpus_v4",
     }
     assert must_have <= set(window)
     # every window entry carries a DuckDB oracle (the mm fakes gained

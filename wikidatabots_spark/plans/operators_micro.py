@@ -424,7 +424,7 @@ def op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mod.unionByName(frac)
 
 
-# --- T2+T3 merged: literal replace + regex extract-all in one slot ---------
+# --- T2+T3+T4 merged: replace + extract-all + pl_format in one slot --------
 @register(
     "op_strings",
     oracle="""
@@ -436,11 +436,19 @@ SELECT 'extract_all' AS kind, CAST(doc_id AS BIGINT) AS key,
        COALESCE(array_to_string(regexp_extract_all(text, '([a-z]*an[a-z]*)', 1), ','),
                 '') AS val
 FROM documents
+UNION ALL
+SELECT 'pl_format' AS kind, CAST(o_orderkey AS BIGINT) AS key,
+       'order ' || o_orderkey || ' status ' ||
+       (CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END)
+           AS val
+FROM orders
 """,
 )
 def op_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op_replace_literal + op_regexp_extract_all folded into one tagged
-    frame (driver-window budget; individuals stay for the local gate)."""
+    """op_replace_literal + op_regexp_extract_all + op_pl_format (T4
+    null-propagating format, folded r4 to free a window slot for
+    curate_corpus_v4) as one tagged frame (driver-window budget;
+    individuals stay for the local gate)."""
     p = load_table(spark, sf_dir, "part").select(
         F.lit("replace").alias("kind"),
         F.col("p_partkey").cast("bigint").alias("key"),
@@ -453,7 +461,16 @@ def op_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("text"), F.lit(r"([a-z]*an[a-z]*)"), 1), ","
         ).alias("val"),
     )
-    return p.unionByName(d)
+    o = load_table(spark, sf_dir, "orders")
+    maybe_null = F.when(F.col("o_orderstatus") != "F", F.col("o_orderstatus"))
+    fmt = o.select(
+        F.lit("pl_format").alias("kind"),
+        F.col("o_orderkey").cast("bigint").alias("key"),
+        pl_format(
+            "order {} status {}", F.col("o_orderkey"), maybe_null
+        ).alias("val"),
+    )
+    return p.unionByName(d).unionByName(fmt)
 
 
 # --- F6+F9+N1 merged: scalar predicate/cast family over one scan -----------

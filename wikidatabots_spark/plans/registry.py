@@ -51,7 +51,6 @@ PRIORITY: list[str] = [
     "op_unique",
     "op_regexp_extract_null",
     "op_explode",
-    "op_pl_format",
     "op_scalar_micro",
     "op_union_all",
     "op_join_diff_keys",
@@ -105,6 +104,9 @@ PRIORITY: list[str] = [
     # classifier + mixture) and the mixture operator get hard-signal rows
     "curate_corpus_v3",
     "corpus_mix_epochs",
+    # promoted late-r4 (T4 folded into the op_strings slot): the
+    # cross-table text+embedding curation flagship
+    "curate_corpus_v4",
 ]
 
 
