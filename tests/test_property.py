@@ -276,3 +276,23 @@ def test_hamming_lsh_exact_recall_within_pigeonhole_bound(spark, fps):
             if h <= 3:
                 want.add((i, j, h))
     assert got == want
+
+
+@given(text=st.text(alphabet="abc xyz", min_size=0, max_size=60))
+@SETTINGS
+def test_chunk_partition_when_stride_equals_chunk(spark, text):
+    """stride == chunk → the windows PARTITION the word sequence:
+    concatenating chunk_texts in chunk_idx order reproduces the
+    normalized document exactly, and token counts sum to n_words."""
+    from wikidatabots_spark.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk=5, stride=5).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    words = [w for w in text.lower().split() if w]
+    assert " ".join(r.chunk_text for r in rows) == " ".join(words)
+    assert sum(r.n_tokens for r in rows) == len(words)
+    if not words:
+        assert rows == []
