@@ -1,0 +1,186 @@
+"""Unit tests for the round-4b LLM-data additions: hashed-bigram LM
+scoring, keep-best-quality dedup, incremental band-index dedup, and SCD2
+interval reconstruction. (The registered queries are additionally
+oracle-hash-checked end-to-end by scripts/check_oracle.py.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_lm_score_hand_computed(spark):
+    """Tiny corpus with hand-derived integer model scores.
+
+    occurrences: d1 = (a b)(b a)(a c), d2 = (a b), d3 = none.
+    c(head a)=3, c(a b)=2, c(a c)=1, c(head b)=1, c(b a)=1; α=10 →
+    score(a b) = 2e6//13 = 153846, score(a c) = 1e6//13 = 76923,
+    score(b a) = 1e6//11 = 90909.
+    """
+    from wikidatabots_spark.operators.lm import with_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b"), (3, "z")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in with_lm_score(df).collect()}
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["lm_score"] == pytest.approx((153846 + 90909 + 76923) / 3)
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["lm_score"] == pytest.approx(153846.0)
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["lm_score"] is None
+
+
+def test_lm_score_common_prose_outranks_word_salad(spark):
+    """The signal the operator exists for: a doc made of corpus-typical
+    transitions outscores a doc of one-off transitions under the same
+    self-trained model."""
+    from wikidatabots_spark.operators.lm import with_lm_score
+
+    prose = "the cat sat on the mat"
+    docs = [(i, prose) for i in range(1, 9)]
+    docs.append((9, "qq ww ee rr tt yy"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r["lm_score"] for r in with_lm_score(df).collect()}
+    assert rows[1] > 3 * rows[9]
+    # prose: heads seen 8-16x → shrinkage is mild (scores ~3-4.5e5);
+    # salad: every head is a singleton → 1e6//11 = 90909 per bigram
+    assert rows[9] == pytest.approx(90909.0)
+
+
+def test_scd2_intervals_runs_and_current_state(spark):
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2026, 1, 1, h)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, t(1), 10, "A", 0.0, "{}"),
+            (2, t(2), 10, "A", 0.0, "{}"),
+            (3, t(3), 10, "B", 0.0, "{}"),
+            (4, t(4), 10, "A", 0.0, "{}"),
+            (5, t(1), 20, "C", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    # exercise the plan body directly on the synthetic frame
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    ordered = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(~prev_type.eqNullSafe(F.col("event_type")), F.lit(1))
+        .otherwise(F.lit(0)).alias("new_run"),
+    )
+    runs = ordered.withColumns(
+        {
+            "run_id": F.sum("new_run").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            "next_change": F.min(
+                F.when(F.col("new_run") == 1, F.col("ts"))
+            ).over(w.rowsBetween(1, Window.unboundedFollowing)),
+        }
+    )
+    out = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"),
+        F.min("next_change").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    got = {
+        (r["user_id"], r["run_id"]): r for r in out.collect()
+    }
+    assert got[(10, 1)]["event_type"] == "A"
+    assert got[(10, 1)]["n_events"] == 2
+    assert got[(10, 1)]["valid_from"] == t(1)
+    assert got[(10, 1)]["valid_to"] == t(3)
+    assert got[(10, 2)]["event_type"] == "B"
+    assert got[(10, 2)]["valid_to"] == t(4)
+    assert got[(10, 3)]["event_type"] == "A"
+    assert got[(10, 3)]["valid_to"] is None  # open current state
+    assert got[(20, 1)]["valid_to"] is None
+
+
+def test_incremental_index_equals_full_pairs_across_parity(spark, sf_dir):
+    """Probing the new batch against the prior index finds exactly the
+    cross-parity subset of the full corpus' LSH pairs — no pair is
+    invented or lost by splitting the computation."""
+    from wikidatabots_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_lsh_pairs,
+    )
+    from wikidatabots_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(d).collect()
+    }
+    cross = {p for p in full if (p[0] + p[1]) % 2 == 1}
+
+    indexed = minhash_band_table(d.where(F.col("doc_id") % 2 == 0))
+    batch = minhash_band_table(d.where(F.col("doc_id") % 2 == 1))
+    probe = (
+        batch.select(F.col("doc_id").alias("new_id"), "band_idx", "band_hash")
+        .join(
+            indexed.select(
+                F.col("doc_id").alias("old_id"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    got = {
+        (min(r["new_id"], r["old_id"]), max(r["new_id"], r["old_id"]))
+        for r in probe.collect()
+    }
+    assert got == cross
+
+
+def test_keep_best_quality_prefers_high_quality_member(spark):
+    """A near-dup pair keeps the HIGHER-quality doc even when it has the
+    higher id (distinguishes the verdict from keep-lowest-id)."""
+    from pyspark.sql import Window
+
+    from wikidatabots_spark.operators.dedup import (
+        connected_components,
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+    from wikidatabots_spark.operators.textstats import with_quality
+
+    base = " ".join(f"w{i}" for i in range(40))
+    richer = base + " " + " ".join(["the", "of", "and", "in", "on"] * 8)
+    df = spark.createDataFrame(
+        [(1, base), (2, richer), (3, "solo unrelated text")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=3, window=4)
+    pairs = winnow_pairs(fps, df, min_shared=3, max_df=0.9)
+    comp = connected_components(pairs)
+    allcomp = (
+        df.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+    )
+    q = with_quality(df).select("doc_id", "quality")
+    w = Window.partitionBy("component")
+    ranked = (
+        allcomp.join(q, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.col("quality").desc(), F.col("doc_id"))
+            ),
+        )
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+    )
+    best = {
+        r["component"]: r
+        for r in ranked.where(F.col("rn") == 1).collect()
+    }
+    # docs 1 and 2 share the 40-word run → one component keyed by min id 1
+    assert best[1]["n_members"] == 2
+    assert best[1]["doc_id"] == 2  # richer doc wins despite higher id
+    assert best[3]["n_members"] == 1 and best[3]["doc_id"] == 3

@@ -244,7 +244,7 @@ def minhash_signatures(
     return tok.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_band_table(
     df: DataFrame,
     num_hashes: int = 8,
     bands: int = 4,
@@ -252,11 +252,14 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash LSH.
+    """Long-format banded MinHash index: (id, band_idx, band_hash).
 
-    Signature of ``num_hashes`` minhashes split into ``bands`` bands of
-    r = k/b rows; docs sharing any band hash become a candidate pair.
-    Returns distinct (id_a, id_b, n_shared_bands) with id_a < id_b.
+    The persistent half of an LSH dedup system: write this table out
+    bucketed by (band_idx, band_hash) and any future batch can probe it
+    with a plain equi-join (``incremental``-ingest dedup — see
+    plans: ``dedup_incremental_index``) instead of re-deduping the
+    whole corpus. Per-doc signatures depend only on the doc's own
+    shingles, so the index composes across batches by union.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -277,8 +280,8 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_cols)
-    # long format: (band_index, band_hash, id) → self-join per band key
-    stacked = banded.select(
+    # long format: (band_index, band_hash, id) → equi-join per band key
+    return banded.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -291,6 +294,25 @@ def minhash_lsh_pairs(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band_idx", "bh.band_hash")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature of ``num_hashes`` minhashes split into ``bands`` bands of
+    r = k/b rows; docs sharing any band hash become a candidate pair.
+    Returns distinct (id_a, id_b, n_shared_bands) with id_a < id_b.
+    """
+    stacked = minhash_band_table(
+        df, num_hashes, bands, shingle_size, id_col, text_col
+    )
     a = stacked.alias("a")
     b = stacked.alias("b")
     pairs = (

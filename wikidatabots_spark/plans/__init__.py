@@ -9,6 +9,7 @@ from wikidatabots_spark.plans import (  # noqa: F401
     curation,
     events,
     extensions,
+    llmdata,
     mains,
     opencritic,
     operators_micro,

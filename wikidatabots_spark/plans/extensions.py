@@ -59,6 +59,29 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
+_MINHASH_STACKED_SQL = """
+sig AS (
+    SELECT doc_id,
+           MIN(md5('0:' || token)) AS mh0, MIN(md5('1:' || token)) AS mh1,
+           MIN(md5('2:' || token)) AS mh2, MIN(md5('3:' || token)) AS mh3,
+           MIN(md5('4:' || token)) AS mh4, MIN(md5('5:' || token)) AS mh5,
+           MIN(md5('6:' || token)) AS mh6, MIN(md5('7:' || token)) AS mh7
+    FROM tok GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id,
+           md5(mh0 || '|' || mh1) AS band0, md5(mh2 || '|' || mh3) AS band1,
+           md5(mh4 || '|' || mh5) AS band2, md5(mh6 || '|' || mh7) AS band3
+    FROM sig
+),
+stacked AS (
+    SELECT doc_id, 0 AS band_idx, band0 AS band_hash FROM banded
+    UNION ALL SELECT doc_id, 1, band1 FROM banded
+    UNION ALL SELECT doc_id, 2, band2 FROM banded
+    UNION ALL SELECT doc_id, 3, band3 FROM banded
+)
+"""
+
 _MINHASH_ORACLE = f"""
 WITH {_TOK_SQL},
 sig AS (

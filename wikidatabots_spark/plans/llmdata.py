@@ -1,0 +1,317 @@
+"""Round-4b LLM-data-pipeline additions, each oracle-checked:
+
+- ``text_lm_score``            CCNet-style hashed-bigram LM quality
+  ranking (integer-exact conditional frequencies, operators.lm)
+- ``dedup_keep_best_quality``  FineWeb-style representative selection:
+  near-dup components keep the HIGHEST-QUALITY member, not the lowest
+  id — dedup that improves the corpus instead of merely shrinking it
+- ``dedup_incremental_index``  incremental-ingest dedup: probe a new
+  batch against the prior corpus' persisted MinHash band index instead
+  of re-deduping the world (the actual 100 TB operating mode — daily
+  batches are ~0.1% of the corpus; re-pairing everything daily is a
+  1000x waste)
+- ``ev_scd2_intervals``        CDC surface: collapse an event log into
+  SCD2 validity intervals (one row per state run, [valid_from,
+  valid_to), NULL = current) with a single user_id exchange
+
+No reference counterpart (north-star extensions, BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wikidatabots_spark.plans.registry import register
+from wikidatabots_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# text_lm_score — hashed-bigram LM quality (CCNet-shaped, engine-exact)
+# ---------------------------------------------------------------------------
+
+_LM_ORACLE = """
+WITH wl AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x != '') AS wl
+    FROM documents
+),
+occ AS (
+    SELECT doc_id, u.head AS head, u.bg AS bg FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(wl) - 1, 0)),
+                   i -> struct_pack(head := wl[i],
+                                    bg := wl[i] || ' ' || wl[i+1]))) AS u
+        FROM wl
+    )
+),
+bgc AS (SELECT head, bg, COUNT(*) AS c2 FROM occ GROUP BY head, bg),
+model AS (
+    SELECT bg,
+           CAST((1000000 * c2) // (SUM(c2) OVER (PARTITION BY head) + 10)
+                AS BIGINT) AS score
+    FROM bgc
+),
+scored AS (
+    SELECT o.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(m.score) AS DOUBLE) / COUNT(*) AS lm_score
+    FROM occ o JOIN model m USING (bg)
+    GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       s.lm_score
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@register("text_lm_score", oracle=_LM_ORACLE)
+def text_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM quality score: mean parts-per-million conditional
+    bigram frequency under a corpus-trained bigram table (operators.lm).
+    All-integer model, one IEEE division per doc — the oracle reproduces
+    every score bit-for-bit (strings in DuckDB, xxhash64 keys in Spark;
+    same internal-key tradeoff as ngram_jaccard_pairs)."""
+    from wikidatabots_spark.operators.lm import with_lm_score
+
+    return with_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best_quality — component representative = argmax(quality)
+# ---------------------------------------------------------------------------
+
+
+def _keep_best_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import (
+        _QUALITY_ORACLE,
+        _WINNOW_PAIRS_ORACLE,
+    )
+
+    return f"""
+WITH RECURSIVE
+pairs AS ({_WINNOW_PAIRS_ORACLE}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL SELECT id_b, id_a FROM pairs
+),
+gnodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM gnodes
+    UNION
+    SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+allcomp AS (
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+q AS ({_QUALITY_ORACLE}),
+ranked AS (
+    SELECT a.component, a.doc_id, q.quality,
+           row_number() OVER (PARTITION BY a.component
+                              ORDER BY q.quality DESC, a.doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY a.component) AS n_members
+    FROM allcomp a JOIN q ON q.doc_id = a.doc_id
+)
+SELECT component, doc_id AS best_id, quality AS best_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_keep_best_quality", oracle=_keep_best_oracle())
+def dedup_keep_best_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style dedup verdict: winnowing near-dup pairs → connected
+    components → each component keeps its HIGHEST-quality member (tie →
+    lowest id). Singleton docs are their own component, so the output is
+    the full keep-list. Ordering on the quality double is cross-engine
+    safe because the score is a fixed arithmetic tree (with_quality).
+
+    Scale: pair generation and components shuffle only (fp/id) keys; the
+    verdict is one window over the component key — text never moves.
+    """
+    from wikidatabots_spark.operators.dedup import (
+        connected_components,
+        ensure_parallelism,
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+    from wikidatabots_spark.operators.textstats import with_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, k=3, window=4)
+    pairs = winnow_pairs(fps, d, min_shared=3, max_df=0.2)
+    comp = connected_components(pairs)
+    allcomp = (
+        d.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("component")
+        )
+    )
+    q = with_quality(ensure_parallelism(d, "doc_id")).select(
+        "doc_id", "quality"
+    )
+    w = Window.partitionBy("component")
+    ranked = (
+        allcomp.join(q, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.col("quality").desc(), F.col("doc_id"))
+            ),
+        )
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("best_id"),
+        F.col("quality").alias("best_quality"),
+        "n_members",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_index — probe a new batch against a prior band index
+# ---------------------------------------------------------------------------
+
+
+def _incremental_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import (
+        _MINHASH_STACKED_SQL,
+        _TOK_SQL,
+    )
+
+    return f"""
+WITH {_TOK_SQL},
+{_MINHASH_STACKED_SQL.strip().rstrip()}
+SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+       COUNT(*) AS n_shared_bands
+FROM stacked n JOIN stacked o
+  ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+GROUP BY n.doc_id, o.doc_id
+"""
+
+
+@register("dedup_incremental_index", oracle=_incremental_oracle())
+def dedup_incremental_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the corpus' even-id half plays the role
+    of the already-indexed corpus (its MinHash band table persisted from
+    a prior run), the odd-id half is today's batch; the batch's band
+    table probes the index with one equi-join on (band_idx, band_hash).
+    Per-doc signatures depend only on the doc itself, so index rows
+    written yesterday are byte-identical to recomputing them — the index
+    composes across batches by union, and only the NEW batch pays
+    signature + shuffle cost each day. At 100 TB the index is written
+    bucketed by the band key (functions.scale.write_bucketed), making
+    the daily probe exchange-free on the index side."""
+    from wikidatabots_spark.operators.dedup import minhash_band_table
+
+    d = load_table(spark, sf_dir, "documents")
+    indexed = minhash_band_table(d.where(F.col("doc_id") % 2 == 0))
+    batch = minhash_band_table(d.where(F.col("doc_id") % 2 == 1))
+    return (
+        batch.select(
+            F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
+        )
+        .join(
+            indexed.select(
+                F.col("doc_id").alias("old_id"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_scd2_intervals — event log → SCD2 validity intervals
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(event_type) OVER w AS prev_type,
+           CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS new_run
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT *,
+           CAST(SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS run_id,
+           MIN(CASE WHEN new_run = 1 THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_change
+    FROM ordered
+)
+SELECT user_id,
+       event_type,
+       run_id AS version,
+       MIN(ts) AS valid_from,
+       MIN(next_change) AS valid_to,
+       COUNT(*) AS n_events
+FROM runs
+GROUP BY user_id, event_type, run_id
+"""
+
+
+@register("ev_scd2_intervals", oracle=_SCD2_ORACLE)
+def ev_scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) reconstruction from a change
+    log: per user, consecutive runs of the same event_type collapse to
+    one row with [valid_from, valid_to) validity (valid_to NULL = the
+    open current state) and a per-user version counter.
+
+    Plan shape: ONE exchange on user_id feeds every window (lag, run
+    counter, next-change running min — all share the (user_id | ts,
+    event_id) frame) and the final groupBy keys on (user_id, run_id),
+    whose clustering the user_id hash partitioning already satisfies —
+    no second shuffle. The next-change running MIN over the FOLLOWING
+    frame replaces the usual lead-after-groupBy second window, which
+    would have re-exchanged on run boundaries.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            ~prev_type.eqNullSafe(F.col("event_type")), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    runs = ordered.withColumns(
+        {
+            "run_id": F.sum("new_run").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            "next_change": F.min(
+                F.when(F.col("new_run") == 1, F.col("ts"))
+            ).over(w.rowsBetween(1, Window.unboundedFollowing)),
+        }
+    )
+    return runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"),
+        F.min("next_change").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("run_id").alias("version"),
+        "valid_from",
+        "valid_to",
+        "n_events",
+    )
