@@ -184,3 +184,29 @@ def test_keep_best_quality_prefers_high_quality_member(spark):
     assert best[1]["n_members"] == 2
     assert best[1]["doc_id"] == 2  # richer doc wins despite higher id
     assert best[3]["n_members"] == 1 and best[3]["doc_id"] == 3
+
+
+def test_scd2_plan_single_exchange(spark, sf_dir):
+    """The SCD2 docstring's scale claim, enforced: one user_id exchange
+    feeds the lag/run-counter/next-change windows AND the final groupBy
+    (whose (user_id, run_id) clustering the user_id hash partitioning
+    already satisfies)."""
+    from wikidatabots_spark import plans
+
+    df = plans.REGISTRY["ev_scd2_intervals"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_lm_plan_stays_on_hashed_keys(spark, sf_dir):
+    """No join or aggregate in the LM pipeline may carry the text
+    column: occurrences leave the scan stage as 8-byte hashes."""
+    from wikidatabots_spark import plans
+
+    df = plans.REGISTRY["text_lm_score"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+    assert "CartesianProduct" not in plan

@@ -31,8 +31,9 @@ def test_registry_priority_window():
         # §2 micro pins named by the r1 verdict (try_cast/sample live in
         # the merged op_scalar_micro / op_sample slots; A1/A2 unique and
         # U2/R1 explode merged r4 into op_unique/op_explode; T4
-        # pl_format folded into the op_strings slot late-r4)
-        "op_regexp_extract_null", "op_unique",
+        # pl_format AND T1 regexp_extract_null folded into the
+        # op_strings slot late-r4)
+        "op_unique",
         "op_dates", "op_explode",
         "op_scalar_micro", "op_sample", "op_strings",
         # pipelines + headliners + SQL API
@@ -51,7 +52,7 @@ def test_registry_priority_window():
         # r3 next #5)
         "curate_corpus", "asof_purchase_signup", "sketch_count_min",
         "dedup_winnow", "curate_corpus_v3", "corpus_mix_epochs",
-        "curate_corpus_v4",
+        "curate_corpus_v4", "text_lm_score",
     }
     assert must_have <= set(window)
     # every window entry carries a DuckDB oracle (the mm fakes gained

@@ -424,7 +424,7 @@ def op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mod.unionByName(frac)
 
 
-# --- T2+T3+T4 merged: replace + extract-all + pl_format in one slot --------
+# --- T1+T2+T3+T4 merged: extract-null + replace + extract-all + pl_format --
 @register(
     "op_strings",
     oracle="""
@@ -442,13 +442,29 @@ SELECT 'pl_format' AS kind, CAST(o_orderkey AS BIGINT) AS key,
        (CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END)
            AS val
 FROM orders
+UNION ALL
+SELECT 'extract_null' AS kind, CAST(c_custkey AS BIGINT) AS key,
+       CASE WHEN regexp_extract(c_name, 'Customer#(0*([1-9][0-9]*|0))', 2) = ''
+            THEN NULL
+            ELSE regexp_extract(c_name, 'Customer#(0*([1-9][0-9]*|0))', 2) END
+           AS val
+FROM customer
+UNION ALL
+SELECT 'extract_null_miss' AS kind, CAST(c_custkey AS BIGINT) AS key,
+       CASE WHEN regexp_extract(c_mktsegment, '([0-9]+)', 1) = ''
+            THEN NULL
+            ELSE regexp_extract(c_mktsegment, '([0-9]+)', 1) END AS val
+FROM customer
 """,
 )
 def op_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op_replace_literal + op_regexp_extract_all + op_pl_format (T4
     null-propagating format, folded r4 to free a window slot for
-    curate_corpus_v4) as one tagged frame (driver-window budget;
-    individuals stay for the local gate)."""
+    curate_corpus_v4) + op_regexp_extract_null (T1 null-on-miss, folded
+    late-r4 to free a slot for text_lm_score — both the match and the
+    guaranteed-miss leg, so the Polars null-vs-'' gap stays pinned) as
+    one tagged frame (driver-window budget; individuals stay for the
+    local gate)."""
     p = load_table(spark, sf_dir, "part").select(
         F.lit("replace").alias("kind"),
         F.col("p_partkey").cast("bigint").alias("key"),
@@ -470,7 +486,20 @@ def op_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order {} status {}", F.col("o_orderkey"), maybe_null
         ).alias("val"),
     )
-    return p.unionByName(d).unionByName(fmt)
+    cu = load_table(spark, sf_dir, "customer")
+    enull = cu.select(
+        F.lit("extract_null").alias("kind"),
+        F.col("c_custkey").cast("bigint").alias("key"),
+        regexp_extract_null(
+            F.col("c_name"), r"Customer#(0*([1-9][0-9]*|0))", 2
+        ).alias("val"),
+    )
+    emiss = cu.select(
+        F.lit("extract_null_miss").alias("kind"),
+        F.col("c_custkey").cast("bigint").alias("key"),
+        regexp_extract_null(F.col("c_mktsegment"), r"([0-9]+)", 1).alias("val"),
+    )
+    return p.unionByName(d).unionByName(fmt).unionByName(enull).unionByName(emiss)
 
 
 # --- F6+F9+N1 merged: scalar predicate/cast family over one scan -----------

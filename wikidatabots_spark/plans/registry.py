@@ -49,7 +49,6 @@ PRIORITY: list[str] = [
     "op_null_funcs",
     "op_prefix_columns",
     "op_unique",
-    "op_regexp_extract_null",
     "op_explode",
     "op_scalar_micro",
     "op_union_all",
@@ -107,6 +106,9 @@ PRIORITY: list[str] = [
     # promoted late-r4 (T4 folded into the op_strings slot): the
     # cross-table text+embedding curation flagship
     "curate_corpus_v4",
+    # promoted r4b (T1 regexp_extract_null folded into op_strings too):
+    # the CCNet-shaped LM quality ranking
+    "text_lm_score",
 ]
 
 
