@@ -100,6 +100,12 @@ HEADLINERS = [
     "corpus_chunk_windows",
     "text_quality_topfrac",
     "curate_corpus_v3",
+    # round-4b additions: hashed-bigram LM quality, keep-best-quality
+    # component dedup, incremental band-index probe, SCD2 intervals
+    "text_lm_score",
+    "dedup_keep_best_quality",
+    "dedup_incremental_index",
+    "ev_scd2_intervals",
 ]
 
 

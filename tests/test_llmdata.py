@@ -210,3 +210,40 @@ def test_lm_plan_stays_on_hashed_keys(spark, sf_dir):
         if "Exchange" in line:
             assert "text#" not in line, line
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_signature_narrow_matches_grouped(spark, sf_dir):
+    """The zero-shuffle array_min signature equals the exploded
+    groupBy-MIN signature value-for-value (MIN over a multiset is MIN
+    over its set) — the oracle needs no change."""
+    from wikidatabots_spark.operators.dedup import (
+        minhash_signature_cols,
+        minhash_signatures,
+        shingles,
+    )
+    from wikidatabots_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    narrow = sorted(map(tuple, minhash_signature_cols(d).collect()))
+    grouped = sorted(
+        map(
+            tuple,
+            minhash_signatures(shingles(d, 3, distinct=False)).collect(),
+        )
+    )
+    assert narrow == grouped and len(narrow) > 0
+
+
+def test_minhash_band_table_is_shuffle_free(spark, sf_dir):
+    """Signature + banding is a narrow map: the band table plan carries
+    no Exchange beyond the deliberate ensure_parallelism fan-out of the
+    single-file local scan, and no aggregate at all."""
+    from wikidatabots_spark.operators.dedup import minhash_band_table
+    from wikidatabots_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = (
+        minhash_band_table(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 1  # only the parallelism guard
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan

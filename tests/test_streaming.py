@@ -347,3 +347,47 @@ def test_funnel_stream_matches_batch_cohorts(spark, sf_dir):
         for r in ev_funnel(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_incremental_dedup_probe_stream_matches_batch(spark, sf_dir):
+    """Stream-static LSH probe parity: documents streamed from the
+    drop-zone, MinHash-signed row-by-row (narrow map — ZERO streaming
+    state), probing the static band index of the even-id corpus half.
+    The distinct candidate set equals the registered batch
+    dedup_incremental_index query exactly."""
+    from pyspark.sql import functions as F
+
+    from wikidatabots_spark import plans
+    from wikidatabots_spark.operators.dedup import minhash_band_table
+    from wikidatabots_spark.sources.tables import load_table
+    from wikidatabots_spark.streaming.docs_stream import (
+        incremental_dedup_probe_stream,
+        read_documents_stream,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    index = minhash_band_table(d.where(F.col("doc_id") % 2 == 0))
+    new_docs = read_documents_stream(spark, sf_dir).where(
+        F.col("doc_id") % 2 == 1
+    )
+    out = incremental_dedup_probe_stream(new_docs, index)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("inc_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.new_id, r.old_id)
+        for r in spark.sql("select new_id, old_id from inc_probe").collect()
+    }
+    want = {
+        (r.new_id, r.old_id)
+        for r in plans.REGISTRY["dedup_incremental_index"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want and len(got) > 0

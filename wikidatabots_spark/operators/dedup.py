@@ -156,7 +156,13 @@ def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     The under-partitioned check prefers a file-inventory estimate
     (``_estimate_scan_partitions``) over ``df.rdd.getNumPartitions()``:
     the latter compiles a physical plan per call, which adds up when
-    operators compose several guarded frames in one query."""
+    operators compose several guarded frames in one query.
+
+    Streaming frames pass through untouched: micro-batch parallelism is
+    the source's concern (maxFilesPerTrigger × splits), and the probes
+    below would force an unsupported batch-style execution."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     current = _estimate_scan_partitions(df)
     if current is None:
@@ -236,12 +242,85 @@ def minhash_signatures(
     *string* ordering keeps the operator reproducible in any engine (the
     DuckDB oracle computes the identical signature), unlike JVM-seeded
     hashes. One groupBy; each MIN combines map-side.
+
+    This is the exploded-token form (useful when a token table already
+    exists); ``minhash_signature_cols`` computes the identical signature
+    as a NARROW MAP with no shuffle at all and is what the band table
+    uses.
     """
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return tok.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signature_cols(
+    df: DataFrame,
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zero-shuffle MinHash signatures: (id, mh0..mh{k-1}) as a NARROW
+    map — ``array_min`` over the per-row shingle array replaces the
+    explode + groupBy(id) MIN of the token form. Same values exactly
+    (MIN over a multiset ≡ MIN over its set), same md5-string hash
+    family, so the DuckDB oracle is unchanged — but the signature stage
+    now ships nothing: the only exchange left in the LSH pipeline is
+    the band-key self-join. Also the form a STREAMING source can use:
+    no aggregation means no state, so a stream of new documents gets
+    signatures row-by-row (streaming/docs_stream.py probes them against
+    a static band index).
+
+    Docs with fewer than ``shingle_size`` words have no shingles and are
+    dropped — identical to the token form, where they contribute no rows.
+    The shingle array is materialized as a projected column before the
+    k hash transforms reference it (no CSE through lambda scopes — the
+    same trap documented on ``shingles``).
+    """
+    wl_expr = F.filter(
+        F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != ""
+    )
+    n = shingle_size
+    base = ensure_parallelism(
+        df.select(F.col(id_col), wl_expr.alias("__wl")), id_col
+    ).where(F.size("__wl") >= n)
+    wl = F.col("__wl")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(wl) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(wl, i + j) for j in range(n)]),
+    )
+    shingled = base.select(F.col(id_col), sh.alias("__sh"))
+    # ONE aggregate pass computes all k mins: a struct accumulator whose
+    # field i tracks min(md5('<i>:' || shingle)). The single __sh
+    # reference matters — k separate array_min(transform(...)) columns
+    # each re-evaluated the projected shingle array (Catalyst inlines
+    # aliases into HOF consumers; measured 7x at sf0.1). NOTE the merge
+    # lambda's 2-arg signature is the (acc, element) contract of
+    # F.aggregate — unlike F.transform, where a second parameter would
+    # silently bind the array index (textstats.marker_count trap).
+    # 'g' sorts after every md5 hex digest, so it is the MIN identity.
+    init = F.struct(
+        *[F.lit("g").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    mins = F.aggregate(
+        F.col("__sh"),
+        init,
+        lambda acc, t: F.struct(
+            *[
+                F.least(
+                    acc[f"m{i}"], F.md5(F.concat(F.lit(f"{i}:"), t))
+                ).alias(f"m{i}")
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+    packed = shingled.select(F.col(id_col), mins.alias("__mh"))
+    return packed.select(
+        F.col(id_col),
+        *[F.col("__mh").getField(f"m{i}").alias(f"mh{i}") for i in range(num_hashes)],
+    )
 
 
 def minhash_band_table(
@@ -263,15 +342,11 @@ def minhash_band_table(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # distinct=False: MIN-aggregated signatures are duplicate-insensitive,
-    # so the shingle table skips its (id, token) distinct — that distinct
-    # was the dominant shuffle of this whole pipeline (full shingle
-    # strings); the groupBy below still combines map-side, so the only
-    # thing that shuffles now is (id, 8 partial mins)
-    sig = minhash_signatures(
-        shingles(df, shingle_size, id_col, text_col, distinct=False),
-        num_hashes,
-        id_col,
+    # narrow-map signatures: nothing shuffles until the band join (the
+    # r2→r4 evolution: first the shingle distinct was elided, now the
+    # groupBy(id) MIN itself is replaced by per-row array_min)
+    sig = minhash_signature_cols(
+        df, num_hashes, shingle_size, id_col, text_col
     )
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)])).alias(

@@ -21,6 +21,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -69,3 +70,32 @@ def shard_manifest_stream(docs: DataFrame, n_shards: int = 64) -> DataFrame:
     from wikidatabots_spark.sinks.training_shards import shard_manifest
 
     return shard_manifest(docs, n_shards)
+
+
+def incremental_dedup_probe_stream(
+    new_docs: DataFrame, index: DataFrame
+) -> DataFrame:
+    """Streaming incremental dedup: arriving documents are MinHash-
+    signed ROW-BY-ROW (``minhash_signature_cols`` is a narrow map — no
+    aggregation, hence no streaming state at all) and their band rows
+    probe a STATIC band index of the existing corpus via a stream-static
+    equi-join. Emits (new_id, old_id, band_idx) candidate matches in
+    append mode as files land — the drop-zone version of
+    ``dedup_incremental_index``.
+
+    Scale: the static index is the big side and never moves (at corpus
+    scale it is a bucketed table on (band_idx, band_hash)); each
+    micro-batch ships only the new docs' band rows. State: zero — the
+    probe is stateless, so there is nothing to watermark or expire.
+    Batch/stream parity is exact because signatures depend only on each
+    doc's own text (parity-tested in tests/test_streaming.py).
+    """
+    from wikidatabots_spark.operators.dedup import minhash_band_table
+
+    probe = minhash_band_table(new_docs).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
+    )
+    idx = index.select(
+        F.col("doc_id").alias("old_id"), "band_idx", "band_hash"
+    )
+    return probe.join(idx, ["band_idx", "band_hash"])
