@@ -247,3 +247,17 @@ def test_minhash_band_table_is_shuffle_free(spark, sf_dir):
     )
     assert plan.count("Exchange") <= 1  # only the parallelism guard
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_lm_heldout_backoff_zero_for_unseen_transitions(spark):
+    """Reference-corpus scoring: transitions absent from the training
+    half back off to 0 instead of borrowing probability from the scored
+    document itself. train = {"a b"}: score("a b") = 1e6//11 = 90909;
+    scoring "a b c" gives (90909 + 0)/2."""
+    from wikidatabots_spark.operators.lm import with_lm_score
+
+    train = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    score = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    row = with_lm_score(score, train_df=train).collect()[0]
+    assert row["n_bigrams"] == 2
+    assert row["lm_score"] == pytest.approx((90909 + 0) / 2)

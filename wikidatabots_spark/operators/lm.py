@@ -104,26 +104,40 @@ def bigram_model(occ: DataFrame, alpha: int = LM_ALPHA) -> DataFrame:
 
 
 def with_lm_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document LM quality: (id, n_bigrams, lm_score).
 
     lm_score = mean of the document's bigram scores (parts-per-million
     conditional frequency), NULL for documents with < 2 words;
-    n_bigrams = 0 for those. The model is trained on ``df`` itself, so
-    the scoring join is total (every occurrence hits the model).
+    n_bigrams = 0 for those.
+
+    ``train_df`` selects the REFERENCE corpus the model is trained on —
+    the real CCNet shape, where a held-out/trusted corpus defines
+    "typical language" and scored documents never influence their own
+    scores. Bigrams unseen in training back off to score 0 (a never-seen
+    transition is maximally surprising). Default (None) trains on ``df``
+    itself, where the join is total and the backoff never fires.
     """
     occ = bigram_occurrences(df, id_col, text_col)
-    model = bigram_model(occ)
+    model = bigram_model(
+        occ
+        if train_df is None
+        else bigram_occurrences(train_df, id_col, text_col)
+    )
     scored = (
         occ.select(id_col, "bk")
-        .join(model, "bk")
+        .join(model, "bk", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            (F.sum("score").cast("double") / F.count(F.lit(1))).alias(
-                "lm_score"
-            ),
+            (
+                F.sum(F.coalesce("score", F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("lm_score"),
         )
     )
     return (

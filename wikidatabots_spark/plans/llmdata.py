@@ -315,3 +315,210 @@ def ev_scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_health_by_source — the per-source corpus health report
+# ---------------------------------------------------------------------------
+
+
+def _health_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import (
+        _QUALITY_ORACLE,
+        _WINNOW_PAIRS_ORACLE,
+    )
+
+    return f"""
+WITH RECURSIVE
+pairs AS ({_WINNOW_PAIRS_ORACLE}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL SELECT id_b, id_a FROM pairs
+),
+gnodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM gnodes
+    UNION
+    SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+near_extra AS (SELECT node AS doc_id FROM comp WHERE node != component),
+exact_extra AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+        FROM documents
+    ) WHERE doc_id != canon
+),
+q AS ({_QUALITY_ORACLE}),
+flagged AS (
+    SELECT d.source, d.doc_id, q.n_words, q.quality,
+           CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_exact_extra,
+           CASE WHEN ne.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_near_extra
+    FROM documents d
+    JOIN q ON q.doc_id = d.doc_id
+    LEFT JOIN exact_extra e ON e.doc_id = d.doc_id
+    LEFT JOIN near_extra ne ON ne.doc_id = d.doc_id
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY quality, doc_id) AS qrn,
+           COUNT(*) OVER (PARTITION BY source) AS n_in_src
+    FROM flagged
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_exact_extra) AS BIGINT) AS n_exact_dups,
+       CAST(SUM(is_near_extra) AS BIGINT) AS n_near_dups,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       MAX(CASE WHEN qrn = CAST(CEIL(n_in_src / 2.0) AS BIGINT)
+                THEN quality END) AS median_quality
+FROM ranked
+GROUP BY source
+"""
+
+
+@register("corpus_health_by_source", oracle=_health_oracle())
+def corpus_health_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the table a data-curation run
+    reviews before committing a mixture: document count, exact-duplicate
+    extras (non-canonical members of an md5 group), near-duplicate
+    extras (non-canonical members of a winnow/CC component), total word
+    volume, and the EXACT median quality (element at ceil(n/2) by
+    (quality, doc_id) rank — no interpolation, so the double survives
+    hash comparison).
+
+    Scale: the flags are (id)-keyed anti/left joins of hash-sized
+    tables; the report itself is |sources| rows. The quality median is
+    one window per source over (doc_id, quality) pairs — text stays in
+    the scan stage.
+    """
+    from wikidatabots_spark.operators.dedup import (
+        connected_components,
+        ensure_parallelism,
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+    from wikidatabots_spark.operators.textstats import with_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    exact_extra = (
+        d.select(
+            "doc_id",
+            F.min("doc_id")
+            .over(Window.partitionBy(F.md5("text")))
+            .alias("canon"),
+        )
+        .where(F.col("doc_id") != F.col("canon"))
+        .select("doc_id", F.lit(1).alias("is_exact_extra"))
+    )
+    pairs = winnow_pairs(
+        winnow_fingerprints(d, k=3, window=4), d, min_shared=3, max_df=0.2
+    )
+    near_extra = (
+        connected_components(pairs)
+        .where(F.col("node") != F.col("component"))
+        .select(
+            F.col("node").alias("doc_id"), F.lit(1).alias("is_near_extra")
+        )
+    )
+    q = with_quality(ensure_parallelism(d, "doc_id")).select(
+        "doc_id", "source", "n_words", "quality"
+    )
+    flagged = (
+        q.join(exact_extra, "doc_id", "left")
+        .join(near_extra, "doc_id", "left")
+        .select(
+            "source",
+            "doc_id",
+            "n_words",
+            "quality",
+            F.coalesce("is_exact_extra", F.lit(0)).alias("is_exact_extra"),
+            F.coalesce("is_near_extra", F.lit(0)).alias("is_near_extra"),
+        )
+    )
+    w = Window.partitionBy("source")
+    ranked = flagged.withColumns(
+        {
+            "qrn": F.row_number().over(w.orderBy("quality", "doc_id")),
+            "n_in_src": F.count(F.lit(1)).over(w),
+        }
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_exact_extra").alias("n_exact_dups"),
+        F.sum("is_near_extra").alias("n_near_dups"),
+        F.sum("n_words").alias("total_words"),
+        F.max(
+            F.when(
+                F.col("qrn") == F.ceil(F.col("n_in_src") / 2.0),
+                F.col("quality"),
+            )
+        ).alias("median_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_lm_score_heldout — reference-corpus LM scoring (train/apply split)
+# ---------------------------------------------------------------------------
+
+_LM_HELDOUT_ORACLE = """
+WITH wl AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x != '') AS wl
+    FROM documents
+),
+occ AS (
+    SELECT doc_id, u.head AS head, u.bg AS bg FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(wl) - 1, 0)),
+                   i -> struct_pack(head := wl[i],
+                                    bg := wl[i] || ' ' || wl[i+1]))) AS u
+        FROM wl
+    )
+),
+bgc AS (
+    SELECT head, bg, COUNT(*) AS c2 FROM occ
+    WHERE doc_id % 2 = 0 GROUP BY head, bg
+),
+model AS (
+    SELECT bg,
+           CAST((1000000 * c2) // (SUM(c2) OVER (PARTITION BY head) + 10)
+                AS BIGINT) AS score
+    FROM bgc
+),
+scored AS (
+    SELECT o.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(COALESCE(m.score, 0)) AS DOUBLE) / COUNT(*) AS lm_score
+    FROM occ o LEFT JOIN model m USING (bg)
+    WHERE o.doc_id % 2 = 1
+    GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       s.lm_score
+FROM documents d LEFT JOIN scored s USING (doc_id)
+WHERE d.doc_id % 2 = 1
+"""
+
+
+@register("text_lm_score_heldout", oracle=_LM_HELDOUT_ORACLE)
+def text_lm_score_heldout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The true CCNet shape: the bigram model is trained on a REFERENCE
+    corpus (the even-id half standing in for a trusted corpus) and
+    scores held-out documents (the odd half) that never influenced the
+    model; transitions unseen in training back off to score 0. With the
+    train/apply split the model table is a reusable artifact — at
+    production scale it is trained once and broadcast/bucket-joined
+    against every new batch, the same operating mode as
+    ``dedup_incremental_index``."""
+    from wikidatabots_spark.operators.lm import with_lm_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return with_lm_score(
+        d.where(F.col("doc_id") % 2 == 1),
+        train_df=d.where(F.col("doc_id") % 2 == 0),
+    )
