@@ -261,3 +261,22 @@ def test_lm_heldout_backoff_zero_for_unseen_transitions(spark):
     row = with_lm_score(score, train_df=train).collect()[0]
     assert row["n_bigrams"] == 2
     assert row["lm_score"] == pytest.approx((90909 + 0) / 2)
+
+
+def test_budget_select_fact_window_is_partitioned(spark, sf_dir):
+    """The two-phase prefix sum claim, enforced: the window over the
+    document table is PARTITIONED by the quality bucket; the only
+    unpartitioned (global-order) window runs over the ~1k-row bucket
+    ledger (sums bwords, not n_words). A naive global running sum over
+    documents would serialize the whole corpus through one task."""
+    from wikidatabots_spark import plans
+
+    df = plans.REGISTRY["corpus_token_budget_select"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert len(wins) == 2
+    fact = [ln for ln in wins if "sum(n_words" in ln]
+    ledger = [ln for ln in wins if "sum(bwords" in ln]
+    assert len(fact) == 1 and len(ledger) == 1
+    # the fact window's spec starts with the bucket partition column
+    assert "windowspecdefinition(bucket" in fact[0]

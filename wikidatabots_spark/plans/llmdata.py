@@ -522,3 +522,132 @@ def text_lm_score_heldout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("doc_id") % 2 == 1),
         train_df=d.where(F.col("doc_id") % 2 == 0),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_token_budget_select — greedy best-quality-first token budget
+# ---------------------------------------------------------------------------
+
+
+def _budget_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _QUALITY_ORACLE
+
+    return f"""
+WITH q AS ({_QUALITY_ORACLE}),
+tot AS (SELECT SUM(n_words) AS t FROM q),
+ranked AS (
+    SELECT doc_id, n_words,
+           SUM(n_words) OVER (ORDER BY quality DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_words
+    FROM q
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(cum_words AS BIGINT) AS cum_words
+FROM ranked, tot
+WHERE cum_words <= (t * 20) // 100
+"""
+
+
+@register("corpus_token_budget_select", oracle=_budget_oracle())
+def corpus_token_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget: take documents best-quality-
+    first until 20% of the corpus' words are spent (greedy knapsack —
+    the "train on the best N tokens" selection every budgeted run does).
+
+    The oracle ranks with ONE global running sum — a single-partition
+    window that would serialize at corpus scale. The Spark plan computes
+    the identical prefix sum in TWO PHASES: documents are bucketed by
+    quality (monotone in the global order, so bucket boundaries respect
+    it), the per-bucket word totals — a ~1k-row table — get the global
+    running offset in one tiny window, and each bucket's internal
+    running sum is a window PARTITIONED by bucket. Every fact-table
+    window is partition-parallel; only the 1k-row bucket ledger is
+    single-partition. Same rows, hash-identical.
+    """
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+    from wikidatabots_spark.operators.textstats import with_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    q = with_quality(ensure_parallelism(d, "doc_id")).select(
+        "doc_id", "n_words", "quality"
+    )
+    q = q.withColumn("bucket", F.floor(F.col("quality") * 1024))
+    # phase 1: per-bucket totals; running offset over the tiny ledger
+    # (ordered by bucket DESC — higher quality buckets spend first)
+    ledger = q.groupBy("bucket").agg(F.sum("n_words").alias("bwords"))
+    wl = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ledger = ledger.withColumn(
+        "offset", F.coalesce(F.sum("bwords").over(wl), F.lit(0))
+    ).select("bucket", "offset")
+    # phase 2: within-bucket running sum, partition-parallel
+    wb = Window.partitionBy("bucket").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    total = q.agg(F.sum("n_words").alias("__t"))
+    return (
+        q.withColumn("in_cum", F.sum("n_words").over(wb))
+        .join(F.broadcast(ledger), "bucket")
+        .crossJoin(F.broadcast(total))
+        .withColumn("cum_words", F.col("offset") + F.col("in_cum"))
+        .where(
+            F.col("cum_words") <= F.expr("(__t * 20) div 100")
+        )
+        .select("doc_id", "n_words", "cum_words")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_quality_sample — quality-weighted Bernoulli sampling (soft filter)
+# ---------------------------------------------------------------------------
+
+
+def _qsample_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _QUALITY_ORACLE
+
+    return f"""
+WITH q AS ({_QUALITY_ORACLE}),
+b AS (
+    SELECT doc_id,
+           (strpos('0123456789abcdef', substr(md5('qs:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5('qs:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5('qs:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5('qs:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bkt
+    FROM documents
+)
+SELECT d.doc_id, d.source, q.quality
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN b ON b.doc_id = d.doc_id
+WHERE b.bkt < CAST(floor(q.quality * 65536) AS BIGINT)
+"""
+
+
+@register("corpus_quality_sample", oracle=_qsample_oracle())
+def corpus_quality_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filtering: each document is kept with probability
+    equal to its quality score (FineWeb-Edu-style weighted sampling,
+    replacing a hard threshold) — implemented as the deterministic
+    content-hash Bernoulli used everywhere else in this repo (md5 bucket
+    < floor(quality·65536)), so re-runs and backfills keep identical
+    rows and the oracle reproduces the draw exactly. A narrow map: no
+    shuffle, no RNG state."""
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+    from wikidatabots_spark.operators.textstats import with_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    q = with_quality(ensure_parallelism(d, "doc_id")).select(
+        "doc_id", "source", "quality"
+    )
+    bkt = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("qs:"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    return q.where(
+        bkt < F.floor(F.col("quality") * 65536).cast("long")
+    ).select("doc_id", "source", "quality")
