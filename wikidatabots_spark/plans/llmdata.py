@@ -651,3 +651,203 @@ def corpus_quality_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.where(
         bkt < F.floor(F.col("quality") * 65536).cast("long")
     ).select("doc_id", "source", "quality")
+
+
+# ---------------------------------------------------------------------------
+# win_distribution — ntile / percent_rank / cume_dist (window family gap)
+# ---------------------------------------------------------------------------
+
+_WIN_DIST_ORACLE = """
+SELECT s_suppkey, s_nationkey,
+       CAST(ntile(4) OVER w AS INT) AS bal_quartile,
+       percent_rank() OVER w AS bal_pct_rank,
+       cume_dist() OVER w AS bal_cume_dist
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+"""
+
+
+@register("win_distribution", oracle=_WIN_DIST_ORACLE)
+def win_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    over a totally-ordered per-nation frame — the quartile/percentile
+    bucketing used to band suppliers by balance. The order includes the
+    key tiebreak so every rank-derived double is engine-exact (both
+    engines compute (rank-1)/(n-1) and rows≤/n from identical ranks)."""
+    su = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return su.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_corr_covar — exact-sum Pearson correlation / covariance
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH s AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+           SUM(CAST(l_discount AS DECIMAL(8,2))) AS sy,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+           SUM(CAST(l_discount AS DECIMAL(8,2))
+               * CAST(l_discount AS DECIMAL(8,2))) AS syy,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(8,2))) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1)
+           AS covar_samp_qty_disc,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+          * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+           AS corr_qty_disc
+FROM s
+"""
+
+
+@register("agg_corr_covar", oracle=_CORR_ORACLE)
+def agg_corr_covar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and sample covariance (quantity vs discount)
+    per return flag — implemented from DECIMAL-exact moment sums (n,
+    Σx, Σy, Σx², Σy², Σxy) with the floating-point arithmetic confined
+    to ONE fixed expression tree at the end, so Spark's and DuckDB's
+    different accumulation orders cannot produce different bits (the
+    built-in corr()/covar_samp() stream doubles and are NOT cross-
+    engine reproducible). The columns are chosen small (qty ≤ 50,
+    discount ≤ 0.1): every moment stays within 15 significant digits,
+    where decimal→double conversion is EXACT in both engines — with
+    wider columns (extendedprice) the >2^53 sums rounded differently
+    at the last bit (measured)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_discount").cast("decimal(8,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov = (sxy - sx * sy / n) / (n - 1)
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        cov.alias("covar_samp_qty_disc"),
+        corr.alias("corr_qty_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_pair_edit_distance — Levenshtein verification of near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _edit_distance_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _WINNOW_PAIRS_ORACLE
+
+    return f"""
+WITH pairs AS ({_WINNOW_PAIRS_ORACLE}),
+pref AS (SELECT doc_id, substr(text, 1, 80) AS p FROM documents)
+SELECT pairs.id_a, pairs.id_b, pairs.n_shared,
+       CAST(levenshtein(a.p, b.p) AS INT) AS prefix_edit_distance
+FROM pairs
+JOIN pref a ON a.doc_id = pairs.id_a
+JOIN pref b ON b.doc_id = pairs.id_b
+"""
+
+
+@register("dedup_pair_edit_distance", oracle=_edit_distance_oracle())
+def dedup_pair_edit_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of winnowing candidate pairs: the
+    Levenshtein distance between the two documents' 80-char prefixes —
+    the cheap second-stage signal that separates true near-dups (small
+    edits) from docs that merely share fingerprinted boilerplate.
+    Bounded-prefix distance on candidate PAIRS only: the O(L²) DP runs
+    on 80-char strings over LSH-sized pair counts, never all-pairs and
+    never full documents."""
+    from wikidatabots_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = winnow_pairs(
+        winnow_fingerprints(d, k=3, window=4), d, min_shared=3, max_df=0.2
+    )
+    pref = d.select("doc_id", F.substring("text", 1, 80).alias("p"))
+    a = pref.select(F.col("doc_id").alias("id_a"), F.col("p").alias("pa"))
+    b = pref.select(F.col("doc_id").alias("id_b"), F.col("p").alias("pb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.levenshtein("pa", "pb").alias("prefix_edit_distance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_triangles — triangle counts on the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def _triangles_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _WINNOW_PAIRS_ORACLE
+
+    return f"""
+WITH pairs AS ({_WINNOW_PAIRS_ORACLE}),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e ab JOIN e bc ON ab.v = bc.u
+JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+"""
+
+
+@register("graph_triangles", oracle=_triangles_oracle())
+def graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the near-dup pair graph — the clustering-
+    coefficient numerator that distinguishes tight duplicate cliques
+    from sprawling boilerplate chains. Edges are already canonical
+    (id_a < id_b), so each triangle {a<b<c} is counted exactly once by
+    the two-hop join (a,b)+(b,c) closed by (a,c) — the standard
+    oriented-edge algorithm that avoids counting each triangle 6x and
+    keeps the heaviest join keyed on the mid vertex."""
+    from wikidatabots_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = winnow_pairs(
+        winnow_fingerprints(d, k=3, window=4), d, min_shared=3, max_df=0.2
+    ).select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    return (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
