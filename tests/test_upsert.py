@@ -78,3 +78,59 @@ def test_lm_and_budget_empty_input_safety(spark):
     assert with_lm_score(empty, train_df=ref).count() == 0
     scored = with_lm_score(ref, train_df=empty).collect()[0]
     assert scored["lm_score"] == 0.0  # every transition unseen → backoff
+
+
+def test_merge_equal_version_ties_are_deterministic(spark):
+    """Two change rows with the same key AND version resolve by row-hash
+    — arbitrary but stable across re-runs and shuffle orders."""
+    cur = spark.createDataFrame([], SCHEMA)
+    chg = spark.createDataFrame([(1, "x", 1), (1, "y", 1)], SCHEMA)
+    winners = {
+        merge_upsert(cur, chg, "id", "version").collect()[0]["val"]
+        for _ in range(3)
+    }
+    assert len(winners) == 1
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    from wikidatabots_spark.sinks.compaction import compact_parquet_dir
+
+    table = os.path.join(str(tmp_path), "many")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(table)
+    before = sum(1 for f in os.listdir(table) if f.endswith(".parquet"))
+    assert before >= 40
+    n = compact_parquet_dir(spark, table, target_bytes=1 << 30)
+    assert n == 1
+    out = spark.read.parquet(table)
+    assert out.count() == 10_000
+    assert out.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10_000))
+
+
+def test_compaction_with_order_clusters_file_stats(spark, tmp_path):
+    """order_by compaction range-partitions the rewrite: each output
+    file covers a disjoint id range (min/max stats become selective)."""
+    import pyarrow.parquet as pq
+
+    from wikidatabots_spark.sinks.compaction import compact_parquet_dir
+
+    table = os.path.join(str(tmp_path), "ordered")
+    spark.range(0, 20_000).withColumn(
+        "k", (F.col("id") * 7919) % 20_000
+    ).repartition(16).write.parquet(table)
+    compact_parquet_dir(
+        spark, table, target_bytes=60_000, order_by=[F.col("k")]
+    )
+    files = [
+        os.path.join(table, f)
+        for f in os.listdir(table)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        ranges.append((min(t), max(t)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges per file

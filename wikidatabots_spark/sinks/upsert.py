@@ -51,8 +51,11 @@ def merge_upsert(
     Both frames must share the data schema; ``changes`` may carry a
     boolean ``_deleted`` column (missing ⇒ no deletes). Resolution per
     key: highest ``version_col`` wins; ties prefer the CHANGE row (so
-    re-applying an already-applied batch is idempotent); tombstone
-    winners are dropped.
+    re-applying an already-applied batch is idempotent); among change
+    rows that STILL tie (same key, same version, one batch) the row
+    content's hash breaks the tie — arbitrary but DETERMINISTIC, so
+    re-runs converge on the same table instead of whichever row the
+    shuffle happened to order first. Tombstone winners are dropped.
     """
     if DELETED_COL not in changes.columns:
         changes = changes.withColumn(DELETED_COL, F.lit(False))
@@ -61,8 +64,11 @@ def merge_upsert(
     )
     chg = changes.withColumn("__is_change", F.lit(1))
     unioned = cur.unionByName(chg)
+    data_cols = [c for c in current.columns]
     w = Window.partitionBy(key).orderBy(
-        F.col(version_col).desc(), F.col("__is_change").desc()
+        F.col(version_col).desc(),
+        F.col("__is_change").desc(),
+        F.xxhash64(*[F.col(c) for c in data_cols]),
     )
     return (
         unioned.withColumn("__rn", F.row_number().over(w))
