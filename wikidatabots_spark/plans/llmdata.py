@@ -840,9 +840,13 @@ def graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
+    # materialize the (tiny) edge list once: all three join legs read it,
+    # and without the checkpoint the whole fingerprint/pair pipeline is
+    # replicated per leg in the plan (same pattern as
+    # connected_components' edge materialization)
     e = winnow_pairs(
         winnow_fingerprints(d, k=3, window=4), d, min_shared=3, max_df=0.2
-    ).select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    ).select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).localCheckpoint()
     ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
