@@ -855,3 +855,139 @@ def graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ac, ["a", "c"])
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_funnel_3step — ordered multi-step funnel (signup → view → purchase)
+# ---------------------------------------------------------------------------
+
+_FUNNEL3_ORACLE = """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON s1.user_id = e.user_id
+    WHERE e.event_type = 'view' AND e.ts > s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 ON s2.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_viewed_after,
+       CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchased_after
+"""
+
+
+@register("ev_funnel_3step", oracle=_FUNNEL3_ORACLE)
+def ev_funnel_3step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel: users who signed up, then VIEWED strictly
+    after their first signup, then PURCHASED strictly after that first
+    qualifying view — the sequence-constrained funnel (each step's
+    anchor is the min qualifying time of the previous step, so a
+    purchase before the view does not count).
+
+    Scale: every stage reduces to per-user rows keyed on user_id —
+    three groupBys and two joins all share one user_id partitioning
+    (exchange reuse); the final counts are three scalar aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(
+            F.broadcast(s2.agg(F.count(F.lit(1)).alias("n_viewed_after")))
+        )
+        .crossJoin(
+            F.broadcast(
+                s3.agg(F.count(F.lit(1)).alias("n_purchased_after"))
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_hourly_anomaly — z-score anomaly flags from exact integer moments
+# ---------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour_start,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS sc,
+           CAST(SUM(c * c) AS BIGINT) AS scc
+    FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hour_start, h.c,
+       (h.c - CAST(m.sc AS DOUBLE) / m.n)
+         / sqrt((CAST(m.scc AS DOUBLE) - CAST(m.sc AS DOUBLE) * CAST(m.sc AS DOUBLE) / m.n)
+                / (m.n - 1)) AS z,
+       abs((h.c - CAST(m.sc AS DOUBLE) / m.n)
+         / sqrt((CAST(m.scc AS DOUBLE) - CAST(m.sc AS DOUBLE) * CAST(m.sc AS DOUBLE) / m.n)
+                / (m.n - 1))) > 2.0 AS is_anomaly
+FROM hourly h JOIN m ON m.event_type = h.event_type
+"""
+
+
+@register("ev_hourly_anomaly", oracle=_ANOMALY_ORACLE)
+def ev_hourly_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomaly flags per event type: each (type, hour)
+    count z-scored against that type's own hourly distribution,
+    |z| > 2 flagged. Moments are exact integers (counts and squares of
+    counts); the float math is one fixed expression tree, so the z
+    doubles hash identically across engines.
+
+    Scale: the hourly rollup is the only fact-table shuffle; the
+    per-type moment table is |types| rows and broadcast back onto it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    n = F.col("n")
+    sc = F.col("sc").cast("double")
+    scc = F.col("scc").cast("double")
+    z = (F.col("c") - sc / n) / F.sqrt((scc - sc * sc / n) / (n - 1))
+    return (
+        hourly.join(F.broadcast(m), "event_type")
+        .select(
+            "event_type",
+            "hour_start",
+            "c",
+            z.alias("z"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+    )
