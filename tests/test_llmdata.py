@@ -280,3 +280,34 @@ def test_budget_select_fact_window_is_partitioned(spark, sf_dir):
     assert len(fact) == 1 and len(ledger) == 1
     # the fact window's spec starts with the bucket partition column
     assert "windowspecdefinition(bucket" in fact[0]
+
+
+def test_curate_v5_lm_gate_strictly_prunes(spark, sf_dir):
+    """v5's LM polish must actually FIRE: its pre-mixture doc set is a
+    strict subset of v4's survivors (bottom quarter by LM score
+    dropped), non-empty, and the registered v5 output stays inside it."""
+    from wikidatabots_spark import plans
+    from wikidatabots_spark.operators.lm import with_lm_score
+    from wikidatabots_spark.operators.similarity import semdedup_flags
+    from wikidatabots_spark.plans.curation import _v3_gated
+    from wikidatabots_spark.plans.llmdata import _v5_lmdrop
+    from wikidatabots_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    semdrop = semdedup_flags(emb, 4, 2, 0.3).where(
+        ~F.col("is_kept")
+    ).select(F.col("vec_id").alias("doc_id"))
+    gated4_df = _v3_gated(spark, sf_dir).join(semdrop, "doc_id", "left_anti")
+    gated4 = {r.doc_id for r in gated4_df.collect()}
+    d = load_table(spark, sf_dir, "documents")
+    lmdrop = {
+        r.doc_id for r in _v5_lmdrop(with_lm_score(d), gated4_df).collect()
+    }
+    assert lmdrop and lmdrop < gated4  # gate fires, inside the survivors
+    gated5 = gated4 - lmdrop
+    assert len(gated5) > 0
+    v5 = {
+        r.doc_id
+        for r in plans.REGISTRY["curate_corpus_v5"].fn(spark, sf_dir).collect()
+    }
+    assert v5 <= gated5 and len(v5) > 0
