@@ -52,7 +52,7 @@ def test_registry_priority_window():
         # r3 next #5)
         "curate_corpus", "asof_purchase_signup", "sketch_count_min",
         "dedup_winnow", "curate_corpus_v3", "corpus_mix_epochs",
-        "curate_corpus_v4", "text_lm_score",
+        "curate_corpus_v5", "text_lm_score",
     }
     assert must_have <= set(window)
     # every window entry carries a DuckDB oracle (the mm fakes gained

@@ -103,9 +103,11 @@ PRIORITY: list[str] = [
     # classifier + mixture) and the mixture operator get hard-signal rows
     "curate_corpus_v3",
     "corpus_mix_epochs",
-    # promoted late-r4 (T4 folded into the op_strings slot): the
-    # cross-table text+embedding curation flagship
-    "curate_corpus_v4",
+    # promoted late-r4 (T4 folded into the op_strings slot), upgraded
+    # r4b: the cross-table text+embedding curation flagship with the
+    # LM-score survivor polish (v5 strictly supersedes v4, which stays
+    # registered and locally gated)
+    "curate_corpus_v5",
     # promoted r4b (T1 regexp_extract_null folded into op_strings too):
     # the CCNet-shaped LM quality ranking
     "text_lm_score",
