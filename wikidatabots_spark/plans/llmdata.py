@@ -1159,3 +1159,122 @@ def curate_corpus_v5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated4 = _v3_gated(spark, sf_dir).join(semdrop, "doc_id", "left_anti")
     lmdrop = _v5_lmdrop(with_lm_score(d), gated4)
     return _mix_and_split(gated4.join(lmdrop, "doc_id", "left_anti"))
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_exact — oracle-checked deterministic IVF (cluster-fenced search)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_exact_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _kmeans_oracle
+
+    return f"""
+WITH asg AS ({_kmeans_oracle()}),
+norms AS (
+    SELECT vec_id, sqrt(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+               AS nrm
+    FROM embeddings, generate_series(1, 64) t(i)
+    GROUP BY vec_id
+),
+q AS (
+    SELECT e.vec_id AS query_id, e.embedding AS q_vec, a.cluster
+    FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+    WHERE e.vec_id < 20
+),
+c AS (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, a.cluster
+    FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+),
+dots AS (
+    SELECT q.query_id, c.neighbor_id,
+           SUM(CAST(q.q_vec[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE)) AS dot
+    FROM q JOIN c ON q.cluster = c.cluster AND q.query_id != c.neighbor_id,
+    generate_series(1, 64) t(i)
+    GROUP BY q.query_id, c.neighbor_id
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           d.dot / (nq.nrm * nc.nrm) AS sim
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nc ON nc.vec_id = d.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register("knn_ivf_exact", oracle=_ivf_exact_oracle())
+def knn_ivf_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IVF top-k, hash-checked end-to-end: the integer
+    k-means coarse quantizer (2 Lloyd rounds, oracle-unrolled — the
+    same machinery as emb_kmeans/dedup_semantic) fences the search to
+    each query's own cluster (nprobe=1), exact cosine inside the fence,
+    top-3 by (sim DESC, neighbor_id). Unlike the seeded MLlib-based
+    ``knn_ivf_topk`` (rows-only by nature), every step here is
+    deterministic, so the driver hash-compares the full IVF pipeline —
+    training, assignment, fenced search, ranking.
+
+    Scale: candidate generation is a cluster-keyed equi-join (corpus
+    never self-joins); queries broadcast; the only corpus-wide shuffle
+    is the kmeans assignment's narrow-map-free ... (see
+    operators.clustering: assignment is a narrow map against driver-
+    held centroids, so the corpus never exchanges at all). The recall
+    loss of nprobe=1 is IVF's documented tradeoff.
+    """
+    from wikidatabots_spark.operators.clustering import kmeans_int_assign
+    from wikidatabots_spark.operators.similarity import _dot, _norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round((x.cast("double") + F.lit(1.0)) * F.lit(100.0))
+            .cast("int"),
+        ).alias("v"),
+    )
+    asg = kmeans_int_assign(qv, k=4, rounds=2, id_col="vec_id", vec_col="v")
+    base = emb.join(asg, "vec_id")
+    q = base.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        _norm(F.col("embedding")).alias("q_norm"),
+        "cluster",
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        _norm(F.col("embedding")).alias("c_norm"),
+        "cluster",
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (c["cluster"] == q["cluster"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn(
+            "sim",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+        )
+    )
