@@ -296,3 +296,129 @@ def test_chunk_partition_when_stride_equals_chunk(spark, text):
     assert sum(r.n_tokens for r in rows) == len(words)
     if not words:
         assert rows == []
+
+
+@given(
+    cur=st.lists(
+        st.tuples(st.integers(0, 5), st.text(max_size=4), st.integers(0, 4)),
+        max_size=8,
+    ),
+    chg=st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.text(max_size=4),
+            st.integers(0, 4),
+            st.booleans(),
+        ),
+        max_size=8,
+    ),
+)
+@SETTINGS
+def test_merge_upsert_invariants(spark, cur, chg):
+    """Invariants: one row per key; a key's surviving version is the max
+    over its current+change rows; a key vanishes iff a tombstone sits at
+    that max version and wins the change-preferred tie."""
+    from wikidatabots_spark.sinks.upsert import merge_upsert
+
+    # dedupe current to one row per key (a keyed table's precondition)
+    cur_byk = {}
+    for k, v, ver in cur:
+        cur_byk[k] = (k, v, ver)
+    cur_rows = list(cur_byk.values())
+    current = spark.createDataFrame(cur_rows, "id long, val string, version long")
+    changes = spark.createDataFrame(
+        chg, "id long, val string, version long, _deleted boolean"
+    )
+    got = merge_upsert(current, changes, "id", "version").collect()
+    ids = [r["id"] for r in got]
+    assert len(ids) == len(set(ids))  # one row per key
+    for k in set(list(cur_byk) + [c[0] for c in chg]):
+        cands = []
+        if k in cur_byk:
+            cands.append((cur_byk[k][2], 0, False))
+        cands += [(c[2], 1, c[3]) for c in chg if c[0] == k]
+        maxver = max(v for v, _, _ in cands)
+        at_max = [c for c in cands if c[0] == maxver]
+        # change rows beat the current row at equal version
+        change_at_max = [c for c in at_max if c[1] == 1]
+        pool = change_at_max or at_max
+        row = next((r for r in got if r["id"] == k), None)
+        if all(d for _, _, d in pool):
+            # every possible winner is a tombstone → key must be gone
+            assert row is None
+        elif not any(d for _, _, d in pool):
+            assert row is not None and row["version"] == maxver
+        # mixed tombstone/live at max version: winner depends on the
+        # deterministic row-hash tiebreak — only the version is pinned
+        elif row is not None:
+            assert row["version"] == maxver
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user
+            st.integers(0, 20),  # ts offset (hours)
+            st.sampled_from(["A", "B"]),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SETTINGS
+def test_scd2_intervals_partition_each_users_timeline(spark, events):
+    """Invariants over random event logs: per user, runs are numbered
+    1..n; valid_to of run k equals valid_from of run k+1 (intervals
+    tile); only the last run is open; n_events sums to the user's event
+    count; consecutive runs change type."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    rows = [
+        (i, dt.datetime(2026, 1, 1) + dt.timedelta(hours=h), u, t, 0.0, "{}")
+        for i, (u, h, t) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    ordered = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(~prev_type.eqNullSafe(F.col("event_type")), F.lit(1))
+        .otherwise(F.lit(0)).alias("new_run"),
+    )
+    runs = ordered.withColumns(
+        {
+            "run_id": F.sum("new_run").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            "next_change": F.min(
+                F.when(F.col("new_run") == 1, F.col("ts"))
+            ).over(w.rowsBetween(1, Window.unboundedFollowing)),
+        }
+    )
+    out = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"),
+        F.min("next_change").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    from collections import Counter
+
+    per_user_events = Counter(u for u, _, _ in events)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r["run_id"])
+        assert [r["run_id"] for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r["n_events"] for r in rs) == per_user_events[u]
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]  # intervals tile
+            assert a["event_type"] != b["event_type"]  # runs maximal
+        assert rs[-1]["valid_to"] is None  # only the last run is open
+        for r in rs[:-1]:
+            assert r["valid_to"] is not None
