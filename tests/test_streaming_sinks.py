@@ -46,3 +46,57 @@ def test_stream_rdf_statements(spark, sf_dir, tmp_path):
     n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert len(lines) == n_users
     assert all(l.startswith("wd:U") for l in lines)
+
+
+def test_stream_upsert_parquet_applies_cdc_batches(spark, tmp_path):
+    """Change rows streamed from a drop-zone fold into the keyed table:
+    the final table equals the batch merge of all changes, tombstones
+    included, and a re-trigger with the same checkpoint appends nothing
+    (exactly-once at the batch level)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wikidatabots_spark.streaming.sinks import stream_upsert_parquet
+
+    drop = os.path.join(str(tmp_path), "changes")
+    os.makedirs(drop)
+    table = os.path.join(str(tmp_path), "table")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    schema = "id long, val string, version long, _deleted boolean"
+    spark.createDataFrame(
+        [(1, "a", 1, False), (2, "b", 1, False), (3, "c", 1, False)], schema
+    ).write.parquet(os.path.join(drop, "b1"))
+    spark.createDataFrame(
+        [(2, "b2", 2, False), (3, "c", 2, True), (4, "d", 1, False)], schema
+    ).write.parquet(os.path.join(drop, "b2"))
+    changes = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(drop)
+    )
+    q = stream_upsert_parquet(changes, table, ckpt, "id", "version")
+    q.awaitTermination(120)
+    got = {
+        r["id"]: (r["val"], r["version"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == {1: ("a", 1), 2: ("b2", 2), 4: ("d", 1)}
+    # idle re-trigger: nothing new arrives, table unchanged
+    q2 = stream_upsert_parquet(
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(drop),
+        table,
+        ckpt,
+        "id",
+        "version",
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["id"]: (r["val"], r["version"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got2 == got

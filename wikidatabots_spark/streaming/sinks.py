@@ -66,3 +66,42 @@ def stream_rdf_statements(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_upsert_parquet(
+    changes: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    key: str,
+    version_col: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """CDC ingestion end-to-end: a stream of keyed change rows is folded
+    into the parquet table per micro-batch via ``foreachBatch`` +
+    ``sinks.upsert.upsert_parquet`` — latest-wins, tombstones honored,
+    atomic directory swap per batch, so a reader always sees a complete
+    consistent table. The checkpoint makes delivery exactly-once at the
+    BATCH level; within-batch the merge itself is idempotent (change
+    rows at an already-applied version resolve identically), so a
+    replayed batch after a crash converges to the same table — the
+    combination every CDC pipeline needs.
+
+    Scale: each micro-batch pays one merge shuffle keyed on ``key`` and
+    a table rewrite; production partitions the table and rewrites only
+    touched partitions (see sinks.upsert docstring).
+    """
+    from wikidatabots_spark.sinks.upsert import upsert_parquet
+
+    def apply(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        upsert_parquet(batch.sparkSession, table_dir, batch, key, version_col)
+
+    w = (
+        changes.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
