@@ -106,6 +106,10 @@ HEADLINERS = [
     "dedup_keep_best_quality",
     "dedup_incremental_index",
     "ev_scd2_intervals",
+    # late-r4b flagships: the full composed pipeline with the LM polish,
+    # and the day-2 incremental curation mode
+    "curate_corpus_v5",
+    "curate_corpus_incremental",
 ]
 
 

@@ -311,3 +311,52 @@ def test_curate_v5_lm_gate_strictly_prunes(spark, sf_dir):
         for r in plans.REGISTRY["curate_corpus_v5"].fn(spark, sf_dir).collect()
     }
     assert v5 <= gated5 and len(v5) > 0
+
+
+def test_round4b_ops_empty_input_safety(spark):
+    """Empty-corpus edges for the late-r4b compositions: empty outputs
+    with intact schemas, no crashes."""
+    from pyspark.sql import Window
+
+    from wikidatabots_spark.operators.dedup import minhash_band_table
+    from wikidatabots_spark.operators.textstats import with_quality
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # band table on an empty corpus: empty, correct schema
+    bt = minhash_band_table(empty_docs)
+    assert bt.count() == 0
+    assert bt.columns == ["doc_id", "band_idx", "band_hash"]
+    # quality-ranked median/window machinery over zero rows
+    q = with_quality(empty_docs).select("doc_id", "source", "n_words", "quality")
+    w = Window.partitionBy("source")
+    ranked = q.withColumns(
+        {
+            "qrn": F.row_number().over(w.orderBy("quality", "doc_id")),
+            "n_in_src": F.count(F.lit(1)).over(w),
+        }
+    )
+    assert ranked.count() == 0
+    # empty events through the SCD2 shape
+    empty_ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    we = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(we)
+    out = (
+        empty_ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.when(~prev_type.eqNullSafe(F.col("event_type")), F.lit(1))
+            .otherwise(F.lit(0)).alias("new_run"),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("new_run").over(we.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "event_type", "run_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert out.count() == 0

@@ -1145,6 +1145,7 @@ def curate_corpus_v5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-hash split. The oracle embeds the whole LM computation —
     model training included — inside the recursive-CTE curation
     program."""
+    from wikidatabots_spark.functions.scale import pushdown_fence
     from wikidatabots_spark.operators.lm import with_lm_score
     from wikidatabots_spark.operators.similarity import semdedup_flags
     from wikidatabots_spark.plans.curation import _mix_and_split, _v3_gated
@@ -1156,7 +1157,12 @@ def curate_corpus_v5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(~F.col("is_kept"))
         .select(F.col("vec_id").alias("doc_id"))
     )
-    gated4 = _v3_gated(spark, sf_dir).join(semdrop, "doc_id", "left_anti")
+    # fence the survivor set: BOTH the LM rank branch and the final
+    # anti-join read it — unfenced, the whole v3-gate + semdedup subtree
+    # executed twice (measured ~+4 s at sf0.1)
+    gated4 = pushdown_fence(
+        _v3_gated(spark, sf_dir).join(semdrop, "doc_id", "left_anti")
+    )
     lmdrop = _v5_lmdrop(with_lm_score(d), gated4)
     return _mix_and_split(gated4.join(lmdrop, "doc_id", "left_anti"))
 
