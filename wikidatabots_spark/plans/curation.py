@@ -443,6 +443,11 @@ def _v3_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mix_and_split(gated: DataFrame) -> DataFrame:
     from wikidatabots_spark.operators.mixture import mix_epochs
 
+    # the mixture reads its input TWICE — once for the per-source rate
+    # counts, once as the fact side — so fence the gated frame: without
+    # it the whole upstream gate stack re-derives per branch (measured
+    # 4.68 → 3.88 s min on v3 at sf0.1, and the pass spread tightened)
+    gated = pushdown_fence(gated)
     mixed = mix_epochs(
         gated, key="doc_id", strata="source",
         weights={"src0": 1, "src1": 9}, default_weight=3,
