@@ -569,8 +569,14 @@ def corpus_token_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidatabots_spark.operators.textstats import with_quality
 
     d = load_table(spark, sf_dir, "documents")
-    q = with_quality(ensure_parallelism(d, "doc_id")).select(
-        "doc_id", "n_words", "quality"
+    from wikidatabots_spark.functions.scale import pushdown_fence
+
+    # q feeds three branches (bucket ledger, grand total, fact window):
+    # fence so the HOF-heavy quality features are computed once
+    q = pushdown_fence(
+        with_quality(ensure_parallelism(d, "doc_id")).select(
+            "doc_id", "n_words", "quality"
+        )
     )
     q = q.withColumn("bucket", F.floor(F.col("quality") * 1024))
     # phase 1: per-bucket totals; running offset over the tiny ledger
@@ -1378,8 +1384,13 @@ def curate_corpus_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") != F.col("first_id"))
         .select("doc_id")
     )
+    from wikidatabots_spark.functions.scale import pushdown_fence
+
     old_bands = minhash_band_table(old)
-    new_bands = minhash_band_table(new)
+    # the batch's band table feeds THREE legs (the cross-index probe and
+    # both sides of the within-batch self-join): fence it so signatures
+    # are computed once, not three times
+    new_bands = pushdown_fence(minhash_band_table(new))
     near_cross = (
         new_bands.join(
             old_bands.select(
