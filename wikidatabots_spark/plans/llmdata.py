@@ -1,18 +1,27 @@
 """Round-4b LLM-data-pipeline additions, each oracle-checked:
 
-- ``text_lm_score``            CCNet-style hashed-bigram LM quality
-  ranking (integer-exact conditional frequencies, operators.lm)
-- ``dedup_keep_best_quality``  FineWeb-style representative selection:
-  near-dup components keep the HIGHEST-QUALITY member, not the lowest
-  id — dedup that improves the corpus instead of merely shrinking it
-- ``dedup_incremental_index``  incremental-ingest dedup: probe a new
-  batch against the prior corpus' persisted MinHash band index instead
-  of re-deduping the world (the actual 100 TB operating mode — daily
-  batches are ~0.1% of the corpus; re-pairing everything daily is a
-  1000x waste)
-- ``ev_scd2_intervals``        CDC surface: collapse an event log into
-  SCD2 validity intervals (one row per state run, [valid_from,
-  valid_to), NULL = current) with a single user_id exchange
+- ``text_lm_score`` / ``text_lm_score_heldout`` — CCNet-style
+  hashed-bigram LM quality ranking (integer-exact smoothed conditional
+  frequencies, operators.lm); the heldout form trains on a reference
+  half and backs unseen transitions off to 0
+- ``dedup_keep_best_quality`` — FineWeb-style representative
+  selection: near-dup components keep the HIGHEST-QUALITY member
+- ``dedup_incremental_index`` / ``curate_corpus_incremental`` —
+  incremental-ingest: probe (and fully curate) a new batch against the
+  prior corpus' persisted content-hash + MinHash band indexes instead
+  of re-deduping the world (the actual 100 TB operating mode)
+- ``ev_scd2_intervals`` — CDC surface: event log → SCD2 validity
+  intervals in a single user_id exchange; plus ``ev_funnel_3step``
+  (ordered sequence funnel) and ``ev_hourly_anomaly`` (z-scores from
+  exact integer moments)
+- ``corpus_health_by_source`` (pre-mixture review table),
+  ``corpus_token_budget_select`` (greedy best-first token budget with
+  a partition-parallel two-phase prefix sum),
+  ``corpus_quality_sample`` (deterministic quality-weighted Bernoulli)
+- ``curate_corpus_v5`` — the flagship composition with the LM polish
+- ``knn_ivf_exact`` — deterministic IVF, hash-checked end-to-end
+- breadth: ``win_distribution``, ``agg_corr_covar``,
+  ``dedup_pair_edit_distance``, ``graph_triangles``
 
 No reference counterpart (north-star extensions, BASELINE.json).
 """
@@ -638,8 +647,9 @@ def corpus_quality_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacing a hard threshold) — implemented as the deterministic
     content-hash Bernoulli used everywhere else in this repo (md5 bucket
     < floor(quality·65536)), so re-runs and backfills keep identical
-    rows and the oracle reproduces the draw exactly. A narrow map: no
-    shuffle, no RNG state."""
+    rows and the oracle reproduces the draw exactly. A narrow map with
+    no RNG state — zero shuffles beyond the deliberate
+    ensure_parallelism fan-out of the single-file local scan."""
     from wikidatabots_spark.operators.dedup import ensure_parallelism
     from wikidatabots_spark.operators.textstats import with_quality
 
@@ -1234,12 +1244,12 @@ def knn_ivf_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, so the driver hash-compares the full IVF pipeline —
     training, assignment, fenced search, ranking.
 
-    Scale: candidate generation is a cluster-keyed equi-join (corpus
-    never self-joins); queries broadcast; the only corpus-wide shuffle
-    is the kmeans assignment's narrow-map-free ... (see
-    operators.clustering: assignment is a narrow map against driver-
-    held centroids, so the corpus never exchanges at all). The recall
-    loss of nprobe=1 is IVF's documented tradeoff.
+    Scale: candidate generation is a cluster-keyed equi-join (the
+    corpus never self-joins) with the query side broadcast, and the
+    k-means assignment is a narrow map against driver-held centroids
+    (operators.clustering), so the corpus never exchanges before the
+    final per-query top-k window. The recall loss of nprobe=1 is IVF's
+    documented tradeoff.
     """
     from wikidatabots_spark.operators.clustering import kmeans_int_assign
     from wikidatabots_spark.operators.similarity import _dot, _norm
