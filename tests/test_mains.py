@@ -26,3 +26,17 @@ def test_opencritic_main_sinks(spark, sf_dir):
     n = run_opencritic_main(spark, sf_dir, limit=10_000, file=buf)
     assert n > 0
     assert buf.getvalue().count("P8865") >= n  # every line carries the prop
+
+
+def test_cli_list_and_run(spark, capsys):
+    """python -m wikidatabots_spark: list prints the registry; run
+    executes a query as TSV; unknown query exits 2."""
+    from wikidatabots_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "tmdb_via_imdb" in out and len(out) >= 150
+    assert main(["run", "q6_revenue_forecast"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "revenue" and len(out) == 2
+    assert main(["run", "no_such_query"]) == 2
