@@ -39,10 +39,16 @@ from wikidatabots_spark.functions.core import (  # noqa: F401
     where_unique,
 )
 from wikidatabots_spark.operators.asof import asof_join  # noqa: F401
+from wikidatabots_spark.operators.clustering import (  # noqa: F401
+    kmeans_int_fit,
+    with_cluster,
+)
 from wikidatabots_spark.operators.dedup import (  # noqa: F401
     connected_components,
     dedup_exact,
+    minhash_band_table,
     minhash_lsh_pairs,
+    minhash_signature_cols,
     ngram_jaccard_pairs,
     remove_dup_spans,
     simhash,
@@ -50,6 +56,10 @@ from wikidatabots_spark.operators.dedup import (  # noqa: F401
     simhash_near_pairs,
     substring_duplication,
     winnow_fingerprints,
+)
+from wikidatabots_spark.operators.lm import (  # noqa: F401
+    bigram_model,
+    with_lm_score,
 )
 from wikidatabots_spark.operators.mixture import mix_epochs  # noqa: F401
 from wikidatabots_spark.operators.multimodal import (  # noqa: F401
@@ -92,6 +102,9 @@ from wikidatabots_spark.operators.textstats import (  # noqa: F401
     with_repetition,
     with_token_count,
 )
+from wikidatabots_spark.operators.textstats import chunk_documents  # noqa: F401
 from wikidatabots_spark.session import get_spark  # noqa: F401
+from wikidatabots_spark.sinks.compaction import compact_parquet_dir  # noqa: F401
+from wikidatabots_spark.sinks.upsert import merge_upsert, upsert_parquet  # noqa: F401
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
