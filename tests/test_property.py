@@ -422,3 +422,34 @@ def test_scd2_intervals_partition_each_users_timeline(spark, events):
         assert rs[-1]["valid_to"] is None  # only the last run is open
         for r in rs[:-1]:
             assert r["valid_to"] is not None
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_minhash_narrow_equals_grouped_on_random_corpora(spark, docs):
+    """Core claim of the zero-state signature path: array_min over the
+    per-row shingle array equals the exploded groupBy-MIN signature on
+    ANY corpus (docs with < 3 words absent from both)."""
+    from wikidatabots_spark.operators.dedup import (
+        minhash_signature_cols,
+        minhash_signatures,
+        shingles,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    narrow = sorted(map(tuple, minhash_signature_cols(df).collect()))
+    grouped = sorted(
+        map(tuple, minhash_signatures(shingles(df, 3, distinct=False)).collect())
+    )
+    assert narrow == grouped

@@ -380,6 +380,11 @@ def test_incremental_dedup_probe_stream_matches_batch(spark, sf_dir):
         .start()
     )
     q.awaitTermination(120)
+    # the "zero streaming state" claim, enforced from the engine's own
+    # progress metrics: a stateless stream-static join reports no state
+    # operators (an aggregation-based signature would)
+    for prog in q.recentProgress:
+        assert prog["stateOperators"] == []
     got = {
         (r.new_id, r.old_id)
         for r in spark.sql("select new_id, old_id from inc_probe").collect()
