@@ -13,6 +13,7 @@ from wikidatabots_spark.plans import (  # noqa: F401
     mains,
     opencritic,
     operators_micro,
+    quality,
     sql_api,
     tmdb,
     tpch,

@@ -1,0 +1,542 @@
+"""Round-4c additions: pipeline-operations queries, each oracle-checked.
+
+- ``ev_gapfill_hourly`` — time-series densification: the hourly rollup
+  left-joined onto a generated per-type hour spine so silent gaps become
+  explicit zero rows (the shape every downstream anomaly/forecast job
+  needs; a missing hour is a *signal*, not an absence)
+- ``dq_expectations`` — a data-quality expectations report over the
+  TPC-H tables: referential integrity, primary-key uniqueness, range
+  and null checks, one row per check with checked/violation counts —
+  the pre-flight audit a 100 TB ingest runs before publishing a batch
+- ``text_pmi_bigrams`` — collocation mining: top-k word bigrams by an
+  integer PMI surrogate (observed/expected lift in ppm) — corpus
+  phrase discovery for tokenizer/vocab design
+- ``op_union_by_name`` — schema-evolution union: frames with different
+  column order AND different column sets combine by NAME with nulls for
+  the missing columns (``unionByName(allowMissingColumns=True)``) —
+  how a long-lived table absorbs a schema change mid-corpus
+- ``knn_filtered_topk`` — metadata-filtered vector search: cosine top-k
+  restricted to corpus vectors sharing the query's label (the
+  "filtered ANN" mode every production vector store exposes)
+
+No reference counterpart (north-star extensions, BASELINE.json); the
+reference's own surface is covered in plans.tmdb / plans.opencritic.
+
+Scale notes are per-query docstrings; the common theme: every check or
+spine that is per-group-tiny is computed from an already-aggregated
+frame (|event_types| or |checks| rows), so the only real shuffles are
+the base aggregations themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wikidatabots_spark.plans.registry import register
+from wikidatabots_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# ev_gapfill_hourly — densified hourly rollup (explicit zero rows for gaps)
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+bounds AS (
+    SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY event_type
+),
+spine AS (
+    SELECT event_type,
+           unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+    FROM bounds
+)
+SELECT s.event_type, s.hour_start,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+       h.n IS NULL AS was_gap
+FROM spine s
+LEFT JOIN hourly h ON h.event_type = s.event_type AND h.h = s.hour_start
+"""
+
+
+@register("ev_gapfill_hourly", oracle=_GAPFILL_ORACLE)
+def ev_gapfill_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts per type, densified over each type's full
+    [min hour, max hour] span: hours with no events appear as explicit
+    ``n_events = 0, was_gap = true`` rows.
+
+    Scale: ONE shuffle total — the (event_type, hour) rollup with
+    map-side partial aggregation. Everything after it operates on
+    already-aggregated frames: the bounds table is |event_types| rows,
+    the exploded spine is |types| × |hours| rows (thousands, not
+    billions — it grows with wall-clock time, not data volume), and the
+    final join broadcasts the rollup side via AQE. The spine generation
+    is `sequence` + `explode` — a narrow map off a tiny frame, never a
+    driver loop.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start"),
+    )
+    return (
+        spine.join(
+            hourly,
+            (spine["event_type"] == hourly["event_type"])
+            & (F.col("hour_start") == F.col("h")),
+            "left",
+        )
+        .select(
+            spine["event_type"],
+            "hour_start",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.col("n").isNull().alias("was_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_expectations — data-quality audit report over the TPC-H tables
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+WITH li AS (
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orphan,
+           SUM(CASE WHEN l.l_quantity < 1 OR l.l_quantity > 50
+                    THEN 1 ELSE 0 END) AS qty_oor,
+           SUM(CASE WHEN l.l_discount < 0 OR l.l_discount > 0.1
+                    THEN 1 ELSE 0 END) AS disc_oor,
+           SUM(CASE WHEN l.l_extendedprice <= 0 THEN 1 ELSE 0 END) AS price_np
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+           ON o.o_orderkey = l.l_orderkey
+),
+ord AS (
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS orphan,
+           SUM(CASE WHEN o.o_totalprice <= 0 THEN 1 ELSE 0 END) AS price_np,
+           SUM(CASE WHEN o.o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_date
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+           ON c.c_custkey = o.o_custkey
+),
+cust AS (
+    SELECT COUNT(*) AS n,
+           COUNT(*) - COUNT(DISTINCT c_custkey) AS pk_dups,
+           SUM(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000
+                    THEN 1 ELSE 0 END) AS bal_oor
+    FROM customer
+),
+prt AS (
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN p_size < 1 OR p_size > 50 THEN 1 ELSE 0 END) AS size_oor,
+           SUM(CASE WHEN p_retailprice <= 0 THEN 1 ELSE 0 END) AS price_np
+    FROM part
+)
+SELECT * FROM (
+    SELECT 'lineitem_orderkey_in_orders' AS check_name,
+           CAST(n AS BIGINT) AS n_checked,
+           CAST(orphan AS BIGINT) AS n_violations FROM li
+    UNION ALL
+    SELECT 'lineitem_quantity_1_50', CAST(n AS BIGINT),
+           CAST(qty_oor AS BIGINT) FROM li
+    UNION ALL
+    SELECT 'lineitem_discount_0_01', CAST(n AS BIGINT),
+           CAST(disc_oor AS BIGINT) FROM li
+    UNION ALL
+    SELECT 'lineitem_extendedprice_positive', CAST(n AS BIGINT),
+           CAST(price_np AS BIGINT) FROM li
+    UNION ALL
+    SELECT 'orders_custkey_in_customer', CAST(n AS BIGINT),
+           CAST(orphan AS BIGINT) FROM ord
+    UNION ALL
+    SELECT 'orders_totalprice_positive', CAST(n AS BIGINT),
+           CAST(price_np AS BIGINT) FROM ord
+    UNION ALL
+    SELECT 'orders_orderdate_not_null', CAST(n AS BIGINT),
+           CAST(null_date AS BIGINT) FROM ord
+    UNION ALL
+    SELECT 'customer_custkey_unique', CAST(n AS BIGINT),
+           CAST(pk_dups AS BIGINT) FROM cust
+    UNION ALL
+    SELECT 'customer_acctbal_range', CAST(n AS BIGINT),
+           CAST(bal_oor AS BIGINT) FROM cust
+    UNION ALL
+    SELECT 'part_size_1_50', CAST(n AS BIGINT),
+           CAST(size_oor AS BIGINT) FROM prt
+    UNION ALL
+    SELECT 'part_retailprice_positive', CAST(n AS BIGINT),
+           CAST(price_np AS BIGINT) FROM prt
+)
+"""
+
+_DQ_CHECKS: dict[str, list[tuple[str, str]]] = {
+    # table -> [(check_name, violation column)]
+    "li": [
+        ("lineitem_orderkey_in_orders", "orphan"),
+        ("lineitem_quantity_1_50", "qty_oor"),
+        ("lineitem_discount_0_01", "disc_oor"),
+        ("lineitem_extendedprice_positive", "price_np"),
+    ],
+    "ord": [
+        ("orders_custkey_in_customer", "orphan"),
+        ("orders_totalprice_positive", "price_np"),
+        ("orders_orderdate_not_null", "null_date"),
+    ],
+    "cust": [
+        ("customer_custkey_unique", "pk_dups"),
+        ("customer_acctbal_range", "bal_oor"),
+    ],
+    "prt": [
+        ("part_size_1_50", "size_oor"),
+        ("part_retailprice_positive", "price_np"),
+    ],
+}
+
+
+def _dq_unpivot(agg_row: DataFrame, checks: list[tuple[str, str]]) -> DataFrame:
+    """One-row aggregate frame -> one row per check via `stack` (no
+    driver collect; the unpivot runs on the single aggregated row)."""
+    stack_args = ", ".join(f"'{name}', {col}" for name, col in checks)
+    return agg_row.select(
+        F.expr(
+            f"stack({len(checks)}, {stack_args}) AS (check_name, n_violations)"
+        ),
+        F.col("n").alias("n_checked"),
+    ).select("check_name", "n_checked", F.col("n_violations").cast("long"))
+
+
+def _cnt(cond) -> F.Column:
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+
+@register("dq_expectations", oracle=_DQ_ORACLE)
+def dq_expectations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report: 11 checks across 4 tables, one
+    output row per check with (n_checked, n_violations).
+
+    Scale: all predicate checks on a table are FUSED into one scan —
+    lineitem is read once (its referential check rides the same pass: a
+    left join against the distinct orderkey set, counted in the same
+    aggregate), likewise orders. The per-table results are single-row
+    frames; the `stack` unpivot and the final union are driver-free and
+    free at any scale. Referential joins shuffle on the key with AQE
+    (broadcast when the key set is small, skew-split when it is not) —
+    there is no per-check rescan, which at 100 TB is the difference
+    between one pass and eleven.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    okeys = orders.select("o_orderkey").distinct()
+    li_agg = (
+        li.join(okeys, li["l_orderkey"] == okeys["o_orderkey"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _cnt(F.col("o_orderkey").isNull()).alias("orphan"),
+            _cnt((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+                "qty_oor"
+            ),
+            _cnt(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+            ).alias("disc_oor"),
+            _cnt(F.col("l_extendedprice") <= 0).alias("price_np"),
+        )
+    )
+    ckeys = cust.select("c_custkey").distinct()
+    ord_agg = (
+        orders.join(ckeys, orders["o_custkey"] == ckeys["c_custkey"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _cnt(F.col("c_custkey").isNull()).alias("orphan"),
+            _cnt(F.col("o_totalprice") <= 0).alias("price_np"),
+            _cnt(F.col("o_orderdate").isNull()).alias("null_date"),
+        )
+    )
+    cust_agg = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("c_custkey"))).alias(
+            "pk_dups"
+        ),
+        _cnt((F.col("c_acctbal") < -1000) | (F.col("c_acctbal") > 10000)).alias(
+            "bal_oor"
+        ),
+    )
+    part_agg = part.agg(
+        F.count(F.lit(1)).alias("n"),
+        _cnt((F.col("p_size") < 1) | (F.col("p_size") > 50)).alias("size_oor"),
+        _cnt(F.col("p_retailprice") <= 0).alias("price_np"),
+    )
+    parts = [
+        _dq_unpivot(li_agg, _DQ_CHECKS["li"]),
+        _dq_unpivot(ord_agg, _DQ_CHECKS["ord"]),
+        _dq_unpivot(cust_agg, _DQ_CHECKS["cust"]),
+        _dq_unpivot(part_agg, _DQ_CHECKS["prt"]),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# text_pmi_bigrams — collocation mining by integer PMI surrogate (lift)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 3
+PMI_TOPK = 50
+
+_PMI_ORACLE = f"""
+WITH wl AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x != '') AS wl
+    FROM documents
+),
+occ AS (
+    SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT unnest(list_transform(
+                   generate_series(1, greatest(len(wl) - 1, 0)),
+                   i -> struct_pack(w1 := wl[i], w2 := wl[i+1]))) AS u
+        FROM wl
+    )
+),
+bgc AS (SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY w1, w2),
+marg AS (
+    SELECT w1, w2, c12,
+           SUM(c12) OVER (PARTITION BY w1) AS c1,
+           SUM(c12) OVER (PARTITION BY w2) AS c2,
+           SUM(c12) OVER () AS n_total
+    FROM bgc
+),
+sc AS (
+    SELECT w1, w2, c12,
+           ((c12 * n_total) // c1) * 1000000 // c2 AS lift_ppm
+    FROM marg WHERE c12 >= {PMI_MIN_COUNT}
+),
+ranked AS (
+    SELECT w1, w2, c12, lift_ppm,
+           row_number() OVER (ORDER BY lift_ppm DESC, w1, w2) AS rank
+    FROM sc
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS n_cooccur,
+       CAST(lift_ppm AS BIGINT) AS lift_ppm, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {PMI_TOPK}
+"""
+
+
+@register("text_pmi_bigrams", oracle=_PMI_ORACLE)
+def text_pmi_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOPK} collocations: bigrams whose observed count most
+    exceeds the independence expectation. The score is PMI's argument as
+    an integer — lift_ppm = ((c12·N) div c1)·1e6 div c2 in fixed
+    left-to-right floor-division order, so both engines produce the
+    same bits (log is monotone, so the RANKING equals PMI's; the
+    intermediate products stay under 2^63 for corpora up to ~3e9
+    bigrams — beyond that, switch the two products to DECIMAL(38,0),
+    same plan).
+
+    Scale: occurrences explode once; the count shuffle carries string
+    pairs with map-side partial counts (for a trillion-token corpus the
+    ``operators.lm`` trick applies unchanged — ship xxhash64 keys and
+    join words back for the top-k only). Marginals are two window sums
+    over the DISTINCT-bigram table (vocab²-bounded, zipf-small), N is a
+    broadcast one-row aggregate, and the global top-k is
+    TakeOrderedAndProject — per-partition partial top-k, never a full
+    sort. The rank window runs over ≤{PMI_TOPK} collected-side rows.
+    """
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+    from wikidatabots_spark.operators.textstats import words
+
+    d = load_table(spark, sf_dir, "documents")
+    base = ensure_parallelism(d.select("doc_id", "text"), "doc_id").select(
+        words(F.col("text")).alias("__w")
+    )
+    w = F.col("__w")
+    n = F.size(w)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    occ = base.select(F.explode(grams).alias("g")).select("g.w1", "g.w2")
+    bgc = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    marg = bgc.withColumn(
+        "c1", F.sum("c12").over(Window.partitionBy("w1"))
+    ).withColumn("c2", F.sum("c12").over(Window.partitionBy("w2")))
+    total = bgc.agg(F.sum("c12").alias("n_total"))
+    sc = (
+        marg.crossJoin(F.broadcast(total))
+        .where(F.col("c12") >= PMI_MIN_COUNT)
+        .withColumn(
+            "lift_ppm",
+            F.expr("((c12 * n_total) div c1) * 1000000 div c2"),
+        )
+    )
+    topk = sc.orderBy(
+        F.col("lift_ppm").desc(), F.col("w1"), F.col("w2")
+    ).limit(PMI_TOPK)
+    rank_w = Window.orderBy(F.col("lift_ppm").desc(), F.col("w1"), F.col("w2"))
+    return topk.select(
+        "w1",
+        "w2",
+        F.col("c12").cast("long").alias("n_cooccur"),
+        F.col("lift_ppm").cast("long").alias("lift_ppm"),
+        F.row_number().over(rank_w).cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_union_by_name — schema-evolution union (order + missing columns)
+# ---------------------------------------------------------------------------
+
+_UNION_BY_NAME_ORACLE = """
+SELECT n_nationkey AS key, n_name AS name, 'nation' AS src
+FROM nation
+UNION ALL BY NAME
+SELECT r_name AS name, r_regionkey AS key, r_regionkey * 10 AS region_code
+FROM region
+"""
+
+
+@register("op_union_by_name", oracle=_UNION_BY_NAME_ORACLE)
+def op_union_by_name_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of two frames whose schemas differ in column ORDER and in
+    column SET: `unionByName(allowMissingColumns=True)` aligns by name
+    and nulls the columns each side lacks (`src` only on the nation
+    side, `region_code` only on the region side) — the schema-evolution
+    read every long-lived corpus eventually needs. Narrow op: a union
+    adds no shuffle or compute, just plan branches.
+    """
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("key"),
+        F.col("n_name").alias("name"),
+        F.lit("nation").alias("src"),
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("name"),
+        F.col("r_regionkey").alias("key"),
+        (F.col("r_regionkey") * 10).alias("region_code"),
+    )
+    return nation.unionByName(region, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# knn_filtered_topk — metadata-filtered vector search
+# ---------------------------------------------------------------------------
+
+_KNN_FILTERED_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS q_vec, label
+    FROM embeddings WHERE vec_id < 20
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, label FROM embeddings),
+norms AS (
+    SELECT vec_id,
+           sqrt(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+               AS nrm
+    FROM embeddings, generate_series(1, 64) t(i)
+    GROUP BY vec_id
+),
+dots AS (
+    SELECT q.query_id, c.neighbor_id, c.label,
+           SUM(CAST(q.q_vec[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE)) AS dot
+    FROM q JOIN c ON q.label = c.label AND q.query_id != c.neighbor_id,
+         generate_series(1, 64) t(i)
+    GROUP BY q.query_id, c.neighbor_id, c.label
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id, d.label,
+           d.dot / (nq.nrm * nc.nrm) AS sim
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nc ON nc.vec_id = d.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(label AS INT) AS label,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("knn_filtered_topk", oracle=_KNN_FILTERED_ORACLE)
+def knn_filtered_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact cosine top-5 restricted to corpus
+    vectors sharing the query's `label` — the metadata-filtered ANN
+    mode (pre-filtering, not post-filtering: a post-filter of an
+    unfiltered top-k silently under-fills when the filter is
+    selective).
+
+    Scale: the label predicate is part of the JOIN key, so the filter
+    is applied during the broadcast hash join — distance math runs only
+    on same-label pairs (selectivity 1/|labels| of the brute-force
+    pair count). Queries broadcast; the corpus never shuffles until the
+    final per-query top-k window (tiny cardinality). With an IVF/LSH
+    index the same pre-filter composes by adding `label` to the bucket
+    key.
+    """
+    from wikidatabots_spark.operators.similarity import _dot, _norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        _norm(F.col("embedding")).alias("q_norm"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        _norm(F.col("embedding")).alias("c_norm"),
+        F.col("label"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn(
+            "sim",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
+        .select("query_id", "neighbor_id", "label", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("label").cast("int").alias("label"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
