@@ -153,3 +153,92 @@ def test_knn_filtered_respects_label(spark, sf_dir):
     for r in joined:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_rolling_1h_frame_is_inclusive_trailing(spark, tmp_path):
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        Row(event_id=1, ts=mins(0), user_id=7, event_type="x", value=1.0,
+            props=""),
+        Row(event_id=2, ts=mins(30), user_id=7, event_type="x", value=2.0,
+            props=""),
+        Row(event_id=3, ts=mins(60), user_id=7, event_type="x", value=4.0,
+            props=""),   # exactly 1h after e1: frame is inclusive -> all 3
+        Row(event_id=4, ts=mins(95), user_id=7, event_type="x", value=8.0,
+            props=""),   # frame [35, 95] -> e3, e4 only
+        Row(event_id=5, ts=mins(0), user_id=8, event_type="x", value=16.0,
+            props=""),   # other user: frames never mix
+    ]
+    from wikidatabots_spark.plans.quality import ev_rolling_1h_q
+
+    _write(spark, tmp_path, "events", rows)
+    out = {r.event_id: r for r in ev_rolling_1h_q(spark, str(tmp_path)).collect()}
+    assert (out[1].n_1h, out[1].sum_1h) == (1, 1.0)
+    assert (out[2].n_1h, out[2].sum_1h) == (2, 3.0)
+    assert (out[3].n_1h, out[3].sum_1h) == (3, 7.0)
+    assert (out[4].n_1h, out[4].sum_1h) == (2, 12.0)
+    assert (out[5].n_1h, out[5].sum_1h) == (1, 16.0)
+
+
+def test_grouping_sets_levels(spark, sf_dir):
+    from wikidatabots_spark.plans.quality import agg_grouping_sets_q
+
+    rows = agg_grouping_sets_q(spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    assert set(by_gid) == {1, 2, 3}
+    # gid=1: grouped by returnflag only (linestatus aggregated away)
+    assert all(r.l_linestatus is None and r.l_returnflag is not None
+               for r in by_gid[1])
+    assert all(r.l_returnflag is None and r.l_linestatus is not None
+               for r in by_gid[2])
+    [total] = by_gid[3]
+    assert total.l_returnflag is None and total.l_linestatus is None
+    assert sum(r.n_items for r in by_gid[1]) == total.n_items
+    assert sum(r.n_items for r in by_gid[2]) == total.n_items
+
+
+def test_split_assign_deterministic_and_sized(spark, sf_dir):
+    from wikidatabots_spark.plans.quality import corpus_split_assign_q
+
+    a = corpus_split_assign_q(spark, sf_dir).collect()
+    b = corpus_split_assign_q(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # re-run stable
+    counts = {}
+    for r in a:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    n = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    # 80/10/10 within binomial slack on 500 docs
+    assert 0.7 * n < counts["train"] < 0.9 * n
+    assert counts["val"] < 0.2 * n and counts["test"] < 0.2 * n
+
+
+def test_emb_standardize_moments(spark, sf_dir):
+    from wikidatabots_spark.plans.quality import emb_standardize_q
+
+    out = emb_standardize_q(spark, sf_dir)
+    agg = out.select(
+        F.avg(F.element_at("z", 1)).alias("m1"),
+        F.avg(F.element_at("z", 64)).alias("m64"),
+        F.stddev_pop(F.element_at("z", 1)).alias("s1"),
+        F.stddev_pop(F.element_at("z", 64)).alias("s64"),
+    ).collect()[0]
+    assert abs(agg.m1) < 1e-9 and abs(agg.m64) < 1e-9
+    assert abs(agg.s1 - 1.0) < 1e-9 and abs(agg.s64 - 1.0) < 1e-9
+
+
+def test_robust_stats_resist_outlier(spark, tmp_path):
+    from wikidatabots_spark.plans.quality import agg_robust_stats_q
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [
+        Row(event_id=i, ts=t0, user_id=1, event_type="x", value=v, props="")
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])
+    ]
+    _write(spark, tmp_path, "events", rows)
+    [r] = agg_robust_stats_q(spark, str(tmp_path)).collect()
+    # median ignores the outlier; MAD = lower-median of |x-3| = 1
+    assert (r.n, r.median_value, r.mad_value) == (5, 3.0, 1.0)

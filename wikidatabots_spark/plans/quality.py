@@ -18,6 +18,16 @@
 - ``knn_filtered_topk`` — metadata-filtered vector search: cosine top-k
   restricted to corpus vectors sharing the query's label (the
   "filtered ANN" mode every production vector store exposes)
+- ``ev_rolling_1h`` — per-user trailing-1-hour rolling aggregates via a
+  time-RANGE window frame (the frame family rowsBetween cannot express)
+- ``agg_grouping_sets`` — non-hierarchical GROUPING SETS with a
+  grouping_id, the aggregation shape rollup/cube cannot produce
+- ``corpus_split_assign`` — deterministic content-hash train/val/test
+  assignment (re-runs and backfills land every doc in the same split)
+- ``emb_standardize`` — per-dimension z-score normalization of the
+  embedding column from integer-exact moments
+- ``agg_robust_stats`` — exact-rank median + MAD (median absolute
+  deviation), the interpolation-free robust-statistics pair
 
 No reference counterpart (north-star extensions, BASELINE.json); the
 reference's own surface is covered in plans.tmdb / plans.opencritic.
@@ -539,4 +549,329 @@ def knn_filtered_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").cast("int").alias("label"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_rolling_1h — trailing time-RANGE window (not expressible with rows)
+# ---------------------------------------------------------------------------
+
+_ROLLING_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("ev_rolling_1h", oracle=_ROLLING_ORACLE)
+def ev_rolling_1h_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour event count and decimal-exact value sum.
+    A RANGE frame over event time — the frame `rowsBetween` cannot
+    express (the window's extent depends on the DATA, not a row count;
+    a burst of events shares one hour-wide frame, a sparse user's frame
+    may hold only the current row). Spark's rangeBetween needs a numeric
+    order key, so the frame runs over epoch microseconds with a
+    3_600_000_000-µs lookback — identical peer semantics to the
+    oracle's INTERVAL frame.
+
+    Scale: one shuffle on user_id, then a per-partition sort —
+    the same cost profile as any per-user window; the frame bound adds
+    no extra exchange. Skewed power-users are a per-key sort problem,
+    not a shuffle problem (state is one sliding frame per user).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(14,4)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_grouping_sets — non-hierarchical sets + grouping_id
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GSETS_ORACLE)
+def agg_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((flag), (status), ()) — three independent
+    aggregations in ONE pass with a grouping_id distinguishing the
+    levels. Unlike rollup/cube this set list is non-hierarchical
+    (neither column nests under the other), so it pins the general
+    mechanism. Spark's grouping_id() bit order equals DuckDB's
+    GROUPING(a, b) (verified: first listed column = most significant
+    bit).
+
+    Scale: Catalyst expands the sets into one Expand + single
+    aggregation — the input is read ONCE however many sets are listed
+    (vs one scan per set if issued as separate queries and unioned).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid", "n_items", "sum_qty"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_split_assign — deterministic train/val/test assignment
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_END = 52429  # floor(0.8 * 65536)
+SPLIT_VAL_END = 58982  # floor(0.9 * 65536)
+
+_SPLIT_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id, source,
+           (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bkt
+    FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN bkt < {SPLIT_TRAIN_END} THEN 'train'
+            WHEN bkt < {SPLIT_VAL_END} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register("corpus_split_assign", oracle=_SPLIT_ORACLE)
+def corpus_split_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment: the split is a
+    pure function of doc_id (md5 bucket thresholds), so re-runs,
+    backfills, and incremental ingests put every document in the SAME
+    split — no RNG state to checkpoint, no cross-run leakage of val
+    docs into train. The repo-standard content-hash Bernoulli
+    (corpus_quality_sample) with two cutpoints. Narrow map, zero
+    shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bkt = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(bkt < SPLIT_TRAIN_END, F.lit("train"))
+        .when(bkt < SPLIT_VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_standardize — per-dimension z-score from integer-exact moments
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+_STD_SCALE = 1_000_000  # 1e-6 quantization for integer-exact moments
+
+
+def _emb_std_oracle() -> str:
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_STD_SCALE}) AS BIGINT)) AS qv
+    FROM embeddings
+),
+stats AS (
+    SELECT i AS dim,
+           CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*) AS mean_q,
+           sqrt((CAST(SUM(qv[i] * qv[i]) AS DOUBLE)
+                 - CAST(SUM(qv[i]) AS DOUBLE) * CAST(SUM(qv[i]) AS DOUBLE)
+                   / COUNT(*)) / COUNT(*)) AS std_q
+    FROM q, generate_series(1, {EMB_DIM}) t(i)
+    GROUP BY i
+),
+arrs AS (
+    SELECT list(mean_q ORDER BY dim) AS means,
+           list(std_q ORDER BY dim) AS stds
+    FROM stats
+)
+SELECT vec_id,
+       list_transform(generate_series(1, {EMB_DIM}),
+           i -> (CAST(qv[i] AS DOUBLE) - arrs.means[i]) / arrs.stds[i]) AS z
+FROM q, arrs
+"""
+
+
+@register("emb_standardize", oracle=_emb_std_oracle())
+def emb_standardize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score normalization of the embedding column —
+    the feature-scaling pass that precedes k-means/IVF training (skewed
+    per-dimension scales distort every Euclidean distance).
+
+    Engine-exact by integer quantization: moments are computed over
+    floor(x·1e6) BIGINTs (float sums are order-dependent across
+    engines; integer sums are not — the 1e-6 quantization error is far
+    below float32's own noise floor at these magnitudes), and the final
+    z = (q - mean)/std is one fixed float expression tree. The moment
+    aggregate produces ONE {EMB_DIM}×2 stats row: 2·{EMB_DIM} partial
+    sums with map-side combine — the vector table itself never
+    shuffles; the stats row broadcasts back for the narrow z-map.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * _STD_SCALE).cast("long"),
+        ).alias("qv"),
+    )
+    el = lambda i: F.element_at(F.col("qv"), i)  # noqa: E731
+    n = F.count(F.lit(1))
+    stats = q.agg(
+        *[F.sum(el(i)).alias(f"s{i}") for i in range(1, EMB_DIM + 1)],
+        *[F.sum(el(i) * el(i)).alias(f"ss{i}") for i in range(1, EMB_DIM + 1)],
+        n.alias("n"),
+    )
+    mean_i = lambda i: F.col(f"s{i}").cast("double") / F.col("n")  # noqa: E731
+    std_i = lambda i: F.sqrt(  # noqa: E731
+        (
+            F.col(f"ss{i}").cast("double")
+            - F.col(f"s{i}").cast("double")
+            * F.col(f"s{i}").cast("double")
+            / F.col("n")
+        )
+        / F.col("n")
+    )
+    arrs = stats.select(
+        F.array(*[mean_i(i) for i in range(1, EMB_DIM + 1)]).alias("means"),
+        F.array(*[std_i(i) for i in range(1, EMB_DIM + 1)]).alias("stds"),
+    )
+    return q.crossJoin(F.broadcast(arrs)).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
+            lambda i: (
+                F.element_at(F.col("qv"), i).cast("double")
+                - F.element_at(F.col("means"), i)
+            )
+            / F.element_at(F.col("stds"), i),
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_robust_stats — exact-rank median + MAD per event_type
+# ---------------------------------------------------------------------------
+
+_ROBUST_ORACLE = """
+WITH ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+med AS (
+    SELECT event_type, value AS median_value, n
+    FROM ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+),
+dev AS (
+    SELECT e.event_type, abs(e.value - m.median_value) AS d, e.event_id
+    FROM events e JOIN med m USING (event_type)
+),
+dranked AS (
+    SELECT event_type, d,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY d, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+)
+SELECT m.event_type, CAST(m.n AS BIGINT) AS n, m.median_value,
+       dr.d AS mad_value
+FROM med m
+JOIN dranked dr ON dr.event_type = m.event_type
+                AND dr.rn = CAST(ceil(dr.n / 2.0) AS BIGINT)
+"""
+
+
+@register("agg_robust_stats", oracle=_ROBUST_ORACLE)
+def agg_robust_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type MEDIAN and MAD (median absolute deviation) — the
+    robust location/spread pair that outliers cannot drag, by EXACT
+    rank selection (element at ceil(n/2), ties broken by event_id):
+    no percentile interpolation, so both engines pick the identical
+    element and the doubles compare bit-for-bit.
+
+    Scale: two event_type exchanges by nature (MAD is a second-pass
+    statistic — deviations need the median first); the tiny median
+    table broadcasts back onto the fact for the deviation pass. Both
+    passes are sort-within-group over the same key, AQE-coalesced.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med = ranked.where(
+        F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long")
+    ).select("event_type", F.col("value").alias("median_value"), "n")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("median_value")).alias("d"),
+        "event_id",
+    )
+    dw = Window.partitionBy("event_type").orderBy("d", "event_id")
+    dranked = dev.select(
+        "event_type",
+        "d",
+        F.row_number().over(dw).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("dn"),
+    )
+    mad = dranked.where(
+        F.col("rn") == F.ceil(F.col("dn") / 2.0).cast("long")
+    ).select("event_type", F.col("d").alias("mad_value"))
+    return med.join(mad, "event_type").select(
+        "event_type", F.col("n").cast("long").alias("n"), "median_value",
+        "mad_value",
     )
