@@ -102,9 +102,17 @@ from wikidatabots_spark.operators.textstats import (  # noqa: F401
     with_repetition,
     with_token_count,
 )
-from wikidatabots_spark.operators.textstats import chunk_documents  # noqa: F401
+from wikidatabots_spark.operators.textstats import (  # noqa: F401
+    chunk_documents,
+    tokenize_to_ids,
+)
 from wikidatabots_spark.session import get_spark  # noqa: F401
 from wikidatabots_spark.sinks.compaction import compact_parquet_dir  # noqa: F401
 from wikidatabots_spark.sinks.upsert import merge_upsert, upsert_parquet  # noqa: F401
+from wikidatabots_spark.sources.corpus_io import (  # noqa: F401
+    read_jsonl_documents,
+    read_text_documents,
+    write_jsonl,
+)
 
-__version__ = "0.3.0"
+__version__ = "0.3.1"

@@ -565,3 +565,61 @@ def chunk_documents(
         F.concat_ws(" ", sl).alias("chunk_text"),
         F.size(sl).cast("bigint").alias("n_tokens"),
     )
+
+
+def tokenize_to_ids(
+    df: DataFrame,
+    vocab_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Map documents to integer token-id sequences under a corpus-built
+    vocabulary — the step between raw text and ``pack_sequences``:
+    vocab = top ``vocab_size`` words by (count desc, word asc), ids
+    1..N in that rank order; unknown words map to 0 (UNK).
+    → (id, ids: array<int>, n_tokens, n_unk). Deterministic end to end:
+    the vocab ranking has a total tie-break, so re-runs (and the
+    oracle) assign identical ids.
+
+    Scale shape: the vocab is one explode + word-count shuffle +
+    distributed top-k (TakeOrderedAndProject — per-partition partial
+    top-k, no global sort); its id window runs over ≤vocab_size rows.
+    The id mapping is a ``map_from_entries`` built from the tiny vocab
+    frame, broadcast to a NARROW per-document transform — the corpus is
+    never exploded a second time and never shuffles. A real BPE vocab
+    swaps in as the same broadcast map over subtokens.
+    """
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+
+    base = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+    counts = (
+        base.select(F.explode(F.col("__w")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(vocab_size)
+    )
+    vocab = counts.select(
+        "word",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("word")))
+        .cast("int")
+        .alias("token_id"),
+    )
+    vmap = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word"), F.col("token_id")))
+        ).alias("__vmap")
+    )
+    w = F.col("__w")
+    ids = F.transform(
+        w, lambda x: F.coalesce(F.element_at(F.col("__vmap"), x), F.lit(0))
+    )
+    return base.crossJoin(F.broadcast(vmap)).select(
+        F.col(id_col),
+        ids.alias("ids"),
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(ids, lambda i: i == 0)).cast("bigint").alias("n_unk"),
+    )

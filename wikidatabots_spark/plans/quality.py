@@ -875,3 +875,63 @@ def agg_robust_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("n").cast("long").alias("n"), "median_value",
         "mad_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_tokenize_ids — vocab-mapped token-id sequences (pre-packing step)
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZE = 100
+
+_TOKENIZE_ORACLE = f"""
+WITH wl AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x != '') AS wl
+    FROM documents
+),
+counts AS (
+    SELECT w AS word, COUNT(*) AS cnt
+    FROM (SELECT unnest(wl) AS w FROM wl)
+    GROUP BY w
+),
+vocab AS (
+    SELECT word,
+           CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INT) AS token_id
+    FROM counts
+    ORDER BY cnt DESC, word
+    LIMIT {VOCAB_SIZE}
+),
+tok AS (
+    SELECT doc_id, unnest(wl) AS w, generate_subscripts(wl, 1) AS ord
+    FROM wl
+),
+mapped AS (
+    SELECT t.doc_id,
+           list(COALESCE(v.token_id, 0) ORDER BY t.ord) AS ids,
+           COUNT(*) AS n_tokens,
+           SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS n_unk
+    FROM tok t LEFT JOIN vocab v ON v.word = t.w
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(m.ids, []) AS ids,
+       CAST(COALESCE(m.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(m.n_unk, 0) AS BIGINT) AS n_unk
+FROM documents d LEFT JOIN mapped m USING (doc_id)
+"""
+
+
+@register("corpus_tokenize_ids", oracle=_TOKENIZE_ORACLE)
+def corpus_tokenize_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id sequences under a corpus-built top-{VOCAB_SIZE} vocab
+    (operators.textstats.tokenize_to_ids) — the missing middle of the
+    trainer path corpus → [tokenize] → pack_sequences → shards. The
+    oracle rebuilds the vocab and the per-position mapping with a
+    positional join; Spark does it as one broadcast map lookup inside a
+    narrow array transform (the corpus never re-explodes)."""
+    from wikidatabots_spark.operators.textstats import tokenize_to_ids
+
+    return tokenize_to_ids(
+        load_table(spark, sf_dir, "documents"), vocab_size=VOCAB_SIZE
+    )
