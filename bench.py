@@ -110,6 +110,15 @@ HEADLINERS = [
     # and the day-2 incremental curation mode
     "curate_corpus_v5",
     "curate_corpus_incremental",
+    # round-4c additions: time-series densification + range windows,
+    # data-quality audit, PMI collocations, per-dim standardization,
+    # vocab token-id mapping
+    "ev_gapfill_hourly",
+    "ev_rolling_1h",
+    "dq_expectations",
+    "text_pmi_bigrams",
+    "emb_standardize",
+    "corpus_tokenize_ids",
 ]
 
 

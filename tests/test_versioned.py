@@ -1,0 +1,103 @@
+"""Tests for sinks.versioned (snapshot log, time travel, rollback,
+vacuum)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from wikidatabots_spark.sinks.versioned import VersionedTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_commit_read_and_time_travel(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    assert t.latest_version() is None
+    v1 = t.commit(spark.createDataFrame([Row(k=1, v="a")]))
+    v2 = t.commit(spark.createDataFrame([Row(k=1, v="b"), Row(k=2, v="c")]))
+    assert (v1, v2) == (1, 2)
+    assert _rows(t.read(spark)) == [(1, "b"), (2, "c")]
+    assert _rows(t.read(spark, version=1)) == [(1, "a")]  # time travel
+    hist = t.history()
+    assert [(s.version, s.n_rows, s.parent) for s in hist] == [
+        (1, 1, None), (2, 2, 1),
+    ]
+
+
+def test_upsert_creates_version_and_keeps_history(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([Row(k=1, ver=1, v="a"), Row(k=2, ver=1, v="b")]))
+    changes = spark.createDataFrame(
+        [Row(k=2, ver=2, v="b2", _deleted=False),
+         Row(k=1, ver=2, v="x", _deleted=True),
+         Row(k=3, ver=2, v="new", _deleted=False)]
+    )
+    v = t.upsert(spark, changes, key="k", version_col="ver")
+    assert v == 2
+    assert _rows(t.read(spark).select("k", "v")) == [(2, "b2"), (3, "new")]
+    # pre-merge table still readable
+    assert _rows(t.read(spark, version=1).select("k", "v")) == [(1, "a"), (2, "b")]
+
+
+def test_upsert_bootstraps_empty_table(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    v = t.upsert(
+        spark,
+        spark.createDataFrame([Row(k=1, ver=1, v="a")]),
+        key="k",
+        version_col="ver",
+    )
+    assert v == 1
+    assert _rows(t.read(spark)) == [(1, 1, "a")]
+
+
+def test_rollback_restores_as_new_head(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([Row(k=1, v="good")]))
+    t.commit(spark.createDataFrame([Row(k=1, v="poisoned")]))
+    v3 = t.rollback(spark, to_version=1)
+    assert v3 == 3
+    assert _rows(t.read(spark)) == [(1, "good")]
+    # the bad version remains in history for the post-mortem
+    assert _rows(t.read(spark, version=2)) == [(1, "poisoned")]
+    assert t.history()[-1].parent == 1 and t.history()[-1].tag == "rollback_to_v1"
+
+
+def test_vacuum_prunes_data_keeps_metadata(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    for i in range(1, 5):
+        t.commit(spark.createDataFrame([Row(k=1, v=f"v{i}")]))
+    pruned = t.vacuum(keep_last=2)
+    assert pruned == [1, 2]
+    assert not os.path.isdir(t._snapshot_dir(1))
+    assert _rows(t.read(spark, version=3)) == [(1, "v3")]
+    assert _rows(t.read(spark)) == [(1, "v4")]
+    with pytest.raises(KeyError, match="vacuumed"):
+        t.read(spark, version=1)
+    with pytest.raises(KeyError, match="never existed"):
+        t.read(spark, version=99)
+    # metadata survives
+    assert [(s.version, s.pruned) for s in t.history()] == [
+        (1, True), (2, True), (3, False), (4, False),
+    ]
+    # vacuum is idempotent and respects the window
+    assert t.vacuum(keep_last=2) == []
+
+
+def test_crash_mid_commit_leaves_previous_version_current(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([Row(k=1, v="a")]))
+    # simulate a crashed commit: staged dir exists, no log entry
+    staged = os.path.join(t.dir, "_versions", "_staged_crashed")
+    os.makedirs(os.path.join(staged, "data"))
+    assert t.latest_version() == 1
+    assert _rows(t.read(spark)) == [(1, "a")]
+    v2 = t.commit(spark.createDataFrame([Row(k=1, v="b")]))
+    assert v2 == 2
+    t.vacuum(keep_last=2)
+    assert not os.path.isdir(staged)  # vacuum swept the garbage

@@ -109,6 +109,7 @@ from wikidatabots_spark.operators.textstats import (  # noqa: F401
 from wikidatabots_spark.session import get_spark  # noqa: F401
 from wikidatabots_spark.sinks.compaction import compact_parquet_dir  # noqa: F401
 from wikidatabots_spark.sinks.upsert import merge_upsert, upsert_parquet  # noqa: F401
+from wikidatabots_spark.sinks.versioned import VersionedTable  # noqa: F401
 from wikidatabots_spark.sources.corpus_io import (  # noqa: F401
     read_jsonl_documents,
     read_text_documents,
