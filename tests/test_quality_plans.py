@@ -242,3 +242,87 @@ def test_robust_stats_resist_outlier(spark, tmp_path):
     [r] = agg_robust_stats_q(spark, str(tmp_path)).collect()
     # median ignores the outlier; MAD = lower-median of |x-3| = 1
     assert (r.n, r.median_value, r.mad_value) == (5, 3.0, 1.0)
+
+
+def test_mode_tie_prefers_lowest_value(spark, tmp_path):
+    from wikidatabots_spark.plans.quality import agg_mode_q
+
+    _write(spark, tmp_path, "orders", [
+        Row(o_orderkey=1, o_custkey=1, o_totalprice=1.0,
+            o_orderdate=dt.date(2024, 1, 1), o_orderstatus="O",
+            o_orderpriority="2-HIGH"),
+        Row(o_orderkey=2, o_custkey=1, o_totalprice=1.0,
+            o_orderdate=dt.date(2024, 1, 1), o_orderstatus="O",
+            o_orderpriority="1-URGENT"),  # tie 1 vs 1 -> lowest value wins
+    ])
+    [r] = agg_mode_q(spark, str(tmp_path)).collect()
+    assert (r.mode_priority, r.n_occurrences) == ("1-URGENT", 1)
+
+
+def test_argminmax_tie_prefers_lowest_key(spark, tmp_path):
+    from wikidatabots_spark.plans.quality import agg_argminmax_q
+
+    _write(spark, tmp_path, "customer", [
+        Row(c_custkey=5, c_acctbal=10.0, c_mktsegment="X"),
+        Row(c_custkey=3, c_acctbal=10.0, c_mktsegment="X"),  # min tie
+        Row(c_custkey=9, c_acctbal=99.0, c_mktsegment="X"),
+        Row(c_custkey=7, c_acctbal=99.0, c_mktsegment="X"),  # max tie
+    ])
+    [r] = agg_argminmax_q(spark, str(tmp_path)).collect()
+    assert r.poorest_custkey == 3 and r.min_acctbal == 10.0
+    assert r.richest_custkey == 7 and r.max_acctbal == 99.0
+
+
+def test_win_first_last_full_frame(spark, sf_dir):
+    from wikidatabots_spark.plans.quality import win_first_last_q
+
+    rows = win_first_last_q(spark, sf_dir).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.s_nationkey, []).append(r)
+    for members in by_nation.values():
+        ordered = sorted(members, key=lambda r: (r.s_acctbal, r.s_suppkey))
+        first, last = ordered[0].s_suppkey, ordered[-1].s_suppkey
+        # every row in the partition sees the same first/last (full frame,
+        # NOT the default unbounded-preceding..current frame)
+        assert all(r.poorest_in_nation == first for r in members)
+        assert all(r.richest_in_nation == last for r in members)
+        second = ordered[1].s_suppkey if len(ordered) > 1 else None
+        assert all(r.second_poorest == second for r in members)
+
+
+def test_sample_per_source_bounded_and_stable(spark, sf_dir):
+    from wikidatabots_spark.plans.quality import (
+        SAMPLE_PER_SOURCE_K,
+        sample_per_source_q,
+    )
+
+    a = sample_per_source_q(spark, sf_dir).collect()
+    b = sample_per_source_q(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_src = {}
+    for r in a:
+        per_src.setdefault(r.source, []).append(r.sample_rank)
+    assert all(len(v) <= SAMPLE_PER_SOURCE_K for v in per_src.values())
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_src.values())
+
+
+def test_degree_stats_planted_hub(spark, tmp_path):
+    from wikidatabots_spark.plans.quality import graph_degree_stats_q
+
+    # three near-identical docs (pairwise near-dups -> triangle, degree 2
+    # each) plus enough unrelated docs that the relative max_df cut
+    # (ceil(0.2*n_docs)) does not fence the triangle's own shared
+    # fingerprints (with n=18, fps shared by <=4 docs survive)
+    tri = ("alpha beta gamma delta epsilon zeta eta theta psi omega "
+           "lambda sigma rho tau phi chi upsilon xi omicron nu")
+    docs = [tri, tri + " iota", tri + " kappa"] + [
+        " ".join(f"w{i}{c}" for c in "abcdefghijklmnopqrst") for i in range(15)
+    ]
+    _write(spark, tmp_path, "documents", [
+        Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+        for i, t in enumerate(docs)
+    ])
+    out = {r.degree: r.n_nodes for r in
+           graph_degree_stats_q(spark, str(tmp_path)).collect()}
+    assert out == {2: 3}  # the triangle; isolated docs don't appear

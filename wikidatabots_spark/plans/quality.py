@@ -947,3 +947,233 @@ def corpus_tokenize_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_to_ids(
         load_table(spark, sf_dir, "documents"), vocab_size=VOCAB_SIZE
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_mode — per-group mode with a deterministic tie rule
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH counts AS (
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY o_orderstatus
+                              ORDER BY cnt DESC, o_orderpriority) AS rn
+    FROM counts
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority,
+       CAST(cnt AS BIGINT) AS n_occurrences
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("agg_mode", oracle=_MODE_ORACLE)
+def agg_mode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value) with an explicit tie rule
+    (highest count, then lowest value) — built-in ``mode()`` aggregates
+    leave ties engine-defined, so the deterministic form is
+    count + rank, the only form an oracle can pin.
+
+    Scale: two exchanges — (group, value) count with map-side combine
+    collapses the fact table to distinct pairs; the rank window then
+    shuffles only those pairs on the group key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").cast("long").alias("n_occurrences"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_argminmax — arg-min/arg-max with deterministic ties via struct order
+# ---------------------------------------------------------------------------
+
+_ARGMINMAX_ORACLE = """
+SELECT c_mktsegment,
+       MIN(struct_pack(a := c_acctbal, k := c_custkey)).k AS poorest_custkey,
+       MIN(struct_pack(a := c_acctbal, k := c_custkey)).a AS min_acctbal,
+       MAX(struct_pack(a := c_acctbal, k := -c_custkey)).a AS max_acctbal,
+       -MAX(struct_pack(a := c_acctbal, k := -c_custkey)).k AS richest_custkey
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_argminmax", oracle=_ARGMINMAX_ORACLE)
+def agg_argminmax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-min/arg-max ("which customer holds the extreme balance") via
+    lexicographic struct MIN/MAX — ``min_by``/``max_by`` leave ties
+    engine-defined, but min(struct(value, key)) resolves a value tie to
+    the LOWEST key and max(struct(value, -key)) to the lowest key on
+    the max side, deterministically, in ONE aggregation pass (no
+    join-back, no window).
+
+    Scale: a single groupBy with map-side partial min/max of a 16-byte
+    struct — the cheapest possible shape for this question.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    smin = F.min(F.struct(F.col("c_acctbal").alias("a"), F.col("c_custkey").alias("k")))
+    smax = F.max(
+        F.struct(F.col("c_acctbal").alias("a"), (-F.col("c_custkey")).alias("k"))
+    )
+    return c.groupBy("c_mktsegment").agg(
+        smin.getField("k").alias("poorest_custkey"),
+        smin.getField("a").alias("min_acctbal"),
+        smax.getField("a").alias("max_acctbal"),
+        (-smax.getField("k")).alias("richest_custkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_first_last — first_value / last_value / nth_value window family
+# ---------------------------------------------------------------------------
+
+_WIN_FIRST_LAST_ORACLE = """
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       first_value(s_suppkey) OVER w AS poorest_in_nation,
+       last_value(s_suppkey) OVER w AS richest_in_nation,
+       nth_value(s_suppkey, 2) OVER w AS second_poorest
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("win_first_last", oracle=_WIN_FIRST_LAST_ORACLE)
+def win_first_last_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit
+    whole-partition frame. The frame spec is the point being pinned:
+    with the DEFAULT frame (unbounded-preceding → current-row),
+    last_value is just the current row — the classic silent-wrong-
+    answer; the full frame makes it the partition maximum. Total
+    ordering (acctbal, suppkey) keeps ties engine-identical.
+
+    Scale: one shuffle on the partition key; all three functions share
+    the single sorted frame.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy("s_acctbal", "s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.first("s_suppkey").over(w).alias("poorest_in_nation"),
+        F.last("s_suppkey").over(w).alias("richest_in_nation"),
+        F.nth_value("s_suppkey", 2).over(w).alias("second_poorest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_per_source — deterministic bounded per-group sample
+# ---------------------------------------------------------------------------
+
+SAMPLE_PER_SOURCE_K = 10
+
+_SAMPLE_PER_SOURCE_ORACLE = f"""
+WITH ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('ps:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT doc_id, source, CAST(rn AS INT) AS sample_rank
+FROM ranked WHERE rn <= {SAMPLE_PER_SOURCE_K}
+"""
+
+
+@register("sample_per_source", oracle=_SAMPLE_PER_SOURCE_ORACLE)
+def sample_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded per-group sample: each source keeps its
+    {SAMPLE_PER_SOURCE_K} documents with the smallest salted content
+    hash — the deterministic replacement for per-group reservoir
+    sampling (same uniform-ish draw, zero RNG state, identical rows on
+    every re-run/backfill, and the judge of "which rows" is a pure
+    function so adding documents later only displaces, never reshuffles,
+    the sample).
+
+    Scale: one shuffle on source. A skewed mega-source is rank-truncated
+    per partition first under AQE skew split; at extreme skew the
+    two-phase trick applies (per-partition top-k, then top-k of the
+    union — the TakeOrderedAndProject shape per group).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("ps:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= SAMPLE_PER_SOURCE_K)
+        .select("doc_id", "source", F.col("rn").cast("int").alias("sample_rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_stats — degree histogram of the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def _degree_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _WINNOW_PAIRS_ORACLE
+
+    return f"""
+WITH pairs AS ({_WINNOW_PAIRS_ORACLE}),
+edges AS (
+    SELECT id_a AS node FROM pairs
+    UNION ALL SELECT id_b FROM pairs
+),
+deg AS (SELECT node, COUNT(*) AS degree FROM edges GROUP BY node)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
+@register("graph_degree_stats", oracle=_degree_oracle())
+def graph_degree_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the winnowing near-dup graph — the one-glance
+    health check of a dedup run: a fat tail means template/boilerplate
+    hubs (candidates for the pagerank drill-down,
+    ``graph_pagerank_dupgraph``); a spike at degree 1 means mostly
+    honest pairwise near-dups.
+
+    Scale: pairs are already df-capped (winnow_pairs' max_df fence);
+    the histogram is two count aggregations with map-side combine —
+    output is O(max degree) rows.
+    """
+    from wikidatabots_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, k=3, window=4)
+    pairs = winnow_pairs(fps, d, min_shared=3, max_df=0.2)
+    edges = pairs.select(F.col("id_a").alias("node")).unionAll(
+        pairs.select(F.col("id_b").alias("node"))
+    )
+    deg = edges.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    ).select(F.col("degree").cast("long").alias("degree"), "n_nodes")
