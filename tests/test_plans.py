@@ -53,6 +53,8 @@ def test_registry_priority_window():
         "curate_corpus", "asof_purchase_signup", "sketch_count_min",
         "dedup_winnow", "curate_corpus_v3", "corpus_mix_epochs",
         "curate_corpus_v5", "text_lm_score",
+        # r4c: A3/O1/O2 merged slot + the promoted tokenizer
+        "op_order_collect", "corpus_tokenize_ids",
     }
     assert must_have <= set(window)
     # every window entry carries a DuckDB oracle (the mm fakes gained

@@ -922,3 +922,53 @@ def op_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return definite_out.unionByName(
         maybe.join(urgent, on="c_custkey", how="left_anti")
     ).distinct()
+
+
+# --- A3+O1/O2 merged: sorted collect + total-order top-k in one slot -------
+@register(
+    "op_order_collect",
+    oracle="""
+SELECT 'collect' AS kind, CAST(n_regionkey AS BIGINT) AS k,
+       array_to_string(list_sort(list(n_name)), ',') AS txt,
+       CAST(NULL AS DOUBLE) AS val
+FROM nation
+GROUP BY n_regionkey
+UNION ALL
+SELECT 'topk' AS kind, CAST(o_orderkey AS BIGINT) AS k,
+       CAST(NULL AS VARCHAR) AS txt, o_totalprice AS val
+FROM (
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+)
+""",
+)
+def op_order_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op_collect_sorted (A3) + op_topk (O1/O2) folded into one tagged
+    frame so both ordering surfaces keep driver-hash pins in a single
+    capped-window slot (the op_unique pattern); the individual
+    micro-queries stay registered for the local gate. The merge freed
+    the window slot now held by ``corpus_tokenize_ids``."""
+    na = load_table(spark, sf_dir, "nation")
+    collect = na.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("txt")
+    ).select(
+        F.lit("collect").alias("kind"),
+        F.col("n_regionkey").cast("bigint").alias("k"),
+        "txt",
+        F.lit(None).cast("double").alias("val"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    topk = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            F.lit("topk").alias("kind"),
+            F.col("o_orderkey").cast("bigint").alias("k"),
+            F.lit(None).cast("string").alias("txt"),
+            F.col("o_totalprice").alias("val"),
+        )
+    )
+    return collect.unionByName(topk)

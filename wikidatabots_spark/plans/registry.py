@@ -54,8 +54,7 @@ PRIORITY: list[str] = [
     "op_union_all",
     "op_join_diff_keys",
     "op_anti_join",
-    "op_collect_sorted",
-    "op_topk",
+    "op_order_collect",
     "op_sample",
     "op_strings",
     "op_dates",
@@ -111,6 +110,9 @@ PRIORITY: list[str] = [
     # promoted r4b (T1 regexp_extract_null folded into op_strings too):
     # the CCNet-shaped LM quality ranking
     "text_lm_score",
+    # promoted r4c (A3 collect + O1/O2 topk folded into op_order_collect):
+    # the trainer-path tokenizer — corpus -> token ids -> pack -> shards
+    "corpus_tokenize_ids",
 ]
 
 
