@@ -326,3 +326,61 @@ def test_degree_stats_planted_hub(spark, tmp_path):
     out = {r.degree: r.n_nodes for r in
            graph_degree_stats_q(spark, str(tmp_path)).collect()}
     assert out == {2: 3}  # the triangle; isolated docs don't appear
+
+
+def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
+    from wikidatabots_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    # doc 0 is wholly contained in doc 1, which is ~4x longer: high
+    # containment, low jaccard. Enough filler docs that max_df does not
+    # fence the shared shingles.
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    big = small + (" " + " ".join(f"pad{j}" for j in range(30)))
+    docs = [small, big] + [
+        " ".join(f"w{i}{c}" for c in "abcdefghijklmnop") for i in range(14)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(df, threshold=0.8, max_df=0.2).collect()
+    assert [(r.id_a, r.id_b) for r in cont] == [(0, 1)]
+    assert cont[0].containment == 1.0
+    jac = ngram_jaccard_pairs(df, threshold=0.4, max_df=0.2).collect()
+    assert jac == []  # jaccard at its own default-ish bar misses it
+
+
+def test_exact_normalized_folds_case_punct_whitespace(spark, tmp_path):
+    from wikidatabots_spark.plans.quality import dedup_exact_normalized_q
+
+    _write(spark, tmp_path, "documents", [
+        Row(doc_id=1, text="Hello,  World!?", lang="en", source="s", n_chars=1),
+        Row(doc_id=2, text="hello world", lang="en", source="s", n_chars=1),
+        Row(doc_id=3, text="  HELLO   WORLD.  ", lang="en", source="s",
+            n_chars=1),
+        Row(doc_id=4, text="goodbye world", lang="en", source="s", n_chars=1),
+    ])
+    out = dedup_exact_normalized_q(spark, str(tmp_path)).collect()
+    by_canon = {r.canonical_id: r.n_copies for r in out}
+    # '!' and '?' are not in the reference punctuation class [.,!?;:]...
+    # they are: both stripped -> docs 1-3 fold together
+    assert by_canon == {1: 3, 4: 1}
+
+
+def test_split_decontaminate_flags_only_cross_split_links(spark, sf_dir):
+    from wikidatabots_spark.plans.quality import (
+        SPLIT_TRAIN_END,
+        corpus_split_decontaminate_q,
+    )
+
+    out = corpus_split_decontaminate_q(spark, sf_dir).collect()
+    assert len(out) > 0  # the synthetic corpus has cross-split near-dups
+    # every flagged doc must itself be in the eval split
+    for r in out:
+        import hashlib
+
+        bkt = int(hashlib.md5(f"split:{r.doc_id}".encode()).hexdigest()[:4], 16)
+        assert bkt >= SPLIT_TRAIN_END
+        assert r.n_train_links >= 1

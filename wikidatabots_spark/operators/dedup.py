@@ -440,6 +440,57 @@ def ngram_jaccard_pairs(
     shingles; the same tradeoff every production MinHash makes).
     Returns (id_a, id_b, jaccard DOUBLE).
     """
+    counts = _rare_pair_counts(df, max_df, shingle_size, id_col, text_col)
+    return (
+        counts.withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    max_df: int | float = 0.2,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-set CONTAINMENT pairs ≥ threshold: |A∩B| / min(|A|, |B|)
+    (the overlap coefficient). Jaccard misses near-SUBSET duplication —
+    a document embedded whole inside a 10× longer one scores
+    |A|/(|A|+9|A|) ≈ 0.1 Jaccard but 1.0 containment — and subset dups
+    (quoted articles, expanded rewrites, boilerplate-wrapped bodies)
+    are a major web-corpus dup mode. Same candidate machinery and
+    df-cut as ``ngram_jaccard_pairs`` (one shared implementation), only
+    the final score differs. Returns (id_a, id_b, containment DOUBLE).
+    """
+    counts = _rare_pair_counts(df, max_df, shingle_size, id_col, text_col)
+    return (
+        counts.withColumn(
+            "containment",
+            F.col("inter").cast("double")
+            / F.least(F.col("size_a"), F.col("size_b")),
+        )
+        .where(F.col("containment") >= F.lit(threshold))
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def _rare_pair_counts(
+    df: DataFrame,
+    max_df: int | float,
+    shingle_size: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared candidate stage for the exact set-similarity pair family:
+    rare-token self-join → (id_a, id_b, inter, size_a, size_b). See
+    ``ngram_jaccard_pairs`` for the plan-shape commentary."""
     from pyspark.sql import Window
 
     raw = shingles(df, shingle_size, id_col, text_col, distinct=False)
@@ -472,7 +523,7 @@ def ngram_jaccard_pairs(
         )
     a = rare.alias("a")
     b = rare.alias("b")
-    out = (
+    return (
         a.join(
             b,
             (F.col("a.tk") == F.col("b.tk"))
@@ -487,15 +538,7 @@ def ngram_jaccard_pairs(
             F.first("a.set_size").alias("size_a"),
             F.first("b.set_size").alias("size_b"),
         )
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
-        )
-        .where(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 SIMHASH_BITS = 32

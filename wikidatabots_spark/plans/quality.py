@@ -1177,3 +1177,180 @@ def graph_degree_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     ).select(F.col("degree").cast("long").alias("degree"), "n_nodes")
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — overlap-coefficient pairs (near-subset duplication)
+# ---------------------------------------------------------------------------
+
+
+def _containment_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _TOK_SQL
+
+    return f"""
+WITH {_TOK_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM tok GROUP BY doc_id),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+rare AS (
+    SELECT t.doc_id, t.token
+    FROM tok t JOIN dfreq USING (token)
+    WHERE df <= ceil(0.2 * (SELECT COUNT(*) FROM documents))
+),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM rare a
+    JOIN rare b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / least(sa.set_size, sb.set_size) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / least(sa.set_size, sb.set_size) >= 0.8
+"""
+
+
+@register("dedup_containment", oracle=_containment_oracle())
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-SUBSET duplicate pairs: |A∩B| / min(|A|,|B|) ≥ 0.8 over
+    3-gram shingle sets. Catches the dup mode Jaccard structurally
+    misses — one document contained inside a much longer one (quoted
+    articles, boilerplate-wrapped bodies) scores ≈|A|/|B| Jaccard but
+    ≈1.0 containment. Shares ``_rare_pair_counts`` (candidate self-join
+    + df-cut + window-carried set sizes) with the Jaccard operator —
+    the plan-shape audit there applies verbatim."""
+    from wikidatabots_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8, max_df=0.2
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact_normalized — canonicalized content-hash dedup
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[.,!?;:]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+_EXACT_NORM_ORACLE = f"""
+SELECT md5({_NORM_SQL.format(col="text")}) AS text_hash,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5({_NORM_SQL.format(col="text")})
+"""
+
+
+@register("dedup_exact_normalized", oracle=_EXACT_NORM_ORACLE)
+def dedup_exact_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonicalization — lowercase, punctuation
+    stripped, whitespace collapsed — the standard first pass of every
+    web pipeline (it folds the trivial reflows and casing variants that
+    raw-byte hashing misses, at exact-dedup cost rather than MinHash
+    cost). Same plan as ``dedup_exact``: only (hash, id) shuffles, the
+    text never leaves the scan stage."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[.,!?;:]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        d.select(F.md5(norm).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_split_decontaminate — near-dup leakage across the train/eval split
+# ---------------------------------------------------------------------------
+
+
+def _decontaminate_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _WINNOW_PAIRS_ORACLE
+
+    return f"""
+WITH pairs AS ({_WINNOW_PAIRS_ORACLE}),
+splits AS (
+    SELECT doc_id,
+           CASE WHEN (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+                 < {SPLIT_TRAIN_END} THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL SELECT id_b, id_a FROM pairs
+)
+SELECT e.u AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_train_links
+FROM edges e
+JOIN splits se ON se.doc_id = e.u AND se.split = 'eval'
+JOIN splits st ON st.doc_id = e.v AND st.split = 'train'
+GROUP BY e.u
+"""
+
+
+@register("corpus_split_decontaminate", oracle=_decontaminate_oracle())
+def corpus_split_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage report: eval-split documents that are winnow
+    near-duplicates of at least one TRAIN-split document, with the link
+    count. Random splits leak — near-identical pages land on both sides
+    and the eval metric silently becomes a memorization probe; this is
+    the check (and drop-list) that closes the loop after
+    ``corpus_split_assign``. (``text_contamination`` checks against an
+    EXTERNAL benchmark; this checks the corpus against its own split.)
+
+    Scale: the pair stage is the df-capped winnow self-join (audited at
+    ``winnow_pairs``); the split column is a narrow hash map computed
+    on both join probes; the final count groups eval-side ids only.
+    """
+    from wikidatabots_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bkt = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    splits = d.select(
+        "doc_id",
+        F.when(bkt < SPLIT_TRAIN_END, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+    fps = winnow_fingerprints(d, k=3, window=4)
+    pairs = winnow_pairs(fps, d, min_shared=3, max_df=0.2)
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    ev = splits.where(F.col("split") == "eval").select(
+        F.col("doc_id").alias("u")
+    )
+    tr = splits.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("v")
+    )
+    return (
+        edges.join(ev, "u")
+        .join(tr, "v")
+        .groupBy(F.col("u").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_train_links"))
+    )
