@@ -1354,3 +1354,71 @@ def corpus_split_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("u").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_train_links"))
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_cross_source_dups — who copies from whom (source-pair dup matrix)
+# ---------------------------------------------------------------------------
+
+
+def _cross_source_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _WINNOW_PAIRS_ORACLE
+
+    return f"""
+WITH pairs AS ({_WINNOW_PAIRS_ORACLE}),
+src AS (SELECT doc_id, source FROM documents),
+labeled AS (
+    SELECT least(sa.source, sb.source) AS src_a,
+           greatest(sa.source, sb.source) AS src_b
+    FROM pairs p
+    JOIN src sa ON sa.doc_id = p.id_a
+    JOIN src sb ON sb.doc_id = p.id_b
+)
+SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM labeled GROUP BY src_a, src_b
+"""
+
+
+@register("corpus_cross_source_dups", oracle=_cross_source_oracle())
+def corpus_cross_source_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair near-duplication matrix: winnow near-dup pairs rolled
+    up to unordered (source, source) cells — the forensics table that
+    answers "which feeds mirror each other" (off-diagonal mass) versus
+    "which feed re-posts itself" (diagonal mass), i.e. where dedup
+    budget should go BEFORE the next crawl.
+
+    Scale: the pair stage is the audited df-capped winnow self-join;
+    the source attach is two joins against the (doc_id, source)
+    projection (broadcast under AQE when the doc dimension fits, plain
+    shuffle otherwise); output is |sources|² cells max.
+    """
+    from wikidatabots_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    fps = winnow_fingerprints(d, k=3, window=4)
+    pairs = winnow_pairs(fps, d, min_shared=3, max_df=0.2)
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+    )
+    return labeled.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

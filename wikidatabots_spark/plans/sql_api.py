@@ -47,3 +47,31 @@ def sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_SQL_REGION_REVENUE)
+
+
+_SQL_TOP_ORDER = """
+WITH ranked AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_top_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS top_order_value
+FROM ranked
+JOIN customer ON c_custkey = o_custkey
+WHERE rn = 1
+GROUP BY c_mktsegment
+"""
+
+
+@register("sql_top_order_cte_window", oracle=_SQL_TOP_ORDER)
+def sql_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + window function + join + aggregate in ONE string both
+    engines parse — extends the identical-text surface beyond plain
+    scans/joins to modern analytic SQL (the row_number tie-break keeps
+    the per-customer pick engine-identical)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_TOP_ORDER)
