@@ -1422,3 +1422,127 @@ def corpus_cross_source_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy("src_a", "src_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_dau_wau — daily actives, weekly actives, stickiness
+# ---------------------------------------------------------------------------
+
+_DAU_WAU_ORACLE = """
+WITH dau AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+wau AS (
+    SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+           COUNT(DISTINCT user_id) AS wau
+    FROM events GROUP BY date_trunc('week', CAST(ts AS DATE))
+)
+SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+       CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+FROM dau d JOIN wau w ON w.week = date_trunc('week', d.day)
+"""
+
+
+@register("ev_dau_wau", oracle=_DAU_WAU_ORACLE)
+def ev_dau_wau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users joined to their ISO week's weekly actives,
+    with the DAU/WAU stickiness ratio — the standard engagement
+    topline. Exact distincts (not approx) so the ratio is
+    engine-identical; both date_trunc('week') implementations are
+    ISO-Monday so the week keys agree.
+
+    Scale: two exact count-distinct aggregations (each one shuffle with
+    partial distinct) over key spaces bounded by calendar time; the
+    day↔week join is between two already-aggregated tiny frames. At
+    billions of users swap count_distinct for the mergeable HLL
+    (sketch_hll_by_type) — same plan, bounded error.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dau = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    wau = ev.groupBy(
+        F.date_trunc("week", F.col("ts").cast("date")).alias("week")
+    ).agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, F.date_trunc("week", F.col("day")) == F.col("week"))
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_novelty — fraction of a doc's shingles seen nowhere else
+# ---------------------------------------------------------------------------
+
+
+def _novelty_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _TOK_SQL
+
+    return f"""
+WITH {_TOK_SQL},
+dfreq AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+per_doc AS (
+    SELECT t.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS n_unique
+    FROM tok t JOIN dfreq f USING (token)
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(p.n_unique, 0) AS BIGINT) AS n_unique,
+       CASE WHEN p.n_shingles > 0
+            THEN CAST(p.n_unique AS DOUBLE) / p.n_shingles END AS novelty
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("text_novelty", oracle=_novelty_oracle())
+def text_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct 3-gram
+    shingles that occur in NO other document (corpus df = 1). Low
+    novelty = the document is assembled from corpus-common phrasing
+    (template/boilerplate suspect — the complement of what
+    ``text_lm_score`` measures: LM score rewards typical TRANSITIONS,
+    novelty measures unshared CONTENT); high novelty = unique material
+    worth keeping even if its LM score is mediocre.
+
+    Scale: the same (doc, shingle-hash) backbone as the dedup family —
+    distinct once, df via a window over the shingle key, one groupBy
+    back to docs. Shingles travel as xxhash64 longs
+    (``ngram_jaccard_pairs``' documented tradeoff).
+    """
+    from wikidatabots_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        shingles(d, 3, "doc_id", "text", distinct=False)
+        .select("doc_id", F.xxhash64(F.col("token")).alias("tk"))
+        .distinct()
+    )
+    with_df = tok.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tk"))
+    )
+    per_doc = with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_unique").cast("double") / F.col("n_shingles"),
+            ).alias("novelty"),
+        )
+    )
