@@ -119,6 +119,12 @@ HEADLINERS = [
     "text_pmi_bigrams",
     "emb_standardize",
     "corpus_tokenize_ids",
+    # round-4c wave 2: containment dedup, split decontamination,
+    # shingle novelty, DAU/WAU
+    "dedup_containment",
+    "corpus_split_decontaminate",
+    "text_novelty",
+    "ev_dau_wau",
 ]
 
 
