@@ -1,0 +1,67 @@
+"""Planted-document tests for the Gopher rule battery: the synthetic
+corpus is single-line jargon (stop-word rule uniformly false there), so
+each rule is proven to flip BOTH ways on crafted documents — including
+``keep``, which no corpus row exercises."""
+
+from __future__ import annotations
+
+from wikidatabots_spark.operators.textstats import with_gopher_rules
+
+# 60 words, mean length in [3,10], >80% alphabetic, 2+ stop words,
+# no symbols, no bullet/ellipsis lines -> passes every rule
+_GOOD = ("the quick brown fox jumps over the lazy dog and runs far " * 6).strip()
+
+
+def _rules(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = with_gopher_rules(df).collect()
+    return {r["doc_id"]: r.asDict() for r in out}
+
+
+def test_good_document_passes_all_rules(spark):
+    got = _rules(spark, [(1, _GOOD)])[1]
+    assert got["keep"] is True
+    for k, v in got.items():
+        if k.startswith("r_"):
+            assert v is True, k
+
+
+def test_each_rule_fails_on_its_planted_document(spark):
+    rows = [
+        (1, "too short to pass the word count rule"),  # < 50 words
+        (2, ("a " * 60 + "the of").strip()),  # mean word len < 3
+        (3, _GOOD + " " + "# " * 20),  # symbol ratio >= 0.1
+        (4, "\n".join(f"- {w}" for w in _GOOD.split())),  # all bullet lines
+        (5, "\n".join(f"{w}..." for w in _GOOD.split())),  # ellipsis ends
+        (6, _GOOD + " " + "42 " * 30),  # < 80% alphabetic words
+        (7, ("zork quux blarg fizzle wumpus " * 12).strip()),  # no stops
+    ]
+    got = _rules(spark, rows)
+    expect_fail = {
+        1: "r_word_count",
+        2: "r_mean_word_len",
+        3: "r_symbol_ratio",
+        4: "r_bullet_lines",
+        5: "r_ellipsis_lines",
+        6: "r_alpha_words",
+        7: "r_stopwords",
+    }
+    for doc_id, rule in expect_fail.items():
+        assert got[doc_id][rule] is False, (doc_id, rule)
+        assert got[doc_id]["keep"] is False, doc_id
+
+
+def test_unicode_ellipsis_and_integer_thresholds(spark):
+    # 'word…' lines: the unicode ellipsis counts like '...'
+    text = "\n".join(f"{w}…" for w in _GOOD.split())
+    got = _rules(spark, [(1, text)])[1]
+    assert got["r_ellipsis_lines"] is False
+    # exactly at the boundary: 50 words passes the floor
+    fifty = ("the of and " + "word " * 47).strip()
+    got = _rules(spark, [(2, fifty)])[2]
+    assert got["n_words"] == 50 and got["r_word_count"] is True
+
+
+def test_empty_text_fails_closed(spark):
+    got = _rules(spark, [(1, "")])[1]
+    assert got["keep"] is False and got["n_words"] == 0

@@ -623,3 +623,105 @@ def tokenize_to_ids(
         F.size(w).cast("bigint").alias("n_tokens"),
         F.size(F.filter(ids, lambda i: i == 0)).cast("bigint").alias("n_unk"),
     )
+
+
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def with_gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021, Table A1): adds
+    ``n_words``, seven per-rule booleans and the conjunctive ``keep``.
+
+    Every threshold is an INTEGER cross-multiplication (``10 * n_sym <
+    n_words``, not ``n_sym / n_words < 0.1``) so the battery is
+    engine-exact. Rules:
+
+    - ``r_word_count``    — 50 <= words <= 100000
+    - ``r_mean_word_len`` — mean word length in [3, 10] chars
+    - ``r_symbol_ratio``  — (#'#' + #ellipses) / words < 0.1
+    - ``r_bullet_lines``  — < 90% of lines start with a bullet
+    - ``r_ellipsis_lines``— < 30% of lines end with an ellipsis
+    - ``r_alpha_words``   — >= 80% of words contain a letter
+    - ``r_stopwords``     — >= 2 distinct Gopher stop words present
+
+    A pure narrow map: word/line arrays materialize once and feed every
+    rule (Catalyst does not CSE through lambda-bearing trees).
+    """
+    t = F.col(text_col)
+    df = df.withColumns(
+        {
+            "__w": words(t),
+            "__ln": F.split(t, "\n"),
+            "__n_hash": F.length(t)
+            - F.length(F.replace(t, F.lit("#"), F.lit(""))),
+            "__n_ell": (
+                (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+                / F.lit(3)
+            ).cast("long")
+            + F.length(t)
+            - F.length(F.replace(t, F.lit("…"), F.lit(""))),
+        }
+    )
+    w, ln = F.col("__w"), F.col("__ln")
+    df = df.withColumns(
+        {
+            "__nw": F.size(w).cast("long"),
+            "__nl": F.size(ln).cast("long"),
+            "__wchars": F.coalesce(
+                F.aggregate(
+                    w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+                ),
+                F.lit(0).cast("long"),
+            ),
+            "__n_bullet": F.size(
+                F.filter(
+                    ln,
+                    lambda x: F.ltrim(x).startswith("-")
+                    | F.ltrim(x).startswith("*")
+                    | F.ltrim(x).startswith("•"),
+                )
+            ).cast("long"),
+            "__n_ell_ln": F.size(
+                F.filter(
+                    ln,
+                    lambda x: F.rtrim(x).endswith("...")
+                    | F.rtrim(x).endswith("…"),
+                )
+            ).cast("long"),
+            "__n_alpha": F.size(
+                F.filter(w, lambda x: x.rlike("[a-z]"))
+            ).cast("long"),
+            "__n_stop": F.size(
+                F.filter(
+                    F.array(*[F.lit(s) for s in GOPHER_STOPS]),
+                    lambda s: F.array_contains(w, s),
+                )
+            ).cast("long"),
+        }
+    )
+    nw = F.col("__nw")
+    rules = {
+        "r_word_count": nw.between(50, 100000),
+        "r_mean_word_len": (F.lit(3) * nw <= F.col("__wchars"))
+        & (F.col("__wchars") <= F.lit(10) * nw),
+        "r_symbol_ratio": F.lit(10) * (F.col("__n_hash") + F.col("__n_ell"))
+        < nw,
+        "r_bullet_lines": F.lit(10) * F.col("__n_bullet")
+        < F.lit(9) * F.col("__nl"),
+        "r_ellipsis_lines": F.lit(10) * F.col("__n_ell_ln")
+        < F.lit(3) * F.col("__nl"),
+        "r_alpha_words": F.lit(10) * F.col("__n_alpha") >= F.lit(8) * nw,
+        "r_stopwords": F.col("__n_stop") >= F.lit(2),
+    }
+    keep = rules["r_word_count"]
+    for name in list(rules)[1:]:
+        keep = keep & rules[name]
+    return (
+        df.withColumn("n_words", nw)
+        .withColumns({name: expr for name, expr in rules.items()})
+        .withColumn("keep", keep)
+        .drop(
+            "__w", "__ln", "__n_hash", "__n_ell", "__nw", "__nl",
+            "__wchars", "__n_bullet", "__n_ell_ln", "__n_alpha", "__n_stop",
+        )
+    )

@@ -1546,3 +1546,207 @@ def text_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_gopher_rules — the Gopher quality-rule battery (Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS_SQL = "['the','be','to','of','and','that','have','with']"
+
+_GOPHER_ORACLE = f"""
+WITH feat AS (
+    SELECT doc_id,
+           {{words}} AS w,
+           string_split(text, chr(10)) AS ln,
+           length(text) - length(replace(text, '#', '')) AS n_hash,
+           (length(text) - length(replace(text, '...', ''))) // 3
+               + length(text) - length(replace(text, '…', '')) AS n_ell
+    FROM documents
+),
+feat2 AS (
+    SELECT doc_id, n_hash, n_ell,
+           len(w) AS nw,
+           len(ln) AS nl,
+           list_sum(list_transform(w, x -> length(x))) AS wchars,
+           len(list_filter(ln, x -> starts_with(ltrim(x), '-')
+                                 OR starts_with(ltrim(x), '*')
+                                 OR starts_with(ltrim(x), '•'))) AS n_bullet,
+           len(list_filter(ln, x -> ends_with(rtrim(x), '...')
+                                 OR ends_with(rtrim(x), '…'))) AS n_ell_ln,
+           len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+           len(list_filter({_GOPHER_STOPS_SQL}::VARCHAR[],
+                           s -> list_contains(w, s))) AS n_stop
+    FROM feat
+)
+SELECT doc_id,
+       CAST(nw AS BIGINT) AS n_words,
+       nw BETWEEN 50 AND 100000 AS r_word_count,
+       (3 * nw <= COALESCE(wchars, 0) AND COALESCE(wchars, 0) <= 10 * nw)
+           AS r_mean_word_len,
+       10 * (n_hash + n_ell) < nw AS r_symbol_ratio,
+       10 * n_bullet < 9 * nl AS r_bullet_lines,
+       10 * n_ell_ln < 3 * nl AS r_ellipsis_lines,
+       10 * n_alpha >= 8 * nw AS r_alpha_words,
+       n_stop >= 2 AS r_stopwords,
+       (nw BETWEEN 50 AND 100000)
+           AND (3 * nw <= COALESCE(wchars, 0) AND COALESCE(wchars, 0) <= 10 * nw)
+           AND (10 * (n_hash + n_ell) < nw)
+           AND (10 * n_bullet < 9 * nl)
+           AND (10 * n_ell_ln < 3 * nl)
+           AND (10 * n_alpha >= 8 * nw)
+           AND (n_stop >= 2) AS keep
+FROM feat2
+"""
+
+
+def _gopher_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _WORDS_SQL
+
+    return _GOPHER_ORACLE.format(words=_WORDS_SQL)
+
+
+@register("text_gopher_rules", oracle=_gopher_oracle())
+def text_gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, Table A1) as
+    one narrow scan: word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, bullet-/ellipsis-line fractions, alphabetic-
+    word fraction, and stop-word presence — each rule a boolean column
+    plus the conjunctive ``keep`` flag (``operators.textstats.
+    with_gopher_rules``).
+
+    Every threshold comparison is INTEGER cross-multiplication
+    (``10 * n_sym < n_words`` instead of ``n_sym / n_words < 0.1``), so
+    the whole battery is engine-exact — no float ratio ever
+    materializes. The word array and line array are materialized once
+    and feed every rule (no re-split per rule; Catalyst does not CSE
+    through lambda-bearing expression trees).
+
+    Scale: a pure narrow map — zero shuffles, zero joins; the scan cost
+    IS the query cost, and the rule columns are whole-stage-codegen
+    expressions over the text column. On the synthetic corpus the
+    50-word floor genuinely splits the data (word counts run 10-99) but
+    the stop-word rule rejects every doc (measured: jargon text carries
+    <2 distinct Gopher stop words), so ``keep`` is uniformly false
+    there; tests/test_quality_rules.py plants documents that flip every
+    rule BOTH ways, keep included — the gate is proven live, not
+    assumed.
+
+    No reference counterpart (north-star extension).
+    """
+    from wikidatabots_spark.operators.textstats import with_gopher_rules
+
+    d = load_table(spark, sf_dir, "documents")
+    return with_gopher_rules(d).select(
+        "doc_id",
+        "n_words",
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_bullet_lines",
+        "r_ellipsis_lines",
+        "r_alpha_words",
+        "r_stopwords",
+        "keep",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore — 2-core membership of the near-dup graph (unrolled peel)
+# ---------------------------------------------------------------------------
+
+
+def _kcore_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _WINNOW_PAIRS_ORACLE
+
+    return f"""
+WITH pairs AS ({_WINNOW_PAIRS_ORACLE}),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs),
+deg0 AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+    ) GROUP BY node
+),
+s1 AS (SELECT node FROM deg0 WHERE d >= 2),
+e1 AS (
+    SELECT u, v FROM e
+    WHERE u IN (SELECT node FROM s1) AND v IN (SELECT node FROM s1)
+),
+deg1 AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1
+    ) GROUP BY node
+)
+SELECT d0.node AS doc_id,
+       CAST(d0.d AS BIGINT) AS deg_initial,
+       CAST(COALESCE(d1.d, 0) AS BIGINT) AS deg_pruned,
+       COALESCE(d1.d, 0) >= 2 AS in_2core
+FROM deg0 d0
+LEFT JOIN deg1 d1 ON d1.node = d0.node
+"""
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the winnowing near-dup graph by one unrolled peeling
+    round: drop degree-<2 nodes, recompute degrees in the induced
+    subgraph, flag what still has degree >= 2. The 2-core separates
+    genuinely clustered duplication (template families, mirror sets —
+    every node in a cycle survives) from incidental pairwise matches
+    (chains and pendant vertices peel away) — the triage layer between
+    ``graph_degree_stats`` (how much duplication) and
+    ``graph_pagerank_dupgraph`` (which hubs drive it).
+
+    A FIXED peel budget rather than peel-to-fixpoint, for the same
+    reason k-means runs fixed Lloyd rounds: the computation is one
+    static DAG both engines evaluate exactly; at scale the fixpoint
+    variant is the same loop with the convergence probe riding the
+    per-round action (``connected_components``' pattern).
+
+    Scale: the edge list is df-capped (winnow_pairs' max_df fence) and
+    localCheckpointed once — degree counts and the induced-subgraph
+    semi-joins all read the materialized edges instead of replicating
+    the fingerprint pipeline per leg (measured 5x plan dedup on
+    ``graph_triangles``). Each peel round is one groupBy(node) count
+    plus two broadcast-sized semi-joins on the survivor set.
+    """
+    from wikidatabots_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = (
+        winnow_pairs(
+            winnow_fingerprints(d, k=3, window=4), d, min_shared=3, max_df=0.2
+        )
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .localCheckpoint()
+    )
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        nodes = edges.select(F.col("u").alias("node")).unionAll(
+            edges.select(F.col("v").alias("node"))
+        )
+        return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+
+    deg0 = degrees(e)
+    s1 = deg0.where(F.col("d") >= 2).select("node")
+    e1 = e.join(
+        s1.withColumnRenamed("node", "u"), "u", "left_semi"
+    ).join(s1.withColumnRenamed("node", "v"), "v", "left_semi")
+    deg1 = degrees(e1)
+    return (
+        deg0.select(F.col("node").alias("doc_id"), F.col("d").alias("deg_initial"))
+        .join(
+            deg1.select(F.col("node").alias("doc_id"), F.col("d").alias("__d1")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("deg_initial").cast("long").alias("deg_initial"),
+            F.coalesce("__d1", F.lit(0)).cast("long").alias("deg_pruned"),
+            (F.coalesce("__d1", F.lit(0)) >= 2).alias("in_2core"),
+        )
+    )
