@@ -14,6 +14,7 @@ from wikidatabots_spark.plans import (  # noqa: F401
     opencritic,
     operators_micro,
     quality,
+    retrieval,
     sql_api,
     tmdb,
     tpch,

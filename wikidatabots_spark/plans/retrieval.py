@@ -1,0 +1,293 @@
+"""Round-4d retrieval wave: product-quantization ANN and the recall
+evaluation harness, each oracle-hash-checked.
+
+- ``knn_pq_adc`` — PQ-encoded approximate nearest neighbor with ADC
+  (asymmetric distance) search: codebook training, encoding, and the
+  full search are deterministic integer math, so the DuckDB oracle
+  reproduces the entire index lifecycle bit-for-bit
+- ``knn_recall_eval`` — the "measure, don't guess" harness: per-query
+  recall of the IVF index (``knn_ivf_exact``) against the exact
+  brute-force top-k, computed as a query so index-quality regression
+  is itself oracle-checked
+
+No reference counterpart (north-star extensions, BASELINE.json
+similarity-search family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wikidatabots_spark.plans.registry import register
+from wikidatabots_spark.sources.tables import load_table
+
+_PQ_M = 4
+_PQ_SUBDIM = 16
+_PQ_K = 4
+_PQ_ROUNDS = 2
+_PQ_NQ = 20
+_PQ_TOPK = 3
+
+_QUANT_SQL = (
+    "list_transform(embedding,"
+    " x -> CAST(round((CAST(x AS DOUBLE) + 1.0) * 100) AS INT))"
+)
+
+
+def _pq_oracle(
+    m: int = _PQ_M,
+    subdim: int = _PQ_SUBDIM,
+    k: int = _PQ_K,
+    n_queries: int = _PQ_NQ,
+    topk: int = _PQ_TOPK,
+) -> str:
+    # per-subspace: unrolled 2-round integer k-means (the emb_kmeans
+    # oracle shape specialized to the subvector slice), argmin encode
+    # against the round-2 centroids, then ADC = query-subvector ->
+    # candidate-centroid squared distance summed across subspaces
+    parts = [
+        f"""q AS (
+    SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
+)"""
+    ]
+    for s in range(m):
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        parts.append(
+            f"""sub{s} AS (
+    SELECT vec_id,
+           list_transform(generate_series({lo}, {hi}), i -> v[i]) AS vs
+    FROM q
+),
+c0_{s} AS (
+    SELECT CAST(vec_id AS INT) AS cluster, vs AS cv
+    FROM sub{s} WHERE vec_id < {k}
+),
+d1_{s} AS (
+    SELECT t.vec_id, c.cluster,
+           list_sum(list_transform(generate_series(1, {subdim}),
+               i -> CAST((t.vs[i] - c.cv[i]) AS BIGINT)
+                    * CAST((t.vs[i] - c.cv[i]) AS BIGINT))) AS dist
+    FROM sub{s} t CROSS JOIN c0_{s} c
+),
+a1_{s} AS (
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d1_{s}
+    ) WHERE rn = 1
+),
+cd_{s} AS (
+    SELECT a.cluster, g.i,
+           CAST(SUM(t.vs[g.i]) // COUNT(*) AS INT) AS mval
+    FROM a1_{s} a JOIN sub{s} t USING (vec_id),
+         generate_series(1, {subdim}) g(i)
+    GROUP BY a.cluster, g.i
+),
+c1_{s} AS (
+    SELECT cluster, list(mval ORDER BY i) AS cv FROM cd_{s} GROUP BY cluster
+),
+d2_{s} AS (
+    SELECT t.vec_id, c.cluster,
+           list_sum(list_transform(generate_series(1, {subdim}),
+               i -> CAST((t.vs[i] - c.cv[i]) AS BIGINT)
+                    * CAST((t.vs[i] - c.cv[i]) AS BIGINT))) AS dist
+    FROM sub{s} t CROSS JOIN c1_{s} c
+),
+code_{s} AS (
+    SELECT vec_id, cluster AS code FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d2_{s}
+    ) WHERE rn = 1
+),
+adc{s} AS (
+    SELECT qq.vec_id AS query_id, cd.vec_id AS neighbor_id,
+           list_sum(list_transform(generate_series(1, {subdim}),
+               i -> CAST((qq.vs[i] - cc.cv[i]) AS BIGINT)
+                    * CAST((qq.vs[i] - cc.cv[i]) AS BIGINT))) AS d
+    FROM sub{s} qq
+    JOIN code_{s} cd ON qq.vec_id < {n_queries}
+                    AND cd.vec_id != qq.vec_id
+    JOIN c1_{s} cc ON cc.cluster = cd.code
+)"""
+        )
+    joins = " ".join(
+        f"JOIN adc{s} a{s} USING (query_id, neighbor_id)" for s in range(1, m)
+    )
+    total_expr = " + ".join(f"a{s}.d" for s in range(m))
+    parts.append(
+        f"""total AS (
+    SELECT a0.query_id, a0.neighbor_id, {total_expr} AS adc_dist
+    FROM adc0 a0 {joins}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, adc_dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, neighbor_id) AS rank
+    FROM total
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {topk}
+"""
+
+
+@register("knn_pq_adc", oracle=_pq_oracle())
+def knn_pq_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, hash-checked through the WHOLE index
+    lifecycle: per-subspace integer k-means codebooks (m=4 subspaces of
+    16 dims, k=4, 2 Lloyd rounds), narrow-map encoding to 4 int codes
+    per vector, and ADC search of the vec_id<20 query batch — each
+    query's per-subspace lookup table is built driver-side from the
+    tiny codebooks, a candidate's distance is 4 LUT lookups summed, and
+    ranking is (adc_dist ASC, neighbor_id ASC) top-3.
+
+    Scale (see ``operators.pq``): candidates ship 4 small ints instead
+    of a 64-wide vector — at production PQ sizes one byte per subspace,
+    the layout that fits a billion vectors in RAM; search does no
+    per-candidate vector arithmetic, explodes over a literal query
+    batch (no BNLJ), and its only shuffle is the final per-query top-k
+    window. The PQ distance is an approximation by construction (ADC
+    quantization error); unlike sampled ANN variants it is
+    DETERMINISTIC, so the oracle pins exact equality, and
+    ``knn_recall_eval`` measures the quality loss instead of assuming
+    it.
+    """
+    from wikidatabots_spark.operators.pq import pq_adc_topk, pq_encode, pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(
+                (x.cast("double") + F.lit(1.0)) * F.lit(100.0)
+            ).cast("int"),
+        ).alias("v"),
+    )
+    books = pq_fit(
+        qv, m=_PQ_M, subdim=_PQ_SUBDIM, k=_PQ_K, rounds=_PQ_ROUNDS
+    )
+    encoded = pq_encode(qv, books, subdim=_PQ_SUBDIM).drop("v")
+    query_rows = [
+        (r["vec_id"], r["v"])
+        for r in qv.where(F.col("vec_id") < _PQ_NQ).collect()
+    ]
+    query_rows.sort()
+    return pq_adc_topk(
+        encoded, query_rows, books, subdim=_PQ_SUBDIM, k_top=_PQ_TOPK
+    )
+
+
+# ---------------------------------------------------------------------------
+# knn_recall_eval — recall@k of the IVF index vs exact brute force
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle() -> str:
+    from wikidatabots_spark.plans.llmdata import _ivf_exact_oracle
+
+    return f"""
+WITH exact AS (
+    WITH norms AS (
+        SELECT vec_id,
+               sqrt(SUM(CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE))) AS nrm
+        FROM embeddings, generate_series(1, 64) t(i)
+        GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               SUM(CAST(q.embedding[i] AS DOUBLE)
+                   * CAST(c.embedding[i] AS DOUBLE)) AS dot
+        FROM embeddings q, embeddings c, generate_series(1, 64) t(i)
+        WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT d.query_id, d.neighbor_id,
+               row_number() OVER (PARTITION BY d.query_id
+                                  ORDER BY d.dot / (nq.nrm * nc.nrm) DESC,
+                                           d.neighbor_id) AS rank
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3
+),
+ivf AS (
+    SELECT query_id, neighbor_id FROM ({_ivf_exact_oracle()})
+),
+u AS (
+    SELECT COALESCE(e.query_id, i.query_id) AS query_id,
+           CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+           CASE WHEN i.query_id IS NOT NULL THEN 1 ELSE 0 END AS in_ivf
+    FROM exact e
+    FULL OUTER JOIN ivf i
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+)
+SELECT query_id,
+       CAST(SUM(in_exact) AS BIGINT) AS n_exact,
+       CAST(SUM(in_ivf) AS BIGINT) AS n_ivf,
+       CAST(SUM(in_exact * in_ivf) AS BIGINT) AS n_matched,
+       CAST(SUM(in_exact * in_ivf) AS DOUBLE) / SUM(in_exact) AS recall
+FROM u
+GROUP BY query_id
+"""
+
+
+@register("knn_recall_eval", oracle=_recall_oracle())
+def knn_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@3 of the deterministic IVF index
+    (``knn_ivf_exact``: nprobe=1 cluster fence) against the exact
+    brute-force cosine top-3 — the "measure, don't guess" harness run
+    AS a query, so the index's quality number is itself oracle-pinned
+    and a recall regression (a bad codebook, a broken fence) fails the
+    correctness gate, not just a benchmark eyeball.
+
+    Both legs are deterministic (ties broken by neighbor_id), so the
+    full-outer set comparison is engine-exact; recall divides two small
+    exact integers (one IEEE division, reproducible). ``n_ivf`` can be
+    < 3 when a query's cluster holds fewer candidates — the honest
+    denominator stays ``n_exact``.
+
+    Scale: the exact leg is the knn_brute single-shuffle shape over the
+    20-query broadcast; the IVF leg is the cluster-fenced equi-join;
+    the comparison joins two top-k result sets (queries x k rows —
+    trivially broadcastable at any corpus size).
+    """
+    from wikidatabots_spark.operators.similarity import knn_brute
+    from wikidatabots_spark.plans.llmdata import knn_ivf_exact_q
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = (
+        knn_brute(emb.where(F.col("vec_id") < 20), emb, k=3)
+        .select("query_id", "neighbor_id")
+        .withColumn("in_exact", F.lit(1))
+    )
+    ivf = (
+        knn_ivf_exact_q(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("in_ivf", F.lit(1))
+    )
+    u = exact.join(ivf, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        F.coalesce("in_exact", F.lit(0)).alias("in_exact"),
+        F.coalesce("in_ivf", F.lit(0)).alias("in_ivf"),
+    )
+    return u.groupBy("query_id").agg(
+        F.sum("in_exact").cast("long").alias("n_exact"),
+        F.sum("in_ivf").cast("long").alias("n_ivf"),
+        F.sum(F.col("in_exact") * F.col("in_ivf")).cast("long").alias("n_matched"),
+        (
+            F.sum(F.col("in_exact") * F.col("in_ivf")).cast("double")
+            / F.sum("in_exact")
+        ).alias("recall"),
+    )
