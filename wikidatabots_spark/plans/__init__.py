@@ -15,6 +15,7 @@ from wikidatabots_spark.plans import (  # noqa: F401
     operators_micro,
     quality,
     retrieval,
+    tokenizer,
     sql_api,
     tmdb,
     tpch,

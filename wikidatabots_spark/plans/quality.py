@@ -1750,3 +1750,68 @@ def graph_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("__d1", F.lit(0)) >= 2).alias("in_2core"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_error — measured HLL accuracy vs exact distinct counts
+# ---------------------------------------------------------------------------
+
+
+def _hll_error_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _hll_by_type_oracle
+
+    return f"""
+WITH hll AS ({_hll_by_type_oracle()}),
+exact AS (
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type
+)
+SELECT e.event_type, e.exact_distinct, h.estimate,
+       (h.estimate - e.exact_distinct) / e.exact_distinct AS rel_error
+FROM exact e JOIN hll h ON h.event_type = e.event_type
+"""
+
+
+@register("sketch_hll_error", oracle=_hll_error_oracle())
+def sketch_hll_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured HyperLogLog accuracy: the per-event-type sketch estimate
+    (``sketch_hll_by_type``) joined against the exact distinct-user
+    count, with the signed relative error — "measure, don't guess" for
+    the sketch family, run AS a query so an estimator regression (a
+    broken register rank, a bad alpha) fails the correctness gate with
+    a number attached, the same pattern as ``knn_recall_eval`` for ANN.
+
+    Engine-exact: the HLL estimate is already a fixed float tree over
+    exact integers; the relative error adds one subtraction and one
+    IEEE division of that double by an exact integer — reproducible
+    bit-for-bit.
+
+    Scale: the sketch leg shuffles at most groups x 64 register rows;
+    the exact leg is the one real distinct aggregation (that is the
+    point — this query is the calibration harness you run at small
+    scale to trust the sketch at large scale where exact is
+    unaffordable); the final join is groups-sized.
+    """
+    from wikidatabots_spark.operators.sketch import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate(
+        hll_registers(ev, "user_id", p=6, group_cols=("event_type",)),
+        p=6,
+        group_cols=("event_type",),
+    ).select("event_type", "estimate")
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        "estimate",
+        (
+            (F.col("estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+        ).alias("rel_error"),
+    )

@@ -1,0 +1,164 @@
+"""Round-4d tokenizer wave: byte-pair-encoding merge training as an
+oracle-hash-checked query.
+
+BPE training (Sennrich et al. 2016, the tokenizer family behind GPT /
+Llama vocabularies) is the canonical "looks iterative, is actually
+cheap" pipeline step: after ONE corpus-wide word count, every merge
+round runs on the word-frequency table (vocabulary-sized, not
+corpus-sized), and the selected merge is a 1-row broadcast. The whole
+computation here is deterministic — integer frequencies, lexicographic
+tie-break, leftmost-non-overlapping merge application — so a DuckDB
+oracle reproduces the training run bit-for-bit.
+
+No reference counterpart (north-star extension, BASELINE.json text
+family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wikidatabots_spark.plans.registry import register
+from wikidatabots_spark.sources.tables import load_table
+
+_BPE_ROUNDS = 3
+
+
+def _pairs_expr(sym: Column) -> Column:
+    """Adjacent symbol pairs of a space-separated symbol string, with
+    multiplicity ("a a a" yields ["a a", "a a"]). Guarded: Spark's
+    ``sequence(1, 0)`` would count DOWN, so single-symbol words map to
+    an explicit empty array (DuckDB's generate_series is already
+    empty there)."""
+    syms = F.split(sym, " ")
+    n = F.size(syms)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(syms, i), F.element_at(syms, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _bpe_round(vocab: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One merge round over the word-frequency table: count adjacent
+    pairs weighted by word frequency, pick the (freq DESC, pair ASC)
+    winner as a 1-row frame, and apply it with leftmost-non-overlapping
+    ``replace`` — exactly the greedy application real BPE trainers use.
+    Returns (best_pair_frame, next_vocab)."""
+    pair_counts = (
+        vocab.select(F.explode(_pairs_expr(F.col("sym"))).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+    )
+    best = pair_counts.orderBy(F.col("freq").desc(), F.col("pair").asc()).limit(1)
+    nxt = vocab.crossJoin(
+        F.broadcast(best.select(F.col("pair").alias("__p")))
+    ).select(
+        "word",
+        "cnt",
+        F.replace(
+            F.col("sym"), F.col("__p"), F.replace(F.col("__p"), F.lit(" "), F.lit(""))
+        ).alias("sym"),
+    )
+    return best, nxt
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    from wikidatabots_spark.plans.extensions import _WORDS_SQL
+
+    parts = [
+        f"""wcnt AS (
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest({_WORDS_SQL}) AS w FROM documents)
+    GROUP BY w
+),
+v0 AS (
+    SELECT word, cnt,
+           rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+    FROM wcnt
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""p{r} AS (
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(string_split(sym, ' ')) - 1),
+                   i -> string_split(sym, ' ')[i] || ' '
+                        || string_split(sym, ' ')[i + 1])) AS pair,
+               cnt
+        FROM v{r}
+    ) GROUP BY pair
+),
+b{r} AS (SELECT pair, freq FROM p{r} ORDER BY freq DESC, pair LIMIT 1),
+v{r + 1} AS (
+    SELECT word, cnt,
+           replace(sym, (SELECT pair FROM b{r}),
+                   replace((SELECT pair FROM b{r}), ' ', '')) AS sym
+    FROM v{r}
+)"""
+        )
+    body = ",\n".join(parts)
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS INT) AS merge_rank, pair, freq FROM b{r}"
+        for r in range(rounds)
+    )
+    return f"WITH {body}\n{selects}"
+
+
+@register("corpus_bpe_train", oracle=_bpe_oracle())
+def corpus_bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first {rounds} BPE merges on the corpus: words ->
+    per-character symbol strings, then each round counts adjacent
+    symbol pairs weighted by word frequency, merges the most frequent
+    pair (ties -> lexicographically smallest), and rewrites the
+    vocabulary with leftmost-non-overlapping application. Output is the
+    merge table itself — (merge_rank, pair, freq) — the artifact a
+    tokenizer ships.
+
+    Engine-exact by construction: integer frequencies, a total
+    (freq DESC, pair ASC) selection order, and ``replace`` semantics
+    (leftmost, non-overlapping) that Spark and DuckDB share — which is
+    also exactly how reference BPE trainers apply a merge greedily.
+
+    Scale: ONE corpus-sized stage total (the word explode+count);
+    every merge round after that runs on the WORD-FREQUENCY table —
+    vocabulary-sized, orders of magnitude smaller than the corpus and
+    independent of corpus growth — and the chosen pair joins back as a
+    broadcast 1-row scalar (BroadcastNestedLoopJoin over one row, the
+    repo's standard scalar-subquery shape; no CartesianProduct). This
+    is the same cost structure as production trainers (HF tokenizers
+    trains from a word-count table, not raw text). A FIXED merge
+    budget keeps the whole run one static DAG (the k-means/peeling
+    rationale); real vocab sizes just raise the round count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from wikidatabots_spark.operators.textstats import words
+
+    vocab = (
+        d.select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.rtrim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("sym"),
+        )
+    )
+    merges = []
+    for r in range(_BPE_ROUNDS):
+        best, vocab = _bpe_round(vocab)
+        merges.append(
+            best.select(
+                F.lit(r + 1).cast("int").alias("merge_rank"), "pair", "freq"
+            )
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
