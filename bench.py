@@ -125,6 +125,14 @@ HEADLINERS = [
     "corpus_split_decontaminate",
     "text_novelty",
     "ev_dau_wau",
+    # round-4d wave: Gopher rule battery, 2-core peel, PQ/ADC ANN with
+    # its recall harness, BPE merge training + corpus segmentation
+    "text_gopher_rules",
+    "graph_kcore",
+    "knn_pq_adc",
+    "knn_recall_eval",
+    "corpus_bpe_train",
+    "corpus_bpe_segment",
 ]
 
 

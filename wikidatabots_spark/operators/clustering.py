@@ -105,6 +105,27 @@ def kmeans_int_fit(
     return cent_rows
 
 
+def nearest_cluster_expr(vec, cent_rows: list[tuple[int, list[int]]]):
+    """Nearest-centroid id of integer vector expression ``vec`` as a
+    pure COLUMN expression (centroids are literals): integer squared
+    distance to each centroid, argmin via ``array_min`` over
+    (dist, cluster) structs — lowest cluster id wins ties. The narrow
+    building block shared by ``with_cluster`` and the joint PQ fit
+    (``operators.pq.pq_fit``)."""
+    structs = []
+    for cluster, cv in cent_rows:
+        cv_lit = F.array(*[F.lit(int(x)) for x in cv])
+        dist = F.aggregate(
+            F.zip_with(vec, cv_lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+        structs.append(
+            F.struct(dist.alias("d"), F.lit(int(cluster)).cast("int").alias("c"))
+        )
+    return F.array_min(F.array(*structs)).getField("c")
+
+
 def with_cluster(
     df: DataFrame,
     cent_rows: list[tuple[int, list[int]]],
@@ -119,18 +140,9 @@ def with_cluster(
         return df.where(F.lit(False)).withColumn(
             out_col, F.lit(0).cast("int")
         )
-    structs = []
-    for cluster, cv in cent_rows:
-        cv_lit = F.array(*[F.lit(int(x)) for x in cv])
-        dist = F.aggregate(
-            F.zip_with(F.col(vec_col), cv_lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc + d,
-        )
-        structs.append(
-            F.struct(dist.alias("d"), F.lit(int(cluster)).cast("int").alias("c"))
-        )
-    return df.withColumn(out_col, F.array_min(F.array(*structs)).getField("c"))
+    return df.withColumn(
+        out_col, nearest_cluster_expr(F.col(vec_col), cent_rows)
+    )
 
 
 def kmeans_int_assign(

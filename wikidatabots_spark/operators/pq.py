@@ -17,10 +17,11 @@ reproduce training, encoding, and search bit-for-bit.
 
 Scale shape — why this is the 100 TB ANN operating mode:
 
-- **Training** is ``m`` independent integer k-means fits; each fit's
-  per-round state is a k x subdim centroid table collected to the
-  driver (KBs) — the fact table never exchanges (see
-  ``operators.clustering`` / VERDICT r3 #4).
+- **Training** runs all ``m`` subspace k-means fits JOINTLY — one
+  init collect plus one Spark job per Lloyd round regardless of ``m``
+  (per-round driver state is the m x k x subdim centroid table, KBs);
+  the fact table never exchanges (see ``operators.clustering`` /
+  VERDICT r3 #4), only m*k*subdim aggregated mean rows do.
 - **Encoding** is a pure narrow map: codebooks ride into the plan as
   expression literals; each row computes its ``m`` argmins in place.
   At 64 dims / m=4 / k=4 a code row is 4 small ints — a 64x shrink of
@@ -44,7 +45,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from wikidatabots_spark.operators.clustering import kmeans_int_fit, with_cluster
+from wikidatabots_spark.operators.clustering import (
+    nearest_cluster_expr,
+    with_cluster,
+)
 
 Codebook = list[tuple[int, list[int]]]
 
@@ -60,16 +64,60 @@ def pq_fit(
 ) -> list[Codebook]:
     """Train ``m`` per-subspace codebooks over integer vectors: subspace
     ``s`` covers 1-based slice ``[s*subdim+1, (s+1)*subdim]`` of
-    ``vec_col``. Returns driver-held codebooks (``kmeans_int_fit``
-    output per subspace); total driver state is m*k*subdim ints."""
-    books = []
-    for s in range(m):
-        sub = vectors.select(
-            id_col, F.slice(vec_col, s * subdim + 1, subdim).alias("__sub")
+    ``vec_col``. Returns driver-held codebooks; total driver state is
+    m*k*subdim ints.
+
+    All subspaces train JOINTLY: one collect for the shared k-smallest-
+    ids init, then ONE Spark job per Lloyd round — every row assigns all
+    ``m`` subvectors against literal centroids (narrow), the per-
+    (subspace, cluster, dim) truncated-integer means aggregate in a
+    single exchange of m*k*subdim combined rows, and the m*k*subdim
+    centroid ints collect once. Job count is 1 + (rounds-1) regardless
+    of ``m`` — production PQ (m=8..64) pays nothing extra — and each
+    round's semantics are exactly ``kmeans_int_fit`` run per subspace
+    (same init rows, same argmin ties, same ``sum div count`` means,
+    empty clusters vanish)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    seed = sorted(
+        (r["__id"], r["__v"])
+        for r in vectors.where(F.col(id_col) < k)
+        .select(F.col(id_col).cast("int").alias("__id"), F.col(vec_col).alias("__v"))
+        .collect()
+    )
+    books: list[Codebook] = [
+        [(int(vid), list(vec[s * subdim : (s + 1) * subdim])) for vid, vec in seed]
+        for s in range(m)
+    ]
+    for _ in range(rounds - 1):
+        entries = []
+        for s, book in enumerate(books):
+            sub = F.slice(vec_col, s * subdim + 1, subdim)
+            entries.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    nearest_cluster_expr(sub, book).alias("cluster"),
+                    sub.alias("vs"),
+                )
+            )
+        ex = vectors.select(F.explode(F.array(*entries)).alias("e")).select(
+            F.col("e.s").alias("s"),
+            F.col("e.cluster").alias("cluster"),
+            F.posexplode(F.col("e.vs")).alias("i", "val"),
         )
-        books.append(
-            kmeans_int_fit(sub, k=k, rounds=rounds, id_col=id_col, vec_col="__sub")
+        rows = (
+            ex.groupBy("s", "cluster", "i")
+            .agg(F.expr("sum(val) div count(*)").cast("int").alias("mval"))
+            .collect()
         )
+        per: dict[tuple[int, int], dict[int, int]] = {}
+        for r in rows:
+            per.setdefault((r["s"], r["cluster"]), {})[r["i"]] = r["mval"]
+        books = [[] for _ in range(m)]
+        for (s, c), dims in per.items():
+            books[s].append((int(c), [dims[i] for i in sorted(dims)]))
+        for s in range(m):
+            books[s].sort()
     return books
 
 

@@ -160,17 +160,24 @@ def knn_pq_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``knn_recall_eval`` measures the quality loss instead of assuming
     it.
     """
+    from wikidatabots_spark.functions.scale import pushdown_fence
     from wikidatabots_spark.operators.pq import pq_adc_topk, pq_encode, pq_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.round(
-                (x.cast("double") + F.lit(1.0)) * F.lit(100.0)
-            ).cast("int"),
-        ).alias("v"),
+    # fence the quantized table: the m codebook fits (init + per-round
+    # recompute jobs), the encode, and the query collect all read it —
+    # unfenced, every one of those ~2m+2 jobs re-runs the quantize
+    # projection from the parquet scan
+    qv = pushdown_fence(
+        emb.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(
+                    (x.cast("double") + F.lit(1.0)) * F.lit(100.0)
+                ).cast("int"),
+            ).alias("v"),
+        )
     )
     books = pq_fit(
         qv, m=_PQ_M, subdim=_PQ_SUBDIM, k=_PQ_K, rounds=_PQ_ROUNDS

@@ -162,3 +162,76 @@ def corpus_bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+# ---------------------------------------------------------------------------
+# corpus_bpe_segment — apply the trained merges corpus-wide
+# ---------------------------------------------------------------------------
+
+
+def _bpe_segment_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    from wikidatabots_spark.plans.extensions import _WORDS_SQL
+
+    # reuse the training CTE chain; v{rounds} is the post-merge vocab
+    train = _bpe_oracle(rounds)
+    body = train[len("WITH ") : train.rindex("\nSELECT CAST(1")]
+    return f"""
+WITH {body},
+doc_words AS (
+    SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+)
+SELECT d.doc_id,
+       CAST(SUM(length(v.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(string_split(v.sym, ' '))) AS BIGINT) AS n_tokens
+FROM doc_words d JOIN v{rounds} v ON v.word = d.word
+GROUP BY d.doc_id
+"""
+
+
+@register("corpus_bpe_segment", oracle=_bpe_segment_oracle())
+def corpus_bpe_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges corpus-wide: every document's words
+    are segmented with the post-merge vocabulary and rolled up to a
+    per-document token count (with the pre-merge character count as the
+    compression baseline) — the trainer-side half
+    (``corpus_bpe_train``) produces the merge table, this query is the
+    inference-side half every data pipeline actually runs per batch.
+
+    Scale: the segmentation is a broadcast JOIN against the
+    word->symbols vocabulary (vocabulary-sized, the
+    ``tokenize_to_ids`` pattern) — the corpus explodes to words once,
+    joins the tiny vocab, and aggregates back to doc_id; the text
+    column itself never shuffles. At real vocab sizes the same join
+    holds (a few hundred thousand rows broadcast in MBs).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from wikidatabots_spark.operators.textstats import words
+
+    vocab = (
+        d.select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.rtrim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("sym"),
+        )
+    )
+    for _ in range(_BPE_ROUNDS):
+        _, vocab = _bpe_round(vocab)
+    seg = vocab.select(
+        "word",
+        F.length("word").cast("long").alias("__wchars"),
+        F.size(F.split("sym", " ")).cast("long").alias("__wtokens"),
+    )
+    doc_words = d.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("word")
+    )
+    return (
+        doc_words.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__wchars").cast("long").alias("n_chars"),
+            F.sum("__wtokens").cast("long").alias("n_tokens"),
+        )
+    )
