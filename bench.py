@@ -133,6 +133,8 @@ HEADLINERS = [
     "knn_recall_eval",
     "corpus_bpe_train",
     "corpus_bpe_segment",
+    "ev_session_window",
+    "ev_rfm_segments",
 ]
 
 

@@ -65,3 +65,30 @@ def test_unicode_ellipsis_and_integer_thresholds(spark):
 def test_empty_text_fails_closed(spark):
     got = _rules(spark, [(1, "")])[1]
     assert got["keep"] is False and got["n_words"] == 0
+
+
+def test_session_window_boundary_merges_touching_windows(spark):
+    """Native session_window merges events whose [ts, ts+gap) windows
+    touch: an event landing EXACTLY gap after its predecessor still
+    joins the session (so the oracle's island rule is diff > gap, same
+    as ev_sessionize's lag rule), while gap + 1s starts a new one."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=30)),  # exactly the gap -> merges
+        (1, t0 + dt.timedelta(minutes=61)),  # > gap after prev -> new
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("sw.start")
+        .collect()
+    )
+    assert [r["n"] for r in got] == [2, 1]
+    # session_end is last-event + gap, not the last event
+    assert got[0]["sw"]["end"] == t0 + dt.timedelta(minutes=60)

@@ -1815,3 +1815,258 @@ def sketch_hll_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_distinct")
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_session_window — native Spark session_window sessionization
+# ---------------------------------------------------------------------------
+
+_SESSION_WINDOW_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN prev_ts IS NULL
+                     OR ts - prev_ts > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+runs AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id
+                                  ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM runs
+GROUP BY user_id, session_id
+"""
+
+
+@register("ev_session_window", oracle=_SESSION_WINDOW_ORACLE)
+def ev_session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` aggregation
+    — the declarative form of ``ev_sessionize``'s lag+cumsum islands,
+    and the exact construct whose streaming variant maintains per-key
+    session state with watermark eviction (one groupBy instead of a
+    window function chain: Catalyst merges overlapping [ts, ts+gap)
+    intervals per key inside the aggregation).
+
+    Semantics pin: ``session_window`` merges events whose [ts, ts+gap)
+    windows overlap OR TOUCH — an event landing exactly ``gap`` after
+    its predecessor still MERGES (verified by a planted boundary test,
+    tests/test_quality_rules.py), so the island rule is ``diff > gap``,
+    identical to ``ev_sessionize``'s lag rule. The returned
+    ``session_end`` is last-event + gap (the window bound), not the
+    last event itself — that is what the separate oracle pins.
+
+    Scale: one shuffle on user_id, merge inside the aggregation — the
+    same exchange count as the islands form but without the per-user
+    sort-then-rescan (the window chain needs the full partition sorted
+    twice: once for lag, once for the session agg).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_rfm_segments — recency/frequency/monetary user segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH base AS (
+    SELECT user_id,
+           MAX(ts) AS last_purchase,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS monetary
+    FROM events
+    WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    GROUP BY user_id
+),
+scored AS (
+    SELECT user_id, last_purchase, frequency, monetary,
+           CAST(ntile(3) OVER (ORDER BY last_purchase DESC, user_id) AS INT)
+               AS r_score,
+           CAST(ntile(3) OVER (ORDER BY frequency DESC, user_id) AS INT)
+               AS f_score,
+           CAST(ntile(3) OVER (ORDER BY monetary DESC, user_id) AS INT)
+               AS m_score
+    FROM base
+)
+SELECT user_id, last_purchase, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+           || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+"""
+
+
+@register("ev_rfm_segments", oracle=_RFM_ORACLE)
+def ev_rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of purchasers: per-user recency (last purchase),
+    frequency (purchase count), monetary (decimal-exact value sum),
+    each cut into terciles by ``ntile(3)`` with a deterministic
+    (metric, user_id) tie order — best tercile = 1 — and concatenated
+    into the classic 27-cell segment code ("111" = champions).
+
+    Engine-exact: the metrics are integer/decimal aggregations; ntile
+    bucket-size semantics (equal buckets, remainder to the earliest)
+    agree between Spark and DuckDB given the total tie-broken order —
+    the same pin ``win_distribution`` established.
+
+    Scale: one shuffle for the per-user aggregation; the tercile
+    windows are global (single-partition) over the AGGREGATED user
+    table — the standard post-agg compromise (cf.
+    ``corpus_token_budget_select`` for the bucketed two-phase rank when
+    even the aggregate is too large for one partition).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.where(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(14,4)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    scored = base.withColumns(
+        {
+            "r_score": F.ntile(3)
+            .over(Window.orderBy(F.col("last_purchase").desc(), F.col("user_id")))
+            .cast("int"),
+            "f_score": F.ntile(3)
+            .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
+            .cast("int"),
+            "m_score": F.ntile(3)
+            .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
+            .cast("int"),
+        }
+    )
+    return scored.select(
+        "user_id",
+        "last_purchase",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_winsorized — per-source winsorized mean by exact-rank clipping
+# ---------------------------------------------------------------------------
+
+_WINSORIZE_ORACLE = """
+WITH ranked AS (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS cnt
+    FROM documents
+),
+cuts AS (
+    SELECT source,
+           MAX(CASE WHEN rn = CEIL(0.1 * cnt) THEN n_chars END) AS lo,
+           MAX(CASE WHEN rn = CEIL(0.9 * cnt) THEN n_chars END) AS hi
+    FROM ranked GROUP BY source
+)
+SELECT r.source,
+       CAST(MAX(r.cnt) AS BIGINT) AS n_docs,
+       CAST(MAX(c.lo) AS BIGINT) AS p10_chars,
+       CAST(MAX(c.hi) AS BIGINT) AS p90_chars,
+       CAST(SUM(CASE WHEN r.n_chars < c.lo THEN c.lo
+                     WHEN r.n_chars > c.hi THEN c.hi
+                     ELSE r.n_chars END) AS DOUBLE) / MAX(r.cnt)
+           AS winsorized_mean
+FROM ranked r JOIN cuts c ON c.source = r.source
+GROUP BY r.source
+"""
+
+
+@register("agg_winsorized", oracle=_WINSORIZE_ORACLE)
+def agg_winsorized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorized mean of document length: clip every value
+    to the EXACT-rank p10/p90 elements (rank ceil(q*n) under a total
+    (n_chars, doc_id) order — no percentile interpolation, the
+    ``corpus_length_quantiles`` convention) and average the clipped
+    values. The outlier-robust location estimate a mixture design reads
+    when a handful of giant documents would otherwise drag the mean —
+    and unlike a trimmed mean it keeps n constant, so per-source means
+    stay comparable.
+
+    Engine-exact: clip bounds and the clipped sum are integers; the
+    single division is one IEEE op.
+
+    Scale: ONE exchange on source — the rank window, the cut lookup,
+    and the final aggregation all live inside the same hash partitioning
+    (the cuts frame is |sources| rows, broadcast back).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("cnt"),
+    )
+    cuts = ranked.groupBy("source").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.1) * F.col("cnt")), F.col("n_chars")
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.9) * F.col("cnt")), F.col("n_chars")
+            )
+        ).alias("hi"),
+    )
+    clipped = ranked.join(F.broadcast(cuts), "source").select(
+        "source",
+        "cnt",
+        "lo",
+        "hi",
+        F.when(F.col("n_chars") < F.col("lo"), F.col("lo"))
+        .when(F.col("n_chars") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("n_chars"))
+        .alias("clipped"),
+    )
+    return clipped.groupBy("source").agg(
+        F.max("cnt").cast("long").alias("n_docs"),
+        F.max("lo").cast("long").alias("p10_chars"),
+        F.max("hi").cast("long").alias("p90_chars"),
+        (
+            F.sum("clipped").cast("double") / F.max("cnt")
+        ).alias("winsorized_mean"),
+    )
