@@ -55,6 +55,9 @@ def test_registry_priority_window():
         "curate_corpus_v5", "text_lm_score",
         # r4c: A3/O1/O2 merged slot + the promoted tokenizer
         "op_order_collect", "corpus_tokenize_ids",
+        # r4d: J4/J5 and F-nulls/P6 merged slots + the promoted PQ/ADC
+        # ANN and BPE training flagships
+        "op_join_micro", "op_null_prefix", "knn_pq_adc", "corpus_bpe_train",
     }
     assert must_have <= set(window)
     # every window entry carries a DuckDB oracle (the mm fakes gained

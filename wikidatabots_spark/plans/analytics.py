@@ -821,3 +821,56 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward", tolerance_seconds=3600,
     )
     return out.select("user_id", "signup_id", "purchase_id", "asof_ts")
+
+
+# --- F1-F5 nulls + P6 prefix merged into one driver slot -------------------
+@register(
+    "op_null_prefix",
+    oracle="""
+SELECT 'null_funcs' AS kind, CAST(o_orderkey AS BIGINT) AS k1,
+       COALESCE(NULLIF(o_orderstatus, 'F'), 'final') AS s1,
+       CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS d1,
+       COALESCE(CASE WHEN o_orderstatus = 'O' THEN NULL
+                     ELSE o_totalprice END, -1.0) AS d2,
+       (CASE WHEN o_orderstatus = 'O' THEN NULL
+             ELSE o_totalprice END) IS NULL AS b1,
+       CAST(NULL AS BIGINT) AS k2
+FROM orders
+UNION ALL
+SELECT 'prefix' AS kind, CAST(n_nationkey AS BIGINT) AS k1,
+       n_name AS s1, CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2,
+       CAST(NULL AS BOOLEAN) AS b1, CAST(n_regionkey AS BIGINT) AS k2
+FROM nation
+""",
+)
+def op_null_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op_null_funcs (F1-F5: null tests / nullif / coalesce sweep) +
+    op_prefix_columns (P6: all-columns rename) folded into one tagged
+    frame so both keep driver-hash pins in a single capped-window slot
+    (the op_unique pattern); the individual micro-queries stay
+    registered for the local gate."""
+    from wikidatabots_spark.functions.core import prefix_columns
+
+    o = load_table(spark, sf_dir, "orders")
+    maybe = F.when(F.col("o_orderstatus") != "O", F.col("o_totalprice"))
+    nulls = o.select(
+        F.lit("null_funcs").alias("kind"),
+        F.col("o_orderkey").cast("bigint").alias("k1"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("final")
+        ).alias("s1"),
+        maybe.alias("d1"),
+        F.coalesce(maybe, F.lit(-1.0)).alias("d2"),
+        maybe.isNull().alias("b1"),
+        F.lit(None).cast("bigint").alias("k2"),
+    )
+    pre = prefix_columns(load_table(spark, sf_dir, "nation"), "wd_").select(
+        F.lit("prefix").alias("kind"),
+        F.col("wd_n_nationkey").cast("bigint").alias("k1"),
+        F.col("wd_n_name").alias("s1"),
+        F.lit(None).cast("double").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("boolean").alias("b1"),
+        F.col("wd_n_regionkey").cast("bigint").alias("k2"),
+    )
+    return nulls.unionByName(pre)

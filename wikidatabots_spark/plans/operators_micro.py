@@ -972,3 +972,52 @@ def op_order_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return collect.unionByName(topk)
+
+
+# --- J4+J5 merged: both join surfaces in one driver slot -------------------
+@register(
+    "op_join_micro",
+    oracle="""
+SELECT 'left_diff_keys' AS kind, CAST(s_suppkey AS BIGINT) AS k1,
+       s_name AS s1, n_name AS s2
+FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+UNION ALL
+SELECT 'anti' AS kind, CAST(c_custkey AS BIGINT) AS k1,
+       c_name AS s1, CAST(NULL AS VARCHAR) AS s2
+FROM customer
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+)
+""",
+)
+def op_join_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op_join_diff_keys (J4: left equi-join on differently-named keys,
+    broadcast dim) + op_anti_join (J5: anti-membership against a
+    computed set) folded into one tagged frame so both join semantics
+    keep driver-hash pins in a single capped-window slot (the op_unique
+    pattern); the individual micro-queries stay registered for the
+    local gate."""
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    diff_keys = su.join(
+        F.broadcast(na), su.s_nationkey == na.n_nationkey, "left"
+    ).select(
+        F.lit("left_diff_keys").alias("kind"),
+        F.col("s_suppkey").cast("bigint").alias("k1"),
+        F.col("s_name").alias("s1"),
+        F.col("n_name").alias("s2"),
+    )
+    cu = load_table(spark, sf_dir, "customer")
+    f_orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    anti = cu.join(f_orders, on="c_custkey", how="left_anti").select(
+        F.lit("anti").alias("kind"),
+        F.col("c_custkey").cast("bigint").alias("k1"),
+        F.col("c_name").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+    )
+    return diff_keys.unionByName(anti)

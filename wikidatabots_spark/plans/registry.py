@@ -41,19 +41,18 @@ REGISTRY: dict[str, Entry] = {}
 PRIORITY: list[str] = [
     # §2 micro-queries (one per operator family; the O3 sampling pair,
     # the T2/T3 string pair, the F6/F9/N1 scalar trio, the A1/A2 unique
-    # pair, and the U2/R1 explode pair are folded into tagged merged
-    # queries — op_sample / op_strings / op_scalar_micro / op_unique /
-    # op_explode — so the window budget covers the graded composed
-    # pipelines below; the individual micro-queries stay registered for
-    # the local gate)
-    "op_null_funcs",
-    "op_prefix_columns",
+    # pair, the U2/R1 explode pair, the J4/J5 join pair, and the
+    # F-nulls/P6 pair are folded into tagged merged queries — op_sample
+    # / op_strings / op_scalar_micro / op_unique / op_explode /
+    # op_join_micro / op_null_prefix — so the window budget covers the
+    # graded composed pipelines below; the individual micro-queries
+    # stay registered for the local gate)
+    "op_null_prefix",
     "op_unique",
     "op_explode",
     "op_scalar_micro",
     "op_union_all",
-    "op_join_diff_keys",
-    "op_anti_join",
+    "op_join_micro",
     "op_order_collect",
     "op_sample",
     "op_strings",
@@ -113,6 +112,11 @@ PRIORITY: list[str] = [
     # promoted r4c (A3 collect + O1/O2 topk folded into op_order_collect):
     # the trainer-path tokenizer — corpus -> token ids -> pack -> shards
     "corpus_tokenize_ids",
+    # promoted r4d (J4/J5 merged into op_join_micro, F-nulls/P6 into
+    # op_null_prefix): the PQ/ADC ANN index lifecycle and BPE merge
+    # training — the similarity-search and tokenizer flagships
+    "knn_pq_adc",
+    "corpus_bpe_train",
 ]
 
 
