@@ -1021,3 +1021,46 @@ def op_join_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("s2"),
     )
     return diff_keys.unionByName(anti)
+
+
+# --- MAP-typed columns: build / lookup / explode ---------------------------
+@register(
+    "op_map_funcs",
+    oracle="""
+SELECT n_nationkey,
+       n_name AS name_lookup,
+       'name' AS entry_key,
+       n_name AS entry_value
+FROM nation
+UNION ALL
+SELECT n_nationkey,
+       n_name AS name_lookup,
+       'region' AS entry_key,
+       CAST(n_regionkey AS VARCHAR) AS entry_value
+FROM nation
+""",
+)
+def op_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface: build a map with ``create_map``, look a
+    key up with ``element_at``, and flatten entries to rows with
+    ``explode`` — the key/value datatype the other micro queries don't
+    touch. The oracle produces the flattened relational form directly
+    (DuckDB's MAP is a different physical type; the EXPLODED rows are
+    the engine-comparable contract, which is also why the query ends
+    relational: map columns don't survive a hash-compare, their entry
+    rows do). All map ops are narrow — zero shuffles."""
+    na = load_table(spark, sf_dir, "nation")
+    mapped = na.select(
+        "n_nationkey",
+        F.create_map(
+            F.lit("name"),
+            F.col("n_name"),
+            F.lit("region"),
+            F.col("n_regionkey").cast("string"),
+        ).alias("m"),
+    )
+    return mapped.select(
+        "n_nationkey",
+        F.element_at("m", F.lit("name")).alias("name_lookup"),
+        F.explode("m").alias("entry_key", "entry_value"),
+    )

@@ -2070,3 +2070,121 @@ def agg_winsorized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("clipped").cast("double") / F.max("cnt")
         ).alias("winsorized_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_component_sizes — dedup-group size histogram (savings estimate)
+# ---------------------------------------------------------------------------
+
+
+def _component_sizes_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _COMPONENTS_ORACLE
+
+    return f"""
+WITH cc AS ({_COMPONENTS_ORACLE}),
+sizes AS (
+    SELECT component, COUNT(*) AS group_size FROM cc GROUP BY component
+)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(group_size - 1) AS BIGINT) AS removable_docs
+FROM sizes GROUP BY group_size
+"""
+
+
+@register("graph_component_sizes", oracle=_component_sizes_oracle())
+def graph_component_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size histogram of the near-dup components with the dedup-savings
+    column: a group of size s lets keep-one-canonical remove s-1 docs,
+    so ``sum(removable_docs)`` across rows IS the corpus-level saving a
+    dedup run will realize — the number a curation owner reads before
+    paying for the full pipeline. Completes the dup-graph family:
+    degrees (how much), 2-core (how clustered), pagerank (which hubs),
+    triangles (how cliquish), sizes (what deleting buys).
+
+    Scale: the component table is id->label (no text); the histogram is
+    two tiny groupBys with map-side partials on top of the
+    ``connected_components`` fixed point the curation pipelines already
+    compute — output is O(max group size) rows.
+    """
+    from wikidatabots_spark.operators.dedup import connected_components
+    from wikidatabots_spark.plans.extensions import dedup_winnow_q
+
+    cc = connected_components(dedup_winnow_q(spark, sf_dir))
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return sizes.groupBy("group_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.col("group_size") - 1).cast("long").alias("removable_docs"),
+    ).select(
+        F.col("group_size").cast("long").alias("group_size"),
+        "n_groups",
+        "removable_docs",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_markov_transitions — event-type transition matrix (per-user bigrams)
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events WHERE user_id IS NOT NULL
+),
+trans AS (
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+),
+tot AS (
+    SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+    FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n, o.row_total,
+       (t.n * 1000000) // o.row_total AS p_ppm
+FROM trans t JOIN tot o ON o.from_type = t.from_type
+"""
+
+
+@register("ev_markov_transitions", oracle=_MARKOV_ORACLE)
+def ev_markov_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (from_type, to_type) the transition count and
+    its row-normalized probability in integer PARTS-PER-MILLION
+    (``n * 1e6 div row_total`` — exact integer division, no float
+    ratio), the behavioral fingerprint session-analytics and
+    next-event-prediction features start from.
+
+    Scale: ONE user_id exchange for the lead window; the transition
+    count aggregates with map-side partials down to |types|^2 rows, and
+    the row totals derive from THAT aggregate (types-squared rows, not
+    a second pass over events).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.where(F.col("user_id").isNotNull()).select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = trans.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    return trans.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "row_total",
+        F.expr("n * 1000000 div row_total").alias("p_ppm"),
+    )
