@@ -9,6 +9,9 @@ evaluation harness, each oracle-hash-checked.
   recall of the IVF index (``knn_ivf_exact``) against the exact
   brute-force top-k, computed as a query so index-quality regression
   is itself oracle-checked
+- ``knn_pq_recall_eval`` — the same harness for PQ/ADC search: prices
+  the code-compression approximation the way knn_recall_eval prices
+  the IVF candidate fence
 
 No reference counterpart (north-star extensions, BASELINE.json
 similarity-search family).
@@ -295,6 +298,105 @@ def knn_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("in_exact") * F.col("in_ivf")).cast("long").alias("n_matched"),
         (
             F.sum(F.col("in_exact") * F.col("in_ivf")).cast("double")
+            / F.sum("in_exact")
+        ).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# knn_pq_recall_eval — recall@k of PQ/ADC search vs exact brute force
+# ---------------------------------------------------------------------------
+
+
+def _pq_recall_oracle() -> str:
+    return f"""
+WITH exact AS (
+    WITH norms AS (
+        SELECT vec_id,
+               sqrt(SUM(CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE))) AS nrm
+        FROM embeddings, generate_series(1, 64) t(i)
+        GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               SUM(CAST(q.embedding[i] AS DOUBLE)
+                   * CAST(c.embedding[i] AS DOUBLE)) AS dot
+        FROM embeddings q, embeddings c, generate_series(1, 64) t(i)
+        WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT d.query_id, d.neighbor_id,
+               row_number() OVER (PARTITION BY d.query_id
+                                  ORDER BY d.dot / (nq.nrm * nc.nrm) DESC,
+                                           d.neighbor_id) AS rank
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3
+),
+pq AS (
+    SELECT query_id, neighbor_id FROM ({_pq_oracle()})
+),
+u AS (
+    SELECT COALESCE(e.query_id, p.query_id) AS query_id,
+           CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+           CASE WHEN p.query_id IS NOT NULL THEN 1 ELSE 0 END AS in_pq
+    FROM exact e
+    FULL OUTER JOIN pq p
+      ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+)
+SELECT query_id,
+       CAST(SUM(in_exact) AS BIGINT) AS n_exact,
+       CAST(SUM(in_pq) AS BIGINT) AS n_pq,
+       CAST(SUM(in_exact * in_pq) AS BIGINT) AS n_matched,
+       CAST(SUM(in_exact * in_pq) AS DOUBLE) / SUM(in_exact) AS recall
+FROM u
+GROUP BY query_id
+"""
+
+
+@register("knn_pq_recall_eval", oracle=_pq_recall_oracle())
+def knn_pq_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@3 of PQ/ADC search against the exact cosine
+    top-3 — the quantization-error counterpart of ``knn_recall_eval``
+    (which measures the IVF fence): together they price the two
+    orthogonal ANN tradeoffs (code compression vs candidate pruning)
+    as oracle-gated numbers. Note the metric crossing: ADC ranks by
+    L2 on quantized ints, exact by cosine on floats — recall measures
+    exactly that compound approximation, which is why it needs
+    MEASURING rather than a bound.
+
+    Scale: both legs are the single-topk-shuffle shapes audited on
+    their own queries; the comparison joins two queries x k result
+    sets.
+    """
+    from wikidatabots_spark.operators.similarity import knn_brute
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = (
+        knn_brute(emb.where(F.col("vec_id") < 20), emb, k=3)
+        .select("query_id", "neighbor_id")
+        .withColumn("in_exact", F.lit(1))
+    )
+    pq = (
+        knn_pq_adc_q(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("in_pq", F.lit(1))
+    )
+    u = exact.join(pq, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        F.coalesce("in_exact", F.lit(0)).alias("in_exact"),
+        F.coalesce("in_pq", F.lit(0)).alias("in_pq"),
+    )
+    return u.groupBy("query_id").agg(
+        F.sum("in_exact").cast("long").alias("n_exact"),
+        F.sum("in_pq").cast("long").alias("n_pq"),
+        F.sum(F.col("in_exact") * F.col("in_pq")).cast("long").alias("n_matched"),
+        (
+            F.sum(F.col("in_exact") * F.col("in_pq")).cast("double")
             / F.sum("in_exact")
         ).alias("recall"),
     )
