@@ -38,3 +38,45 @@ def test_user_profile_stream_matches_batch(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_event_transitions_stream_matches_batch_lead(spark, sf_dir):
+    """Streaming per-user transitions, aggregated to the (from, to)
+    matrix, must equal the batch lead()-window counts feeding
+    ev_markov_transitions."""
+    from pyspark.sql import Window
+
+    from wikidatabots_spark.streaming.stateful import event_transitions_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        event_transitions_stream(ev)
+        .writeStream.format("memory")
+        .queryName("transitions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in spark.sql(
+            "select from_type, to_type, count(*) as n from transitions "
+            "group by from_type, to_type"
+        ).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .count()
+    )
+    want = {(r.from_type, r.to_type): r["count"] for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0

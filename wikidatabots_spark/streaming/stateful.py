@@ -20,6 +20,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
@@ -279,4 +280,92 @@ def funnel_stream(
         stateStructType="signup_us long, conv_us long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming event-type transitions (the ev_markov_transitions twin)
+# ---------------------------------------------------------------------------
+
+TRANSITION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+    ]
+)
+
+# state = the user's latest seen event under (ts, event_id) order: the
+# bridge that lets batch N+1's first event pair with batch N's last
+TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _emit_transitions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if not len(pdf):
+        return
+    pdf["__ts_us"] = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+    pdf = pdf.sort_values(["__ts_us", "event_id"], kind="mergesort")
+    types = pdf["event_type"].tolist()
+    prev_type = state.get[2] if state.exists else None
+    froms, tos = [], []
+    for t in types:
+        if prev_type is not None:
+            froms.append(prev_type)
+            tos.append(t)
+        prev_type = t
+    last = pdf.iloc[-1]
+    state.update((int(last["__ts_us"]), int(last["event_id"]), str(last["event_type"])))
+    state.setTimeoutDuration(IDLE_TIMEOUT_MS)
+    if froms:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(froms),
+                "from_type": froms,
+                "to_type": tos,
+            }
+        )
+
+
+def event_transitions_stream(events: DataFrame) -> DataFrame:
+    """Streaming first-order transitions: one (user_id, from_type,
+    to_type) row per consecutive event pair in each user's (ts,
+    event_id)-ordered history — the incremental feed of the
+    ``ev_markov_transitions`` matrix (a downstream count aggregation,
+    mergeable across any window).
+
+    State is ONE row per active user (latest event's ts/id/type), so
+    cross-batch pairs bridge correctly and each transition is emitted
+    exactly once (append semantics). Within a micro-batch the rows are
+    sorted explicitly; ACROSS batches the bridge is exact only when the
+    source delivers a user's events in event-time order — an event
+    arriving after a later one was already consumed pairs with the
+    newest state, the standard at-ingest caveat (documented, same class
+    as the funnel's retro-signup replay edge; a watermarked
+    re-aggregation repairs late data downstream where exactness is
+    required). Idle users are reaped by the processing-time timeout, so
+    state is bounded by ACTIVE users.
+    """
+    return (
+        events.where(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _emit_transitions,
+            outputStructType=TRANSITION_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
     )
