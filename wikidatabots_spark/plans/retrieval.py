@@ -400,3 +400,147 @@ def knn_pq_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("in_exact")
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_est_error — measured MinHash accuracy on LSH candidates
+# ---------------------------------------------------------------------------
+
+
+def _minhash_err_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import (
+        _MINHASH_STACKED_SQL,
+        _TOK_SQL,
+    )
+
+    return f"""
+WITH {_TOK_SQL},
+{_MINHASH_STACKED_SQL},
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM stacked a
+    JOIN stacked b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+agree AS (
+    SELECT p.id_a, p.id_b,
+           CAST((sa.mh0 = sb.mh0)::INT + (sa.mh1 = sb.mh1)::INT
+              + (sa.mh2 = sb.mh2)::INT + (sa.mh3 = sb.mh3)::INT
+              + (sa.mh4 = sb.mh4)::INT + (sa.mh5 = sb.mh5)::INT
+              + (sa.mh6 = sb.mh6)::INT + (sa.mh7 = sb.mh7)::INT AS BIGINT)
+               AS n_agree
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+    SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+    FROM pairs p
+    JOIN tok ta ON ta.doc_id = p.id_a
+    JOIN tok tb ON tb.doc_id = p.id_b AND tb.token = ta.token
+    GROUP BY p.id_a, p.id_b
+),
+j AS (
+    SELECT a.id_a, a.id_b, a.n_agree,
+           COALESCE(i.n_inter, 0) AS n_inter,
+           za.sz + zb.sz - COALESCE(i.n_inter, 0) AS n_union
+    FROM agree a
+    LEFT JOIN inter i ON i.id_a = a.id_a AND i.id_b = a.id_b
+    JOIN sizes za ON za.doc_id = a.id_a
+    JOIN sizes zb ON zb.doc_id = a.id_b
+)
+SELECT id_a, id_b, n_agree,
+       (n_agree * 1000000) // 8 AS est_jaccard_ppm,
+       (n_inter * 1000000) // n_union AS exact_jaccard_ppm,
+       (n_agree * 1000000) // 8 - (n_inter * 1000000) // n_union AS err_ppm
+FROM j
+"""
+
+
+@register("dedup_minhash_est_error", oracle=_minhash_err_oracle())
+def dedup_minhash_est_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash accuracy on every LSH candidate pair: the
+    signature-agreement Jaccard estimate (agreeing positions / k, the
+    estimator LSH banding is built on) against the EXACT shingle-set
+    Jaccard, both in integer parts-per-million, plus the signed error.
+    Completes the measured-approximation trilogy — ANN recall
+    (``knn_recall_eval`` / ``knn_pq_recall_eval``), sketch error
+    (``sketch_hll_error``), and now the dedup estimator — so every
+    approximate structure in the engine carries an oracle-gated
+    accuracy number. With k=8 hashes the estimate quantizes to eighths;
+    the per-pair error column is exactly the calibration data a
+    threshold choice needs.
+
+    Scale: candidates and signatures come from the audited LSH shapes
+    (band-key equi-join; zero-shuffle narrow signatures); the exact leg
+    joins the token table to the CANDIDATE pairs only (broadcast-sized)
+    — never all pairs — so the expensive exact computation is fenced to
+    exactly the rows being calibrated.
+    """
+    from wikidatabots_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signature_cols,
+        shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    k = 8
+    pairs = minhash_lsh_pairs(d, num_hashes=k, bands=4).select("id_a", "id_b")
+    sig = minhash_signature_cols(d, num_hashes=k)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    ).cast("long")
+    agree = (
+        pairs.join(sa, "id_a").join(sb, "id_b").select(
+            "id_a", "id_b", n_agree.alias("n_agree")
+        )
+    )
+    tok = (
+        shingles(d, 3, "doc_id", "text", distinct=False)
+        .select("doc_id", F.xxhash64("token").alias("tk"))
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    ta = tok.select(F.col("doc_id").alias("id_a"), "tk")
+    tb = tok.select(F.col("doc_id").alias("id_b"), "tk")
+    inter = (
+        ta.join(F.broadcast(pairs), "id_a")
+        .join(tb, ["id_b", "tk"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    j = (
+        agree.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_agree",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            (F.col("sza") + F.col("szb") - F.coalesce("n_inter", F.lit(0))).alias(
+                "n_union"
+            ),
+        )
+    )
+    est = F.expr("n_agree * 1000000 div 8")
+    exact = F.expr("n_inter * 1000000 div n_union")
+    return j.select(
+        "id_a",
+        "id_b",
+        "n_agree",
+        est.alias("est_jaccard_ppm"),
+        exact.alias("exact_jaccard_ppm"),
+        (est - exact).alias("err_ppm"),
+    )
