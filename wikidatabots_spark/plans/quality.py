@@ -2165,12 +2165,17 @@ def ev_markov_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row totals derive from THAT aggregate (types-squared rows, not
     a second pass over events).
     """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.where(F.col("user_id").isNotNull()).select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
     )
-    trans = (
+    # fence the aggregated matrix: both the output and the row-total
+    # branch read it — unfenced, the static plan re-derived the whole
+    # window+groupBy subtree (a second events pass) for the totals
+    trans = pushdown_fence(
         seq.where(F.col("next_type").isNotNull())
         .groupBy(
             F.col("event_type").alias("from_type"),

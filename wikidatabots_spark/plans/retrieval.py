@@ -480,6 +480,7 @@ def dedup_minhash_est_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     — never all pairs — so the expensive exact computation is fenced to
     exactly the rows being calibrated.
     """
+    from wikidatabots_spark.functions.scale import pushdown_fence
     from wikidatabots_spark.operators.dedup import (
         minhash_lsh_pairs,
         minhash_signature_cols,
@@ -488,7 +489,13 @@ def dedup_minhash_est_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     k = 8
-    pairs = minhash_lsh_pairs(d, num_hashes=k, bands=4).select("id_a", "id_b")
+    # fences: the candidate pairs feed both the agreement join and the
+    # broadcast side of the intersection join, and the token table is
+    # read three times (sizes + both intersection legs) — unfenced, the
+    # static plan replayed the documents scan 10x (PLANS.md)
+    pairs = pushdown_fence(
+        minhash_lsh_pairs(d, num_hashes=k, bands=4).select("id_a", "id_b")
+    )
     sig = minhash_signature_cols(d, num_hashes=k)
     sa = sig.select(
         F.col("doc_id").alias("id_a"),
@@ -506,7 +513,7 @@ def dedup_minhash_est_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", n_agree.alias("n_agree")
         )
     )
-    tok = (
+    tok = pushdown_fence(
         shingles(d, 3, "doc_id", "text", distinct=False)
         .select("doc_id", F.xxhash64("token").alias("tk"))
         .distinct()

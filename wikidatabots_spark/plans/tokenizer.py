@@ -49,7 +49,14 @@ def _bpe_round(vocab: DataFrame) -> tuple[DataFrame, DataFrame]:
     pairs weighted by word frequency, pick the (freq DESC, pair ASC)
     winner as a 1-row frame, and apply it with leftmost-non-overlapping
     ``replace`` — exactly the greedy application real BPE trainers use.
-    Returns (best_pair_frame, next_vocab)."""
+    Returns (best_pair_frame, next_vocab); the next vocab is FENCED
+    (lazy localCheckpoint) because three consumers read each round's
+    table — the next round's pair counts, the merge output, and every
+    later round's lineage — and unfenced the corpus-sized word count
+    replayed once per round (measured in PLANS.md: 7 scans for 3
+    rounds)."""
+    from wikidatabots_spark.functions.scale import pushdown_fence
+
     pair_counts = (
         vocab.select(F.explode(_pairs_expr(F.col("sym"))).alias("pair"), "cnt")
         .groupBy("pair")
@@ -65,7 +72,7 @@ def _bpe_round(vocab: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("sym"), F.col("__p"), F.replace(F.col("__p"), F.lit(" "), F.lit(""))
         ).alias("sym"),
     )
-    return best, nxt
+    return best, pushdown_fence(nxt)
 
 
 def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
@@ -138,9 +145,12 @@ def corpus_bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationale); real vocab sizes just raise the round count.
     """
     d = load_table(spark, sf_dir, "documents")
+    from wikidatabots_spark.functions.scale import pushdown_fence
     from wikidatabots_spark.operators.textstats import words
 
-    vocab = (
+    # fence the word-count table: round 1 reads it twice (pair counts +
+    # merge application) and it is the only corpus-sized stage
+    vocab = pushdown_fence(
         d.select(F.explode(words(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -205,9 +215,12 @@ def corpus_bpe_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds (a few hundred thousand rows broadcast in MBs).
     """
     d = load_table(spark, sf_dir, "documents")
+    from wikidatabots_spark.functions.scale import pushdown_fence
     from wikidatabots_spark.operators.textstats import words
 
-    vocab = (
+    # fence the word-count table: round 1 reads it twice (pair counts +
+    # merge application) and it is the only corpus-sized stage
+    vocab = pushdown_fence(
         d.select(F.explode(words(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
