@@ -227,3 +227,43 @@ def hll_estimate(
             ).cast("double")
         ).alias("estimate"),
     )
+
+
+def kmv_sketch(
+    df: DataFrame, col: str, k: int = 32, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """K-minimum-values sketch per group: the ``k`` smallest 48-bit
+    md5-derived hashes of the column's DISTINCT values, as
+    ``(*group_cols, h, kmv_rank)`` rows (``kmv_rank`` 1..k by h).
+
+    The distinct-count sketch that — unlike HLL — supports set
+    INTERSECTION estimation: for two sets, the k smallest hashes of
+    their union plus membership flags yield both |A∪B| ((k-1)/θ with
+    θ = the kth smallest hash as a fraction of the hash space) and
+    |A∩B| (the Jaccard fraction of the union sketch present in both,
+    times the union estimate) — Beyer et al., SIGMOD 2007. Two KMV
+    sketches merge by "union rows, keep k smallest": mergeable across
+    partitions and days, state bounded at k rows per group.
+
+    Determinism: md5-derived hashes (no RNG), ties impossible below the
+    2^-48 collision scale and irrelevant above it (equal hashes fold —
+    part of the documented approximation); the sketch table is
+    engine-exact and oracle-checkable like the HLL register table.
+
+    Scale: one distinct-shuffle bounded by (groups x distinct values)
+    then a per-group top-k window over at most that; downstream overlap
+    math touches only groups x k rows.
+    """
+    c = F.col(col)
+    hx = F.md5(c.cast("string"))
+    h = F.conv(F.substring(hx, 1, 12), 16, 10).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("h")
+    return (
+        df.where(c.isNotNull())
+        .select(*group_cols, h.alias("h"))
+        .distinct()
+        .withColumn("kmv_rank", F.row_number().over(w))
+        .where(F.col("kmv_rank") <= k)
+    )

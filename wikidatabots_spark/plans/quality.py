@@ -2193,3 +2193,181 @@ def ev_markov_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_total",
         F.expr("n * 1000000 div row_total").alias("p_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_kmv_overlap — KMV set-intersection estimates vs exact overlap
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+_KMV_SPACE = float(1 << 48)
+
+
+def _kmv_overlap_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _hex_int_sql
+
+    h48 = _hex_int_sql("hx", 1, 12)
+    full = (_KMV_K - 1) * _KMV_SPACE  # exactly representable double
+    return f"""
+WITH du AS (
+    SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+hashed AS (
+    SELECT DISTINCT event_type, {h48} AS h FROM (
+        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM du
+    )
+),
+sk AS (
+    SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    ) WHERE rn <= {_KMV_K}
+),
+types AS (SELECT DISTINCT event_type FROM sk),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b
+    FROM types a JOIN types b ON a.event_type < b.event_type
+),
+legs AS (
+    SELECT p.type_a, p.type_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, s.h, 0, 1
+    FROM pairs p JOIN sk s ON s.event_type = p.type_b
+),
+m AS (
+    SELECT type_a, type_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+    FROM legs GROUP BY type_a, type_b, h
+),
+kept AS (
+    SELECT * FROM (
+        SELECT type_a, type_b, h, in_a, in_b,
+               row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+        FROM m
+    ) WHERE rn <= {_KMV_K}
+),
+per AS (
+    SELECT type_a, type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MAX(h) AS kth,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS rho
+    FROM kept GROUP BY type_a, type_b
+),
+cnts AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM du GROUP BY event_type),
+xinter AS (
+    SELECT p.type_a, p.type_b, CAST(COUNT(*) AS BIGINT) AS xi
+    FROM pairs p
+    JOIN du a ON a.event_type = p.type_a
+    JOIN du b ON b.event_type = p.type_b AND b.user_id = a.user_id
+    GROUP BY p.type_a, p.type_b
+)
+SELECT per.type_a, per.type_b, per.n_kept, per.rho,
+       ca.c + cb.c - COALESCE(x.xi, 0) AS exact_union,
+       CASE WHEN per.n_kept < {_KMV_K} THEN CAST(per.n_kept AS DOUBLE)
+            ELSE {full!r} / per.kth END AS est_union,
+       COALESCE(x.xi, 0) AS exact_inter,
+       CASE WHEN per.n_kept < {_KMV_K} THEN CAST(per.rho AS DOUBLE)
+            ELSE (CAST(per.rho AS DOUBLE) / {_KMV_K})
+                 * ({full!r} / per.kth) END AS est_inter
+FROM per
+JOIN cnts ca ON ca.event_type = per.type_a
+JOIN cnts cb ON cb.event_type = per.type_b
+LEFT JOIN xinter x ON x.type_a = per.type_a AND x.type_b = per.type_b
+"""
+
+
+@register("sketch_kmv_overlap", oracle=_kmv_overlap_oracle())
+def sketch_kmv_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from K-minimum-values sketches
+    (Beyer et al., SIGMOD 2007): for every event-type pair, merge the
+    two k=32 sketches (k smallest of the union), estimate |A∪B| as
+    (k-1)/θ from the kth hash and |A∩B| as the both-members fraction
+    times the union estimate — then join the EXACT distinct-user
+    overlap next to it, the measured-approximation pattern. This is the
+    capability HLL structurally lacks (HLLs union losslessly but
+    cannot intersect); KMV is the sketch a "how many users do these
+    two products share" dashboard ships.
+
+    When the true union has fewer than k distinct values the sketch IS
+    the set and both estimates switch to exact counts (the CASE
+    branch), so small groups are not artificially noisy.
+
+    Scale: the sketch build is one distinct-shuffle + a per-group top-k
+    window; ALL pair math runs on groups x k rows (5 types -> 160
+    sketch rows here), independent of corpus size. The exact legs are
+    the calibration cost, affordable at test scale by design.
+    """
+    from wikidatabots_spark.operators.sketch import kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    k = _KMV_K
+    du = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sk = kmv_sketch(ev, "user_id", k=k, group_cols=("event_type",)).select(
+        "event_type", "h"
+    )
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    la = pairs.join(
+        sk.select(F.col("event_type").alias("type_a"), "h"), "type_a"
+    ).select("type_a", "type_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    lb = pairs.join(
+        sk.select(F.col("event_type").alias("type_b"), "h"), "type_b"
+    ).select("type_a", "type_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    m = (
+        la.unionByName(lb)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy("h")
+    kept = m.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    per = kept.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("rho"),
+    )
+    cnts = du.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ua = du.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = du.select(F.col("event_type").alias("type_b"), "user_id")
+    xinter = (
+        pairs.join(ua, "type_a")
+        .join(ub, ["type_b", "user_id"])
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("xi"))
+    )
+    full = F.lit((k - 1) * _KMV_SPACE)
+    est_union = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(full / F.col("kth"))
+    est_inter = F.when(
+        F.col("n_kept") < k, F.col("rho").cast("double")
+    ).otherwise(
+        (F.col("rho").cast("double") / F.lit(k)) * (full / F.col("kth"))
+    )
+    return (
+        per.join(cnts.withColumnRenamed("event_type", "type_a").withColumnRenamed("c", "ca"), "type_a")
+        .join(cnts.withColumnRenamed("event_type", "type_b").withColumnRenamed("c", "cb"), "type_b")
+        .join(xinter, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "n_kept",
+            "rho",
+            (F.col("ca") + F.col("cb") - F.coalesce("xi", F.lit(0))).alias(
+                "exact_union"
+            ),
+            est_union.alias("est_union"),
+            F.coalesce("xi", F.lit(0)).alias("exact_inter"),
+            est_inter.alias("est_inter"),
+        )
+    )
