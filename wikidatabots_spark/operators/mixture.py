@@ -93,3 +93,66 @@ def mix_epochs(
         .drop("__k", "__n")
     )
     return out
+
+
+def mix_temperature(
+    df: DataFrame,
+    key: str,
+    strata: str,
+    budget: int | None = None,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Temperature-scaled mixture: stratum weights are DERIVED FROM THE
+    DATA as ``isqrt(count_s)`` — sampling shares proportional to the
+    square root of natural frequency, the T5/mT5 multilingual balancing
+    rule (tau = 2 in the p^(1/tau) convention) that up-weights small
+    strata without flattening the distribution entirely. The weight
+    table stays in-plan (a |strata|-row aggregate), so the query is one
+    static DAG: no driver round-trip between counting and resampling.
+
+    Engine-exact: ``floor(sqrt(cast(n as double)))`` is identical in
+    both engines for any count below 2^52 (IEEE sqrt is correctly
+    rounded; the nearest half-ulp cannot cross an integer there), and
+    everything downstream is the same integer 65536ths rate math as
+    :func:`mix_epochs`.
+
+    Scale: identical to ``mix_epochs`` — only the |strata|-row count
+    table shuffles; rates broadcast back; the fact table never
+    exchanges.
+    """
+    counts = df.groupBy(strata).agg(F.count(F.lit(1)).alias("__cnt"))
+    counts = counts.withColumn(
+        "__wt",
+        F.expr("CAST(floor(sqrt(CAST(__cnt AS DOUBLE))) AS BIGINT)"),
+    )
+    totals = counts.agg(
+        F.sum("__cnt").alias("__t"),
+        F.sum("__wt").alias("__w"),
+    )
+    if budget is not None:
+        totals = totals.withColumn("__t", F.lit(int(budget)).cast("long"))
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("__k", F.expr("(__wt * __t * 65536) div (__w * __cnt)"))
+        .select(strata, "__k")
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col(key).cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    n_copies = (
+        F.expr("__k div 65536")
+        + F.when(bucket < F.col("__k") % 65536, 1).otherwise(0)
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), on=strata)
+        .withColumn("__n", n_copies)
+        .where(F.col("__n") >= 1)
+        .withColumn(
+            epoch_col, F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n")))
+        )
+        .drop("__k", "__n")
+    )

@@ -2371,3 +2371,188 @@ def sketch_kmv_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             est_inter.alias("est_inter"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_rake_keyphrases — RAKE keyword extraction (degree/frequency scores)
+# ---------------------------------------------------------------------------
+
+_RAKE_TOPK = 20
+
+
+def _rake_normalized_sql() -> str:
+    from wikidatabots_spark.operators.textstats import STOPWORDS
+
+    # normalized word string with stopwords replaced by the phrase
+    # delimiter: each replace re-supplies the boundary spaces, so
+    # adjacent stopwords ("of the") still split (sequential order is
+    # part of the contract and mirrored in the Spark expression)
+    expr = "' ' || array_to_string({words}, ' ') || ' '"
+    for s in STOPWORDS:
+        expr = f"replace({expr}, ' {s} ', ' | ')"
+    return expr
+
+
+def _rake_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _WORDS_SQL
+
+    norm = _rake_normalized_sql().format(words=_WORDS_SQL)
+    return f"""
+WITH phr AS (
+    SELECT doc_id, trim(p) AS phrase FROM (
+        SELECT doc_id, unnest(string_split({norm}, '|')) AS p
+        FROM documents
+    ) WHERE trim(p) != ''
+),
+inst AS (
+    SELECT doc_id, phrase, string_split(phrase, ' ') AS pw FROM phr
+),
+wstat AS (
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(plen) AS BIGINT) AS degree
+    FROM (
+        SELECT unnest(pw) AS word, len(pw) AS plen FROM inst
+    ) GROUP BY word
+),
+wscore AS (
+    SELECT word, (degree * 1000000) // freq AS score_ppm FROM wstat
+),
+pdist AS (
+    SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM phr GROUP BY phrase
+),
+pscore AS (
+    SELECT p.phrase, p.n_occurrences,
+           CAST(SUM(w.score_ppm) AS BIGINT) AS score_ppm
+    FROM pdist p, unnest(string_split(p.phrase, ' ')) AS t(word)
+    JOIN wscore w ON w.word = t.word
+    GROUP BY p.phrase, p.n_occurrences
+)
+SELECT phrase, n_occurrences, score_ppm FROM (
+    SELECT phrase, n_occurrences, score_ppm,
+           row_number() OVER (ORDER BY score_ppm DESC, phrase) AS rn
+    FROM pscore
+) WHERE rn <= {_RAKE_TOPK}
+"""
+
+
+@register("text_rake_keyphrases", oracle=_rake_oracle())
+def text_rake_keyphrases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free word runs; each member word scores
+    degree/frequency (degree = total length of phrases it appears in —
+    rewarding words that travel in long collocations); a phrase scores
+    the sum of its member words, in integer PARTS-PER-MILLION
+    (``degree * 1e6 div freq``) so the whole ranking is engine-exact.
+    Output: corpus top-{k} phrases by (score DESC, phrase ASC) with
+    occurrence counts — the keyword table a corpus browser or topic
+    labeler starts from.
+
+    Phrase splitting is a chain of boundary-space-preserving string
+    replaces (' of ' -> ' | '), sequential per stopword — adjacent
+    stopwords still split because each replacement re-supplies the
+    boundary space; the chain order is part of the contract and
+    identical in both engines.
+
+    Scale: one narrow scan explodes to phrase instances; word stats and
+    phrase stats are two groupBys with map-side partials; the word-
+    score join is vocabulary-sized (broadcast); only the final global
+    top-k window is unpartitioned — over the DISTINCT-phrase table,
+    orders of magnitude smaller than the corpus.
+    """
+    from wikidatabots_spark.operators.textstats import STOPWORDS, words
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.concat(
+        F.lit(" "), F.concat_ws(" ", words(F.col("text"))), F.lit(" ")
+    )
+    for s in STOPWORDS:
+        norm = F.replace(norm, F.lit(f" {s} "), F.lit(" | "))
+    phr = (
+        d.select("doc_id", F.explode(F.split(norm, r"\|")).alias("p"))
+        .select("doc_id", F.trim(F.col("p")).alias("phrase"))
+        .where(F.col("phrase") != "")
+    )
+    inst = phr.select("phrase", F.split("phrase", " ").alias("pw"))
+    wstat = (
+        inst.select(F.explode("pw").alias("word"), F.size("pw").alias("plen"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+    )
+    wscore = wstat.select(
+        "word", F.expr("degree * 1000000 div freq").alias("score_ppm")
+    )
+    pdist = phr.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    pscore = (
+        pdist.select(
+            "phrase", "n_occurrences", F.explode(F.split("phrase", " ")).alias("word")
+        )
+        .join(F.broadcast(wscore), "word")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.sum("score_ppm").cast("long").alias("score_ppm"))
+    )
+    w = Window.orderBy(F.col("score_ppm").desc(), F.col("phrase"))
+    return (
+        pscore.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _RAKE_TOPK)
+        .select("phrase", "n_occurrences", "score_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_mix_temperature — sqrt-frequency (T5-style) mixture resampling
+# ---------------------------------------------------------------------------
+
+
+def _mix_temperature_oracle() -> str:
+    from wikidatabots_spark.plans.curation import _MIX_BUCKET_SQL
+
+    return f"""
+WITH counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS wt
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS t, CAST(SUM(wt) AS BIGINT) AS w
+    FROM counts
+),
+rates AS (
+    SELECT source, (wt * t * 65536) // (w * cnt) AS k FROM counts, tot
+),
+docs AS (
+    SELECT doc_id, source, {_MIX_BUCKET_SQL} AS b FROM documents
+),
+expanded AS (
+    SELECT d.doc_id, d.source,
+           r.k // 65536 + CASE WHEN d.b < r.k % 65536 THEN 1 ELSE 0 END AS n
+    FROM docs d JOIN rates r USING (source)
+)
+SELECT doc_id, source, CAST(UNNEST(generate_series(1, n)) AS BIGINT) AS epoch
+FROM expanded
+WHERE n >= 1
+"""
+
+
+@register("corpus_mix_temperature", oracle=_mix_temperature_oracle())
+def corpus_mix_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture: target shares proportional to
+    sqrt(natural count) per source — the T5/mT5 multilingual balancing
+    rule, with the weight table DERIVED IN-PLAN from the data (unlike
+    ``corpus_mix_epochs``' hand-set weights): big sources are tempered,
+    small ones boosted, no human-curated weight list to maintain as
+    sources churn. Same integer 65536ths machinery; the oracle
+    reproduces every copy count exactly (isqrt is engine-exact below
+    2^52; see ``operators.mixture.mix_temperature``)."""
+    from wikidatabots_spark.operators.mixture import mix_temperature
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return mix_temperature(d, key="doc_id", strata="source").select(
+        "doc_id", "source", "epoch"
+    )
