@@ -396,3 +396,66 @@ def test_incremental_dedup_probe_stream_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_data_in_append_aggregation(spark, tmp_path):
+    """Watermark EVICTION pin: an event arriving after the watermark
+    passed its window must be dropped from an append-mode windowed
+    aggregation — the bounded-state contract every streaming agg in
+    this repo relies on. Two files force two micro-batches: batch 1
+    advances the watermark to 13:00, batch 2 delivers a 10:05 straggler
+    whose [10:00, 10:10) window is already final — its count stays 1."""
+    import datetime as dt
+    import time as _time
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def _write(name, ts_list):
+        spark.createDataFrame(
+            [(t,) for t in ts_list], "ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    _write("f1", [t(10, 0), t(10, 10), t(14, 0)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_agg")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+    def _rows_in() -> int:
+        return int(
+            sum(p["numInputRows"] for p in (q.recentProgress or []))
+        )
+
+    deadline = _time.time() + 90
+    while _rows_in() < 3 and _time.time() < deadline:
+        _time.sleep(0.5)
+    assert _rows_in() >= 3  # batch 1 consumed; watermark now 13:00
+    # the straggler arrives AFTER its window was finalized
+    _write("f2", [t(10, 5), t(14, 10)])
+    while _rows_in() < 5 and _time.time() < deadline:
+        _time.sleep(0.5)
+    assert _rows_in() >= 5
+    # one more empty-batch cycle so emissions flush, then stop
+    _time.sleep(2)
+    q.stop()
+    q.awaitTermination(30)
+    got = {
+        r["w"]["start"]: r["n"]
+        for r in spark.sql("select * from late_agg").collect()
+    }
+    # the 10:00 window was finalized before the straggler arrived
+    assert got.get(t(10, 0)) == 1
+    assert got.get(t(10, 10)) == 1
