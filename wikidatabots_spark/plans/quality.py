@@ -2556,3 +2556,75 @@ def corpus_mix_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_temperature(d, key="doc_id", strata="source").select(
         "doc_id", "source", "epoch"
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_attribution_linear — equal-credit multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_ATTRIB_ORACLE = """
+WITH v AS (
+    SELECT event_id AS view_id, user_id, ts AS vts
+    FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+),
+p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS pts
+    FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+),
+m AS (
+    SELECT p.purchase_id, v.view_id
+    FROM p JOIN v ON v.user_id = p.user_id
+               AND v.vts >= p.pts - INTERVAL 24 HOUR
+               AND v.vts < p.pts
+),
+c AS (SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY purchase_id)
+SELECT m.purchase_id, m.view_id, c.n AS n_touches,
+       1000000 // c.n AS credit_ppm
+FROM m JOIN c ON c.purchase_id = m.purchase_id
+"""
+
+
+@register("ev_attribution_linear", oracle=_ATTRIB_ORACLE)
+def ev_attribution_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution: every view in the
+    24 hours before a purchase shares the conversion credit equally —
+    ``credit_ppm = 1e6 div n_touches`` per (purchase, view) pair, the
+    marketing-analytics table last-touch models throw away. Interval
+    semantics are closed-open [pts-24h, pts): the purchase itself and
+    anything at the exact boundary never self-attributes.
+
+    Scale: the view-to-window match is the repo's bucketed
+    ``range_join`` — an equi-join on (user_id, time-bucket) with the
+    exact interval filter after, never a nested-loop inequality join —
+    and the touch count is a window over the matched pairs, clustered
+    by the purchase key the join already produced.
+    """
+    from wikidatabots_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(
+        (F.col("event_type") == "view") & F.col("user_id").isNotNull()
+    ).select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts"))
+    purchases = ev.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 24 HOURS")).alias("start"),
+        F.col("ts").alias("end"),
+    )
+    m = range_join(
+        views,
+        purchases,
+        on=["user_id"],
+        left_ts="vts",
+        right_start="start",
+        right_end="end",
+        bucket_width="1 day",
+    ).select("purchase_id", "view_id")
+    w = Window.partitionBy("purchase_id")
+    return (
+        m.withColumn("n_touches", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("credit_ppm", F.expr("1000000 div n_touches"))
+        .select("purchase_id", "view_id", "n_touches", "credit_ppm")
+    )
