@@ -135,6 +135,11 @@ HEADLINERS = [
     "corpus_bpe_segment",
     "ev_session_window",
     "ev_rfm_segments",
+    "ev_markov_transitions",
+    "dedup_minhash_est_error",
+    "sketch_kmv_overlap",
+    "text_rake_keyphrases",
+    "corpus_mix_temperature",
 ]
 
 
