@@ -2628,3 +2628,103 @@ def ev_attribution_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("credit_ppm", F.expr("1000000 div n_touches"))
         .select("purchase_id", "view_id", "n_touches", "credit_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_components_incremental — day-2 component maintenance == full CC
+# ---------------------------------------------------------------------------
+
+
+def _cc_incremental_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import (
+        _MINHASH_STACKED_SQL,
+        _TOK_SQL,
+    )
+
+    return f"""
+WITH RECURSIVE
+{_TOK_SQL},
+{_MINHASH_STACKED_SQL},
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM stacked a
+    JOIN stacked b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.node
+)
+SELECT node, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+
+@register("dedup_components_incremental", oracle=_cc_incremental_oracle())
+def dedup_components_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 dedup-graph maintenance, PROVEN equal to full recompute:
+    the even-id half plays the existing corpus (persisted MinHash band
+    index + its component labels), the odd-id half the new delivery.
+    The incremental computation touches only (a) the new batch's band
+    signatures probed against the index (new-vs-corpus candidate
+    pairs), (b) the new batch's internal pairs, and (c) STAR EDGES
+    (component -> member) compressing yesterday's components — then
+    one min-label CC over that union. The oracle is the FULL-corpus
+    recursive-CTE components over all LSH pairs: hash-equality IS the
+    theorem that incremental maintenance loses nothing (band keys are
+    per-document, so corpus growth never changes old signatures — the
+    property that makes the index append-only; contrast winnowing's
+    corpus-relative df cut, which would NOT compose this way).
+
+    Scale: yesterday's corpus is touched only through the band index
+    (equi-join probe) and the labels (|corpus| id pairs, no text);
+    pair-generation cost is batch-sized, and the CC runs on star-
+    compressed components (diameter ~2) plus batch edges.
+    """
+    from wikidatabots_spark.operators.dedup import (
+        connected_components,
+        minhash_band_table,
+        minhash_lsh_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    even = d.where(F.col("doc_id") % 2 == 0)
+    odd = d.where(F.col("doc_id") % 2 == 1)
+    # "persisted" state: band index + component labels of the corpus
+    bands_even = minhash_band_table(even).select(
+        F.col("doc_id").alias("id_e"), "band_idx", "band_hash"
+    )
+    labels_even = connected_components(minhash_lsh_pairs(even))
+    bands_odd = minhash_band_table(odd).select(
+        F.col("doc_id").alias("id_o"), "band_idx", "band_hash"
+    )
+    probe_cross = (
+        bands_odd.join(bands_even, ["band_idx", "band_hash"])
+        .select(
+            F.least("id_o", "id_e").alias("id_a"),
+            F.greatest("id_o", "id_e").alias("id_b"),
+        )
+        .distinct()
+    )
+    bo2 = bands_odd.select(
+        F.col("id_o").alias("id_o2"), "band_idx", "band_hash"
+    )
+    probe_new = (
+        bands_odd.join(bo2, ["band_idx", "band_hash"])
+        .where(F.col("id_o") < F.col("id_o2"))
+        .select(F.col("id_o").alias("id_a"), F.col("id_o2").alias("id_b"))
+        .distinct()
+    )
+    stars = labels_even.where(F.col("node") != F.col("component")).select(
+        F.col("component").alias("id_a"), F.col("node").alias("id_b")
+    )
+    edges = probe_cross.unionByName(probe_new).unionByName(stars).distinct()
+    return connected_components(edges)
