@@ -453,3 +453,86 @@ def test_minhash_narrow_equals_grouped_on_random_corpora(spark, docs):
         map(tuple, minhash_signatures(shingles(df, 3, distinct=False)).collect())
     )
     assert narrow == grouped
+
+
+# --- BPE round vs a pure-Python reference ----------------------------------
+
+_bpe_word = st.text(alphabet="abcxy", min_size=1, max_size=6)
+
+
+def _bpe_reference_round(vocab: dict[str, tuple[int, str]]):
+    """Pure-Python BPE round: (best_pair, freq), next vocab. Mirrors the
+    documented contract: pair counts weighted by word frequency with
+    in-word multiplicity, (freq DESC, pair ASC) winner,
+    leftmost-non-overlapping application."""
+    counts: dict[str, int] = {}
+    for _, (cnt, sym) in vocab.items():
+        parts = sym.split(" ")
+        for i in range(len(parts) - 1):
+            counts[f"{parts[i]} {parts[i + 1]}"] = (
+                counts.get(f"{parts[i]} {parts[i + 1]}", 0) + cnt
+            )
+    if not counts:
+        return None, vocab
+    best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    merged = best[0].replace(" ", "")
+    nxt = {
+        w: (cnt, sym.replace(best[0], merged))
+        for w, (cnt, sym) in vocab.items()
+    }
+    return best, nxt
+
+
+@SETTINGS
+@given(
+    words=st.dictionaries(
+        _bpe_word, st.integers(min_value=1, max_value=9), min_size=1, max_size=8
+    )
+)
+def test_bpe_round_matches_python_reference(spark, words):
+    from wikidatabots_spark.plans.tokenizer import _bpe_round
+
+    vocab = {w: (c, " ".join(w)) for w, c in words.items()}
+    df = spark.createDataFrame(
+        [(w, c, s) for w, (c, s) in vocab.items()],
+        "word string, cnt long, sym string",
+    )
+    want_best, want_vocab = _bpe_reference_round(vocab)
+    best_df, nxt_df = _bpe_round(df)
+    got_best = [(r["pair"], r["freq"]) for r in best_df.collect()]
+    if want_best is None:
+        assert got_best == []  # all single-char words: no pairs at all
+        return
+    assert got_best == [want_best]
+    got_vocab = {r["word"]: r["sym"] for r in nxt_df.collect()}
+    assert got_vocab == {w: s for w, (_, s) in want_vocab.items()}
+
+
+# --- PQ encode vs a pure-Python argmin -------------------------------------
+
+
+@SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=4, max_size=4),
+        min_size=3,
+        max_size=10,
+    )
+)
+def test_pq_encode_matches_python_argmin(spark, vecs):
+    from wikidatabots_spark.operators.pq import pq_encode, pq_fit
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<int>")
+    books = pq_fit(df, m=2, subdim=2, k=2, rounds=2)
+    got = {
+        r["vec_id"]: (r["code0"], r["code1"])
+        for r in pq_encode(df, books, subdim=2).collect()
+    }
+    for i, v in rows:
+        for s, book in enumerate(books):
+            sub = v[s * 2 : (s + 1) * 2]
+            want = min(
+                (sum((a - b) ** 2 for a, b in zip(sub, cv)), c) for c, cv in book
+            )[1]
+            assert got[i][s] == want, (i, s)
