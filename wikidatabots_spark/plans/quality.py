@@ -2728,3 +2728,78 @@ def dedup_components_incremental_q(spark: SparkSession, sf_dir: str) -> DataFram
     )
     edges = probe_cross.unionByName(probe_new).unionByName(stars).distinct()
     return connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# curate_corpus_v6 — the flagship pipeline with DATA-DERIVED mixture weights
+# ---------------------------------------------------------------------------
+
+_V5_WT_SQL = """CAST(CASE WHEN source = 'src0' THEN 1
+                     WHEN source = 'src1' THEN 9
+                     ELSE 3 END AS BIGINT) AS wt"""
+_V6_WT_SQL = "CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS wt"
+
+
+def _curate_v6_oracle() -> str:
+    from wikidatabots_spark.plans.llmdata import _curate_v5_oracle
+
+    v5 = _curate_v5_oracle()
+    assert v5.count(_V5_WT_SQL) == 1, "v5 oracle weight CTE moved"
+    return v5.replace(_V5_WT_SQL, _V6_WT_SQL)
+
+
+@register("curate_corpus_v6", oracle=_curate_v6_oracle())
+def curate_corpus_v6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v5 with the hand-set mixture weights replaced by DATA-DERIVED
+    temperature weights (shares proportional to sqrt of each source's
+    surviving count — ``corpus_mix_temperature``'s rule applied inside
+    the flagship): the full modern pipeline — exact dedup → winnow/CC
+    components → quality/language/repetition/classifier gates →
+    cross-table SemDeDup gate → LM survivor polish → sqrt-frequency
+    mixture with epochs → content-hash split — now needs NO curated
+    weight list to maintain as sources churn. The oracle is the entire
+    v5 recursive-CTE program with only the weight expression swapped
+    (asserted single-site), so the diff between pipelines is exactly
+    the mixture policy.
+
+    Scale: identical to v5 (the gate stack and fences are shared code);
+    the temperature weights add only a |sources|-row aggregate to the
+    already-|sources|-row rate table.
+    """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.lm import with_lm_score
+    from wikidatabots_spark.operators.mixture import mix_temperature
+    from wikidatabots_spark.operators.similarity import semdedup_flags
+    from wikidatabots_spark.plans.curation import _SPLIT_CUT, _v3_gated
+    from wikidatabots_spark.plans.llmdata import _v5_lmdrop
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    semdrop = (
+        semdedup_flags(emb, k=4, rounds=2, threshold=0.3)
+        .where(~F.col("is_kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    gated4 = pushdown_fence(
+        _v3_gated(spark, sf_dir).join(semdrop, "doc_id", "left_anti")
+    )
+    lmdrop = _v5_lmdrop(with_lm_score(d), gated4)
+    final_gated = pushdown_fence(gated4.join(lmdrop, "doc_id", "left_anti"))
+    mixed = mix_temperature(final_gated, key="doc_id", strata="source")
+    split_bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return mixed.select(
+        "doc_id",
+        "source",
+        "epoch",
+        F.when(split_bucket < _SPLIT_CUT, F.lit("train"))
+        .otherwise(F.lit("holdout"))
+        .alias("split"),
+    )
