@@ -102,10 +102,11 @@ PRIORITY: list[str] = [
     "curate_corpus_v3",
     "corpus_mix_epochs",
     # promoted late-r4 (T4 folded into the op_strings slot), upgraded
-    # r4b: the cross-table text+embedding curation flagship with the
-    # LM-score survivor polish (v5 strictly supersedes v4, which stays
-    # registered and locally gated)
-    "curate_corpus_v5",
+    # r4b and again r4d: the cross-table text+embedding curation
+    # flagship with the LM-score survivor polish and (v6) data-derived
+    # temperature mixture weights (v6 strictly supersedes v5/v4, which
+    # stay registered and locally gated)
+    "curate_corpus_v6",
     # promoted r4b (T1 regexp_extract_null folded into op_strings too):
     # the CCNet-shaped LM quality ranking
     "text_lm_score",
