@@ -75,3 +75,55 @@ def sql_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-customer pick engine-identical)."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_TOP_ORDER)
+
+
+_SQL_LATERAL_TOPN = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+    SELECT c_name, c_acctbal
+    FROM customer
+    WHERE c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_name
+    LIMIT 2
+) t
+"""
+
+
+@register("sql_lateral_topn", oracle=_SQL_LATERAL_TOPN)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — per-nation top-2 customers by
+    account balance — in ONE identical SQL string on both engines
+    (Spark plans it as a rewritten window/join; DuckDB as a lateral
+    join): the dependent-join surface of the common dialect, which
+    neither plain joins nor uncorrelated subqueries exercise. Ties
+    broken in the ORDER BY so the LIMIT is deterministic."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_TOPN)
+
+
+_SQL_AGG_FILTER = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O')
+           AS n_open_customers,
+       MIN(o_orderdate) FILTER (WHERE o_orderstatus = 'F')
+           AS first_finished,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                FILTER (WHERE o_orderstatus <> 'P') AS DOUBLE)
+           AS nonpending_value
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_agg_filter", oracle=_SQL_AGG_FILTER)
+def sql_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clauses — per-group conditional counts,
+    distinct-counts, min, and a decimal-exact conditional sum — in one
+    identical SQL string on both engines: the standard-SQL form of
+    "pivot a few predicates into columns" that otherwise hides inside
+    CASE-WHEN-inside-SUM idioms."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_AGG_FILTER)
