@@ -2298,17 +2298,24 @@ def sketch_kmv_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch rows here), independent of corpus size. The exact legs are
     the calibration cost, affordable at test scale by design.
     """
+    from wikidatabots_spark.functions.scale import pushdown_fence
     from wikidatabots_spark.operators.sketch import kmv_sketch
 
     ev = load_table(spark, sf_dir, "events")
     k = _KMV_K
-    du = (
+    # fences: the distinct-user table feeds the exact counts and BOTH
+    # exact-intersection legs, and the sketch feeds the type list and
+    # both merge legs — unfenced, each branch replayed the distinct
+    # shuffle from the scan (audited 24 shuffles / 12 scans)
+    du = pushdown_fence(
         ev.where(F.col("user_id").isNotNull())
         .select("event_type", "user_id")
         .distinct()
     )
-    sk = kmv_sketch(ev, "user_id", k=k, group_cols=("event_type",)).select(
-        "event_type", "h"
+    sk = pushdown_fence(
+        kmv_sketch(ev, "user_id", k=k, group_cols=("event_type",)).select(
+            "event_type", "h"
+        )
     )
     types = sk.select("event_type").distinct()
     pairs = (
