@@ -44,3 +44,45 @@ def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     n_all = spark.read.parquet(out).count()
     n_pruned = pruned.count()
     assert 0 < n_pruned < n_all
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(
+    spark, sf_dir, tmp_path
+):
+    """Operational sink contract: with partitionOverwriteMode=dynamic,
+    overwriting a batch that touches ONE source partition must leave
+    every other partition's data intact (static mode would wipe the
+    whole table) — the daily-repair write pattern a partitioned corpus
+    store depends on."""
+    from wikidatabots_spark.sources.tables import load_table
+
+    out = str(tmp_path / "dyn")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "source"
+    )
+    d.write.partitionBy("source").parquet(out)
+    before = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert len(before) > 1
+    target = sorted(before)[0]
+    repair = d.where(F.col("source") == target).limit(3)
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        repair.write.mode("overwrite").partitionBy("source").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    after = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert after[target] == 3  # the touched partition was replaced
+    for s, n in before.items():
+        if s != target:
+            assert after[s] == n  # every other partition untouched

@@ -2810,3 +2810,106 @@ def curate_corpus_v6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("holdout"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_cms_error — measured count-min accuracy on the exact top words
+# ---------------------------------------------------------------------------
+
+
+def _cms_error_oracle(depth: int = 4, width: int = 256, topk: int = 10) -> str:
+    def hash8(col_expr: str) -> str:
+        md5e = f"md5(CAST(j AS VARCHAR) || ':' || {col_expr})"
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr({md5e}, {k + 1}, 1)) - 1)"
+            f" * {16 ** (7 - k)}"
+            for k in range(8)
+        )
+
+    return f"""
+WITH words AS (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != '')) AS w
+    FROM documents
+),
+exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM words GROUP BY w),
+topw AS (
+    SELECT w, exact_cnt FROM (
+        SELECT w, exact_cnt,
+               row_number() OVER (ORDER BY exact_cnt DESC, w) AS rn
+        FROM exact
+    ) WHERE rn <= {topk}
+),
+cms AS (
+    SELECT row_idx, col_idx, COUNT(*) AS cnt FROM (
+        SELECT j AS row_idx, ({hash8('words.w')}) % {width} AS col_idx
+        FROM words, generate_series(0, {depth - 1}) t(j)
+    ) GROUP BY row_idx, col_idx
+),
+probes AS (
+    SELECT t.w, t.exact_cnt, j AS row_idx,
+           ({hash8('t.w')}) % {width} AS col_idx
+    FROM topw t, generate_series(0, {depth - 1}) t2(j)
+),
+est AS (
+    SELECT p.w, p.exact_cnt,
+           CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+    FROM probes p
+    LEFT JOIN cms c ON c.row_idx = p.row_idx AND c.col_idx = p.col_idx
+    GROUP BY p.w, p.exact_cnt
+)
+SELECT w AS word, exact_cnt, est, est - exact_cnt AS overestimate
+FROM est
+"""
+
+
+@register("sketch_cms_error", oracle=_cms_error_oracle())
+def sketch_cms_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured count-min accuracy: the sketch's point estimates for the
+    EXACT top-10 words, with the signed overestimate — which is always
+    >= 0, the CMS one-sided guarantee, here carried as data the driver
+    hash-checks rather than a property the docstring asserts. Closes
+    the measured-approximation set: every sketch (HLL, KMV, CMS) and
+    every ANN/estimator structure now ships a calibration query.
+
+    Scale: the word stream is read twice (exact counts + sketch build)
+    — both narrow explodes feeding bounded aggregations (the sketch's
+    shuffle is capped at depth x width rows per map task); the probe
+    side is topk x depth rows against the broadcast sketch.
+    """
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+    from wikidatabots_spark.operators.sketch import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    words = ensure_parallelism(d.select("doc_id", "text"), "doc_id").select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+        ).alias("w")
+    )
+    exact = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    topw = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_cnt").desc(), F.col("w"))
+            ),
+        )
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    sketch = count_min_sketch(words, "w", depth=4, width=256)
+    est = cms_estimate(sketch, topw.select("w"), "w", depth=4, width=256)
+    return (
+        topw.join(est, topw["w"] == est["token"])
+        .select(
+            F.col("w").alias("word"),
+            "exact_cnt",
+            F.col("est").cast("long").alias("est"),
+            (F.col("est") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+        )
+    )
