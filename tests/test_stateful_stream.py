@@ -80,3 +80,34 @@ def test_event_transitions_stream_matches_batch_lead(spark, sf_dir):
     want = {(r.from_type, r.to_type): r["count"] for r in batch.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_kmv_sketch_stream_matches_batch(spark, sf_dir):
+    """The streamed KMV state (k smallest user hashes per event_type)
+    must equal the batch kmv_sketch bit-for-bit."""
+    from wikidatabots_spark.operators.sketch import kmv_sketch
+    from wikidatabots_spark.streaming.stateful import kmv_sketch_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        kmv_sketch_stream(ev)
+        .writeStream.format("memory")
+        .queryName("kmv_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_type: r.hashes
+        for r in spark.sql("select * from kmv_state").collect()
+    }
+    batch = kmv_sketch(
+        load_table(spark, sf_dir, "events"), "user_id", k=32,
+        group_cols=("event_type",),
+    )
+    want: dict[str, list[int]] = {}
+    for r in batch.collect():
+        want.setdefault(r["event_type"], []).append(r["h"])
+    want_csv = {t: ",".join(str(x) for x in sorted(hs)) for t, hs in want.items()}
+    assert got == want_csv and len(got) > 0

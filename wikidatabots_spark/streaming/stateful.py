@@ -369,3 +369,76 @@ def event_transitions_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming KMV sketch maintenance (the sketch_kmv_overlap feed)
+# ---------------------------------------------------------------------------
+
+KMV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("hashes", StringType()),  # csv of the k smallest, ascending
+    ]
+)
+
+KMV_STATE_SCHEMA = StructType([StructField("hashes", StringType())])
+
+_KMV_STREAM_K = 32
+
+
+def _kmv_hash(user_id: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(user_id).encode()).hexdigest()[:12], 16)
+
+
+def _update_kmv(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    cur: set[int] = set()
+    if state.exists:
+        (csv,) = state.get
+        if csv:
+            cur = {int(x) for x in csv.split(",")}
+    for pdf in pdfs:
+        for uid in pdf["user_id"].dropna():
+            cur.add(_kmv_hash(int(uid)))
+    kept = sorted(cur)[:_KMV_STREAM_K]
+    csv = ",".join(str(x) for x in kept)
+    state.update((csv,))
+    state.setTimeoutDuration(IDLE_TIMEOUT_MS)
+    yield pd.DataFrame({"event_type": [key[0]], "hashes": [csv]})
+
+
+def kmv_sketch_stream(events: DataFrame) -> DataFrame:
+    """Streaming K-minimum-values maintenance: one bounded state row per
+    event_type holding the k smallest md5-derived 48-bit user hashes —
+    "merge new hashes, keep k smallest" is the KMV merge operator, so
+    the maintained sketch equals the batch ``kmv_sketch`` over all data
+    seen (parity test pins bit-equality), and downstream the
+    ``sketch_kmv_overlap`` union/intersection math reads it unchanged.
+    State per group is <= k longs REGARDLESS of stream length — the
+    same bounded-state argument as the streaming HLL registers, but for
+    the sketch family that can intersect. Update semantics: the latest
+    emitted row per group is the current sketch.
+
+    Caveat shared with all KMV maintenance: deletions are not
+    supported (a min sketch cannot forget); re-derive from storage for
+    retraction workloads.
+    """
+    return (
+        events.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_kmv,
+            outputStructType=KMV_OUTPUT_SCHEMA,
+            stateStructType=KMV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
