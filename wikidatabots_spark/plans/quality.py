@@ -2913,3 +2913,63 @@ def sketch_cms_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") - F.col("exact_cnt")).cast("long").alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# win_range_numeric — RANGE frame over a numeric (non-time) ordering
+# ---------------------------------------------------------------------------
+
+_RANGE_NUMERIC_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS price_cents,
+       CAST(COUNT(*) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+           RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING
+       ) AS BIGINT) AS n_similar,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+           RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING
+       ) AS DOUBLE) AS band_value
+FROM orders
+WHERE o_orderkey < 2000
+"""
+
+
+@register("win_range_numeric", oracle=_RANGE_NUMERIC_ORACLE)
+def win_range_numeric_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over a NUMERIC ordering — for each order, the
+    count and decimal-exact value sum of same-priority orders within
+    +/-1000 of its price. The value-neighborhood frame family:
+    ``rowsBetween`` counts rows, ``ev_rolling_1h``'s range frame walks
+    event time, and this one walks a measure — the price-band density
+    feature outlier detection and elasticity analyses start from.
+
+    Engine-exact: the ordering key is integer CENTS (decimal*100, an
+    exact conversion — PySpark's rangeBetween takes integer bounds, and
+    integer frame membership removes any float-boundary risk), and the
+    in-frame sum goes through DECIMAL.
+
+    Scale: one shuffle on the partition key; the range frame is
+    evaluated with the running two-pointer pass over each sorted
+    partition — same cost class as a rows frame.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    cents = (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
+    o = o.withColumn("price_cents", cents)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("price_cents")
+        .rangeBetween(-100000, 100000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "price_cents",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_similar"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .over(w)
+        .cast("double")
+        .alias("band_value"),
+    )

@@ -127,3 +127,31 @@ def sql_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE-WHEN-inside-SUM idioms."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_AGG_FILTER)
+
+
+_SQL_EXISTS = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE EXISTS (
+    SELECT 1 FROM customer
+    WHERE c_nationkey = s_nationkey AND c_acctbal > s_acctbal
+)
+  AND NOT EXISTS (
+    SELECT 1 FROM customer
+    WHERE c_nationkey = s_nationkey
+      AND CAST(c_acctbal AS DECIMAL(14,2))
+          > CAST(s_acctbal AS DECIMAL(14,2)) + 9000
+)
+"""
+
+
+@register("sql_exists_correlated", oracle=_SQL_EXISTS)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS and NOT EXISTS predicates — suppliers whose
+    nation has a richer customer but none richer by 9000+ (decimal-exact comparison) — in one
+    identical SQL string on both engines (Spark plans them as left-semi
+    and left-anti joins; quantified ANY/ALL comparisons are NOT in
+    Spark's dialect, so EXISTS is the portable quantification form —
+    verified: `> ALL (subquery)` is a parse error in Spark 4)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_EXISTS)
