@@ -2973,3 +2973,129 @@ def win_range_numeric_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("band_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_user_growth — daily new users and the cumulative adoption curve
+# ---------------------------------------------------------------------------
+
+_USER_GROWTH_ORACLE = """
+WITH first_seen AS (
+    SELECT user_id, MIN(ts) AS first_ts FROM events
+    WHERE user_id IS NOT NULL GROUP BY user_id
+),
+daily AS (
+    SELECT CAST(date_trunc('day', first_ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS new_users
+    FROM first_seen GROUP BY date_trunc('day', first_ts)
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cumulative_users
+FROM daily
+"""
+
+
+@register("ev_user_growth", oracle=_USER_GROWTH_ORACLE)
+def ev_user_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adoption curve: per-day NEW users (first-ever event) and the
+    running cumulative total — growth reporting's first chart, and the
+    first-seen aggregation underneath it is the same shape cohort
+    retention starts from (``ev_retention``).
+
+    Scale: one user_id shuffle for first-seen, one day rollup; the
+    cumulative window runs over the |days| aggregate only (a global
+    window over an already-tiny frame — the post-agg compromise).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    daily = first_seen.groupBy(
+        F.date_trunc("day", "first_ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_interarrival_stats — inter-event-time distribution per event type
+# ---------------------------------------------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+WITH seq AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id)) AS BIGINT) AS gap_us
+    FROM events WHERE user_id IS NOT NULL
+),
+gaps AS (SELECT event_type, gap_us FROM seq WHERE gap_us IS NOT NULL),
+ranked AS (
+    SELECT event_type, gap_us,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY gap_us) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS cnt
+    FROM gaps
+)
+SELECT event_type,
+       CAST(MAX(cnt) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) // MAX(cnt) AS BIGINT) AS mean_gap_us,
+       CAST(MAX(CASE WHEN rn = CEIL(0.5 * cnt) THEN gap_us END) AS BIGINT)
+           AS p50_gap_us,
+       CAST(MAX(CASE WHEN rn = CEIL(0.9 * cnt) THEN gap_us END) AS BIGINT)
+           AS p90_gap_us
+FROM ranked GROUP BY event_type
+"""
+
+
+@register("ev_interarrival_stats", oracle=_INTERARRIVAL_ORACLE)
+def ev_interarrival_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: each user's
+    consecutive same-type gaps in integer MICROSECONDS, rolled up to
+    count, truncated-integer mean, and exact-rank p50/p90 (the
+    ``corpus_length_quantiles`` convention — no interpolation). The
+    latency-profile table capacity planning and anomaly thresholds
+    (``ev_hourly_anomaly``) read; heavy-tailed gaps here are why the
+    robust quantiles matter more than the mean.
+
+    Scale: ONE (user_id, event_type)-keyed exchange for the lag window;
+    the rank window re-keys by event_type only — |types| partitions over
+    the gap rows, with the final rollup riding the same clustering.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.where(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap_us")
+    ranked = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("cnt"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("cnt").cast("long").alias("n_gaps"),
+        F.expr("sum(gap_us) div max(cnt)").cast("long").alias("mean_gap_us"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.5) * F.col("cnt")), F.col("gap_us"))
+        ).cast("long").alias("p50_gap_us"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.9) * F.col("cnt")), F.col("gap_us"))
+        ).cast("long").alias("p90_gap_us"),
+    )
