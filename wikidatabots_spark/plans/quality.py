@@ -3099,3 +3099,113 @@ def ev_interarrival_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == F.ceil(F.lit(0.9) * F.col("cnt")), F.col("gap_us"))
         ).cast("long").alias("p90_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_cluster_quality — per-cluster inertia / radius profile
+# ---------------------------------------------------------------------------
+
+
+def _cluster_quality_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _kmeans_oracle
+
+    return f"""
+WITH asg AS ({_kmeans_oracle()}),
+q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round((CAST(x AS DOUBLE) + 1.0) * 100) AS INT)) AS v
+    FROM embeddings
+),
+cdims AS (
+    SELECT a.cluster, g.i,
+           CAST(SUM(q.v[g.i]) // COUNT(*) AS INT) AS m
+    FROM asg a JOIN q USING (vec_id), generate_series(1, 64) g(i)
+    GROUP BY a.cluster, g.i
+),
+cents AS (SELECT cluster, list(m ORDER BY i) AS cv FROM cdims GROUP BY cluster),
+dists AS (
+    SELECT a.vec_id, a.cluster,
+           list_sum(list_transform(generate_series(1, 64),
+               i -> CAST((q.v[i] - c.cv[i]) AS BIGINT)
+                    * CAST((q.v[i] - c.cv[i]) AS BIGINT))) AS d2
+    FROM asg a
+    JOIN q ON q.vec_id = a.vec_id
+    JOIN cents c ON c.cluster = a.cluster
+)
+SELECT cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(d2) AS BIGINT) AS inertia,
+       CAST(MAX(d2) AS BIGINT) AS max_dist2,
+       CAST(SUM(d2) // COUNT(*) AS BIGINT) AS mean_dist2
+FROM dists GROUP BY cluster
+"""
+
+
+@register("emb_cluster_quality", oracle=_cluster_quality_oracle())
+def emb_cluster_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality profile for the integer k-means used by IVF and
+    SemDeDup: per cluster, member count, integer INERTIA (sum of
+    squared distances to the POST-assignment centroid — the k-means
+    objective itself), the squared radius (max), and the truncated-mean
+    spread. The evaluation table that says whether k is adequate before
+    trusting the cluster fence (a fat max_dist2 means the fence leaks
+    neighbors — exactly the recall loss ``knn_recall_eval`` then
+    measures downstream).
+
+    Engine-exact: distances are integer sums of squares against
+    integer-mean centroids; mean is ``sum div count``.
+
+    Scale: assignment is the literal-centroid narrow map; the refit
+    centroid table is k x dim aggregated rows; the distance pass is a
+    second narrow map and the profile aggregates with map-side
+    partials to k rows.
+    """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.clustering import (
+        kmeans_int_assign,
+        nearest_cluster_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = pushdown_fence(
+        emb.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(
+                    (x.cast("double") + F.lit(1.0)) * F.lit(100.0)
+                ).cast("int"),
+            ).alias("v"),
+        )
+    )
+    asg = kmeans_int_assign(
+        qv, k=4, rounds=2, id_col="vec_id", vec_col="v"
+    ).select("vec_id", "cluster")
+    joined = pushdown_fence(qv.join(asg, "vec_id"))
+    cents = (
+        joined.select("cluster", F.posexplode("v").alias("i", "val"))
+        .groupBy("cluster", "i")
+        .agg(F.expr("sum(val) div count(*)").cast("int").alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("cv")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dists = joined.join(F.broadcast(cents), "cluster").select(
+        "cluster", d2.alias("d2")
+    )
+    return dists.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("d2").cast("long").alias("inertia"),
+        F.max("d2").cast("long").alias("max_dist2"),
+        F.expr("sum(d2) div count(*)").cast("long").alias("mean_dist2"),
+    )
