@@ -1064,3 +1064,73 @@ def op_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("m", F.lit("name")).alias("name_lookup"),
         F.explode("m").alias("entry_key", "entry_value"),
     )
+
+
+# --- ARRAY set/transform functions over grouped data -----------------------
+@register(
+    "op_array_funcs",
+    oracle="""
+WITH per_order AS (
+    SELECT l_orderkey,
+           list_sort(list_distinct(list(l_partkey)
+               FILTER (WHERE l_quantity < 25))) AS small_parts,
+           list_sort(list_distinct(list(l_partkey)
+               FILTER (WHERE l_quantity >= 25))) AS big_parts
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       COALESCE(small_parts, []) AS small_parts,
+       COALESCE(big_parts, []) AS big_parts,
+       list_sort(list_distinct(list_concat(COALESCE(small_parts, []),
+                                           COALESCE(big_parts, []))))
+           AS all_parts,
+       list_sort(list_filter(COALESCE(small_parts, []),
+                             x -> list_contains(COALESCE(big_parts, []), x)))
+           AS both_sides,
+       list_sort(list_filter(COALESCE(small_parts, []),
+                             x -> NOT list_contains(COALESCE(big_parts, []), x)))
+           AS small_only,
+       len(COALESCE(small_parts, [])) + len(COALESCE(big_parts, []))
+           AS n_entries
+FROM per_order
+WHERE l_orderkey < 1000
+""",
+)
+def op_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY set algebra as first-class columns: per order, the distinct
+    part sets bought in small vs large quantities, their union
+    (``array_union``), intersection (``array_intersect``), and
+    difference (``array_except``) — all SORTED, because set-op output
+    order is engine-defined (Spark preserves first-appearance order,
+    DuckDB's list ops differ) and ``array_sort`` is the canonical form
+    that makes array-valued columns hash-comparable. Empty sets are
+    explicit ``[]``, not null (the COALESCE mirrors collect_list's
+    no-rows behavior across engines). All narrow after the one
+    groupBy."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    per = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(F.col("l_quantity") < 25, F.col("l_partkey"))
+                )
+            )
+        ).alias("small_parts"),
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(F.col("l_quantity") >= 25, F.col("l_partkey"))
+                )
+            )
+        ).alias("big_parts"),
+    )
+    sp, bp = F.col("small_parts"), F.col("big_parts")
+    return per.select(
+        "l_orderkey",
+        "small_parts",
+        "big_parts",
+        F.array_sort(F.array_union(sp, bp)).alias("all_parts"),
+        F.array_sort(F.array_intersect(sp, bp)).alias("both_sides"),
+        F.array_sort(F.array_except(sp, bp)).alias("small_only"),
+        (F.size(sp) + F.size(bp)).cast("long").alias("n_entries"),
+    )
