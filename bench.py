@@ -140,6 +140,13 @@ HEADLINERS = [
     "sketch_kmv_overlap",
     "text_rake_keyphrases",
     "corpus_mix_temperature",
+    # post-capstone r4d: incremental CC, the v6 flagship, CMS
+    # calibration, cluster quality, attribution
+    "dedup_components_incremental",
+    "curate_corpus_v6",
+    "sketch_cms_error",
+    "emb_cluster_quality",
+    "ev_attribution_linear",
 ]
 
 

@@ -2892,7 +2892,12 @@ def sketch_cms_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = words.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("exact_cnt")
     )
-    topw = (
+    from wikidatabots_spark.functions.scale import pushdown_fence
+
+    # fence the (10-row) top-words frame: both the probe side and the
+    # final join read it — unfenced, the exact word count replayed per
+    # branch (audited 3 scans)
+    topw = pushdown_fence(
         exact.withColumn(
             "rn",
             F.row_number().over(
