@@ -3214,3 +3214,90 @@ def emb_cluster_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d2").cast("long").alias("max_dist2"),
         F.expr("sum(d2) div count(*)").cast("long").alias("mean_dist2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_private_release — geometric-mechanism count release (seeded noise)
+# ---------------------------------------------------------------------------
+
+
+def _private_release_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _hex_int_sql
+
+    x = _hex_int_sql("hx", 1, 12)  # 48-bit hash slice
+    return f"""
+WITH counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS true_count
+    FROM documents GROUP BY source
+),
+noise AS (
+    SELECT source, true_count, x,
+           CAST(CASE WHEN x = 0 THEN 47
+                ELSE 47 - length(bin(CAST(x AS BIGINT))) + 1 END AS BIGINT)
+               AS mag,
+           CASE WHEN x % 2 = 0 THEN 1 ELSE -1 END AS sgn
+    FROM (
+        SELECT source, true_count, {x} AS x FROM (
+            SELECT source, true_count,
+                   md5('noise:v1:' || source) AS hx
+            FROM counts
+        )
+    )
+)
+SELECT source, true_count,
+       sgn * mag AS noise,
+       GREATEST(true_count + sgn * mag, 0) AS released_count
+FROM noise
+"""
+
+
+@register("dq_private_release", oracle=_private_release_oracle())
+def dq_private_release_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noised count release in the shape of the GEOMETRIC MECHANISM
+    (the discrete Laplace used for differentially-private counts):
+    per-source document counts, each perturbed by a two-sided
+    geometric(1/2) noise draw — magnitude = leading-zero-bit count of a
+    48-bit md5 slice (P(k) = 2^-(k+1), exactly the geometric
+    distribution; the same bit-counting primitive as the HLL rank),
+    sign from the slice's low bit, released value clamped at zero.
+    Sensitivity is 1 by construction (every document belongs to exactly
+    one source, so one document changes one count by one).
+
+    **The noise here is SEEDED (md5 of a fixed tag + the source), not
+    secret — a public deterministic seed provides NO privacy.** That is
+    deliberate and documented, same policy as the classifier stand-in:
+    the MECHANISM (sensitivity clamp, geometric sampling via bit
+    counting, post-clamp) is the production plan shape and is what the
+    oracle pins bit-for-bit; a real deployment swaps the seed for
+    fresh secret randomness drawn per release, changing no plan
+    structure. Testability of the pipeline around a DP release is
+    exactly why deployments keep a seeded mode.
+
+    Scale: one |strata|-row aggregation; the noise is a narrow
+    expression over that aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    x = F.conv(
+        F.substring(F.md5(F.concat(F.lit("noise:v1:"), F.col("source"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    noised = counts.withColumn("x", x).withColumns(
+        {
+            "mag": F.when(F.col("x") == 0, F.lit(47))
+            .otherwise(F.lit(47) - F.length(F.bin(F.col("x"))) + 1)
+            .cast("long"),
+            "sgn": F.when(F.col("x") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)),
+        }
+    )
+    return noised.select(
+        "source",
+        "true_count",
+        (F.col("sgn") * F.col("mag")).alias("noise"),
+        F.greatest(
+            F.col("true_count") + F.col("sgn") * F.col("mag"), F.lit(0)
+        ).alias("released_count"),
+    )
