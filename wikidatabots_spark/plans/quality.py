@@ -3301,3 +3301,128 @@ def dq_private_release_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("true_count") + F.col("sgn") * F.col("mag"), F.lit(0)
         ).alias("released_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_frame_dedup — cross-media shared-footage detection at FRAME level
+# ---------------------------------------------------------------------------
+
+_MM_FRAME_DEDUP_ORACLE = """
+WITH b AS (
+    SELECT doc_id AS media_id, text,
+           length(text) AS n,
+           greatest(length(text) // 4, 1) AS chunk
+    FROM documents
+),
+frames AS (
+    SELECT media_id,
+           CAST(s // (2 * chunk) AS BIGINT) AS frame_idx,
+           substr(text, CAST(s AS BIGINT) + 1, CAST(chunk AS BIGINT)) AS ftext
+    FROM (
+        SELECT media_id, text, chunk,
+               unnest(generate_series(0, n - 1, 2 * chunk)) AS s
+        FROM b
+    )
+),
+h AS (
+    SELECT media_id * 16 + frame_idx AS fid, media_id,
+           sha256(ftext) AS hx
+    FROM frames
+),
+ints AS (
+    SELECT fid, media_id,
+           list_transform(generate_series(0, 15),
+               i -> (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1)) AS bs
+    FROM h
+),
+ph AS (
+    SELECT fid, media_id,
+           CAST(list_sum(list_transform(generate_series(0, 15),
+               i -> CASE WHEN bs[i + 1] >= CAST(list_sum(bs) AS BIGINT) // 16
+                         THEN CAST(1 AS BIGINT) << i
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+    FROM ints
+),
+sliced AS (
+    SELECT fid, media_id, phash, j AS slice_idx,
+           (phash >> (4 * j)) & 15 AS slice_val
+    FROM ph, generate_series(0, 3) t(j)
+),
+cand AS (
+    SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+           a.fid AS fid_a, b.fid AS fid_b,
+           a.phash AS fa, b.phash AS fb
+    FROM sliced a
+    JOIN sliced b ON a.slice_idx = b.slice_idx
+                 AND a.slice_val = b.slice_val
+                 AND a.media_id < b.media_id
+)
+SELECT media_a, media_b,
+       CAST(COUNT(*) AS BIGINT) AS n_frame_matches,
+       CAST(MIN(bit_count(xor(fa, fb))) AS INT) AS best_hamming
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= 1
+GROUP BY media_a, media_b
+"""
+
+
+@register("mm_frame_dedup", oracle=_MM_FRAME_DEDUP_ORACLE)
+def mm_frame_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-footage detection at FRAME granularity: sample frames
+    from every media blob, perceptual-hash each frame, and surface
+    media pairs sharing at least one near-identical frame (Hamming
+    <= 1 over the 16-bit aHash, pigeonhole-LSH candidates) with the
+    match count and best distance. This catches PARTIAL-content
+    duplication — a clip embedded in a longer video, a thumbnail
+    reused across items — which whole-media hashing (``mm_phash_near``)
+    structurally misses; together they are the two granularities a
+    video dedup system runs.
+
+    Composition of audited pieces: the mapInPandas frame fan-out
+    (``mm_sample_frames``' deterministic fake chunker), the
+    feature->phash bijection, and the generic ``hamming_near_pairs``
+    machinery, with frame ids packed as media_id*16+frame_idx (the
+    chunker emits <= 3 frames per blob). The oracle rebuilds every
+    frame byte via substring arithmetic and reproduces the whole chain.
+
+    Scale: blobs never shuffle (frames project to 16-bit hashes before
+    any exchange); candidates are slice-bucketed, never all-pairs; the
+    16-bit space is the container-stub width — production uses 64-bit
+    phashes, same plan (``mm_phash_near``'s documented caveat).
+    """
+    from wikidatabots_spark.operators.dedup import hamming_near_pairs
+    from wikidatabots_spark.operators.multimodal import (
+        extract_features,
+        perceptual_hash,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+    frames = sample_frames(d, every=2)
+    ph = perceptual_hash(
+        extract_features(frames, data_col="frame")
+    ).select(
+        (F.col("media_id") * 16 + F.col("frame_idx")).alias("fid"),
+        "phash",
+    )
+    pairs = hamming_near_pairs(
+        ph, id_col="fid", fp_col="phash", n_slices=4, slice_bits=4,
+        max_hamming=1,
+    )
+    return (
+        pairs.select(
+            F.expr("id_a div 16").alias("media_a"),
+            F.expr("id_b div 16").alias("media_b"),
+            "hamming",
+        )
+        .where(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frame_matches"),
+            F.min("hamming").cast("int").alias("best_hamming"),
+        )
+    )
