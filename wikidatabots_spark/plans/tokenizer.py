@@ -248,3 +248,66 @@ def corpus_bpe_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__wtokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_bpe_compression — tokens-per-merge-round compression curve
+# ---------------------------------------------------------------------------
+
+
+def _bpe_compression_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    train = _bpe_oracle(rounds)
+    body = train[len("WITH ") : train.rindex("\nSELECT CAST(1")]
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, "
+        f"CAST((SELECT SUM(cnt * len(string_split(sym, ' '))) FROM v{r}) "
+        f"AS BIGINT) AS total_tokens"
+        for r in range(rounds + 1)
+    )
+    return f"WITH {body}\n{selects}"
+
+
+@register("corpus_bpe_compression", oracle=_bpe_compression_oracle())
+def corpus_bpe_compression_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE compression curve: corpus-weighted total token count
+    after 0..{rounds} merges — the measurement that justifies (or caps)
+    a merge budget, and the tokenizer-family analog of the other
+    calibration queries: train is hash-checked, apply is hash-checked,
+    and now the BENEFIT per merge is a gated number too (each merge
+    must strictly reduce the total by its winning pair's frequency —
+    the identity total_r = total_{r-1} - freq_r, which the driver's
+    hash implicitly verifies across rows).
+
+    Scale: the same one-corpus-stage/vocab-sized-rounds cost as
+    training — the per-round totals are single-row aggregates of the
+    (fenced) vocabulary table.
+    """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.textstats import words
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = pushdown_fence(
+        d.select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.rtrim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("sym"),
+        )
+    )
+    totals = []
+    for r in range(_BPE_ROUNDS + 1):
+        totals.append(
+            vocab.agg(
+                F.sum(
+                    F.col("cnt") * F.size(F.split("sym", " "))
+                ).cast("long").alias("total_tokens")
+            ).select(F.lit(r).cast("int").alias("merge_round"), "total_tokens")
+        )
+        if r < _BPE_ROUNDS:
+            _, vocab = _bpe_round(vocab)
+    out = totals[0]
+    for t in totals[1:]:
+        out = out.unionAll(t)
+    return out
