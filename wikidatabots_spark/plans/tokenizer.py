@@ -16,7 +16,7 @@ family).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wikidatabots_spark.plans.registry import register
@@ -311,3 +311,98 @@ def corpus_bpe_compression_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in totals[1:]:
         out = out.unionAll(t)
     return out
+
+
+# ---------------------------------------------------------------------------
+# corpus_vocab_coverage — OOV-rate curve for vocabulary sizing
+# ---------------------------------------------------------------------------
+
+_COVERAGE_CUTS = [10, 100, 1000, 10000]
+
+
+def _vocab_coverage_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _WORDS_SQL
+
+    cuts = ", ".join(str(c) for c in _COVERAGE_CUTS)
+    return f"""
+WITH wcnt AS (
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest({_WORDS_SQL}) AS w FROM documents)
+    GROUP BY w
+),
+ranked AS (
+    SELECT word, cnt,
+           row_number() OVER (ORDER BY cnt DESC, word) AS rn,
+           SUM(cnt) OVER () AS total
+    FROM wcnt
+),
+cum AS (
+    SELECT rn, total,
+           SUM(cnt) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS covered
+    FROM ranked
+)
+SELECT CAST(k AS BIGINT) AS vocab_size,
+       CAST(COALESCE(MAX(CASE WHEN rn <= k THEN covered END), 0) AS BIGINT)
+           AS covered_tokens,
+       CAST(MAX(total) AS BIGINT) AS total_tokens,
+       CAST((COALESCE(MAX(CASE WHEN rn <= k THEN covered END), 0) * 1000000)
+           // MAX(total) AS BIGINT) AS covered_ppm
+FROM cum, (SELECT unnest([{cuts}]) AS k)
+GROUP BY k
+"""
+
+
+@register("corpus_vocab_coverage", oracle=_vocab_coverage_oracle())
+def corpus_vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary-sizing curve: for each candidate vocab size k,
+    the fraction of all corpus tokens covered by the top-k words (by
+    frequency, ties lexicographic) in integer parts-per-million — the
+    complement of the OOV/UNK rate that ``tokenize_to_ids`` realizes
+    at its chosen k, measured BEFORE committing to a vocabulary. A k
+    beyond the distinct-word count covers everything (the curve
+    saturates — the cut list deliberately overshoots).
+
+    Scale: one corpus word count; the rank + running-coverage windows
+    run over the VOCABULARY (distinct words), unpartitioned by design
+    (the post-agg compromise; the bucketed two-phase rank applies past
+    ~10^8 distinct words); the cut evaluation is |cuts| rows.
+    """
+    from wikidatabots_spark.operators.textstats import words
+
+    d = load_table(spark, sf_dir, "documents")
+    wcnt = (
+        d.select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ranked = wcnt.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("word")))
+        .alias("rn"),
+        F.sum("cnt")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("total"),
+    ).withColumn(
+        "covered",
+        F.sum("cnt").over(
+            Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cuts = F.explode(
+        F.array(*[F.lit(c).cast("long") for c in _COVERAGE_CUTS])
+    ).alias("vocab_size")
+    return (
+        ranked.select("rn", "total", "covered", cuts)
+        .groupBy("vocab_size")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("rn") <= F.col("vocab_size"), F.col("covered"))),
+                F.lit(0),
+            ).cast("long").alias("covered_tokens"),
+            F.max("total").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "covered_ppm", F.expr("covered_tokens * 1000000 div total_tokens")
+        )
+    )
