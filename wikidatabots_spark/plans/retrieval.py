@@ -551,3 +551,51 @@ def dedup_minhash_est_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.alias("exact_jaccard_ppm"),
         (est - exact).alias("err_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_jaccard_histogram — candidate-similarity histogram for thresholds
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_hist_oracle() -> str:
+    base = _minhash_err_oracle()
+    # reuse the calibration query's entire CTE chain; re-aggregate its
+    # per-pair rows into decile bands of the EXACT Jaccard
+    return f"""
+WITH pairs_scored AS ({base})
+SELECT exact_jaccard_ppm // 100000 AS jaccard_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN est_jaccard_ppm >= 500000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_est_above_half
+FROM pairs_scored
+GROUP BY exact_jaccard_ppm // 100000
+"""
+
+
+@register("dedup_jaccard_histogram", oracle=_jaccard_hist_oracle())
+def dedup_jaccard_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregate view of the MinHash calibration pair: LSH
+    candidate pairs bucketed by EXACT-Jaccard decile, with the count
+    of pairs the 8-hash estimator would pass at a 0.5 threshold in
+    each band. Read together the two columns ARE the
+    precision/recall trade of a threshold choice (estimator-passed
+    pairs in low-exact deciles = false keeps; high-exact deciles
+    missing estimator passes = false drops) — `dedup_minhash_est_error`
+    gives the per-pair evidence, this gives the decision table.
+
+    Scale: a |deciles|-row re-aggregation of the already-fenced
+    calibration output; nothing new touches the corpus.
+    """
+    per_pair = dedup_minhash_est_error_q(spark, sf_dir)
+    return (
+        per_pair.groupBy(
+            F.expr("exact_jaccard_ppm div 100000").alias("jaccard_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("est_jaccard_ppm") >= 500000, 1).otherwise(0)
+            ).cast("long").alias("n_est_above_half"),
+        )
+    )
