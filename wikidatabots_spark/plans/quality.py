@@ -3426,3 +3426,51 @@ def mm_frame_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("hamming").cast("int").alias("best_hamming"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_weekly_profile — day-of-week x hour activity heat table
+# ---------------------------------------------------------------------------
+
+_WEEKLY_PROFILE_ORACLE = """
+SELECT CAST((CAST(epoch_us(ts) // 86400000000 AS BIGINT) + 4) % 7 AS INT)
+           AS dow,
+       CAST((epoch_us(ts) % 86400000000) // 3600000000 AS INT) AS hour,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("ev_weekly_profile", oracle=_WEEKLY_PROFILE_ORACLE)
+def ev_weekly_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity profile per event type — the weekly
+    seasonality heat table capacity planning and anomaly baselines
+    read (a Tuesday-9am spike is only a spike relative to Tuesdays at
+    9).
+
+    Cross-engine pitfall, solved by construction: the engines NUMBER
+    WEEKDAYS DIFFERENTLY (Spark's ``dayofweek`` is 1=Sunday, DuckDB's
+    ``dayofweek`` is 0=Sunday, ISO variants differ again), so the day
+    index is computed from epoch arithmetic instead —
+    ``(epoch_days + 4) % 7`` (epoch day 0 = Thursday; 0=Monday in the
+    output) — integer math both engines evaluate identically, immune
+    to any builtin's convention.
+
+    Scale: one groupBy with map-side partials to at most
+    7 x 24 x |types| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.expr(
+                "CAST((unix_micros(ts) div 86400000000 + 4) % 7 AS INT)"
+            ).alias("dow"),
+            F.expr(
+                "CAST((unix_micros(ts) % 86400000000) div 3600000000 AS INT)"
+            ).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
