@@ -1134,3 +1134,34 @@ def op_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_except(sp, bp)).alias("small_only"),
         (F.size(sp) + F.size(bp)).cast("long").alias("n_entries"),
     )
+
+
+# --- bitwise aggregate functions -------------------------------------------
+@register(
+    "op_bitwise_agg",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(bit_and(o_custkey) AS BIGINT) AS and_cust,
+       CAST(bit_or(o_custkey) AS BIGINT) AS or_cust,
+       CAST(bit_xor(o_custkey) AS BIGINT) AS xor_cust,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderkey < 4000
+GROUP BY o_orderpriority
+""",
+)
+def op_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family — ``bit_and`` / ``bit_or`` / ``bit_xor``
+    per group. These are the commutative-associative primitives the
+    order-insensitive manifest checksums are built on
+    (``sinks/training_shards.py``'s XOR digests; mergeable across
+    partitions and micro-batches by the same algebra) — this micro pins
+    the aggregate surface itself. Map-side partials, |groups| output
+    rows."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 4000)
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("bit_and(o_custkey)").cast("long").alias("and_cust"),
+        F.expr("bit_or(o_custkey)").cast("long").alias("or_cust"),
+        F.expr("bit_xor(o_custkey)").cast("long").alias("xor_cust"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
