@@ -3474,3 +3474,125 @@ def ev_weekly_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_source_drift — per-source vocabulary shift vs the corpus
+# ---------------------------------------------------------------------------
+
+
+def _source_drift_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _WORDS_SQL
+
+    return f"""
+WITH words AS (
+    SELECT source, unnest({_WORDS_SQL}) AS w FROM documents
+),
+sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+       FROM words GROUP BY source, w),
+wtot AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+stot AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS t_s FROM sw GROUP BY source),
+tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS t FROM wtot),
+terms AS (
+    SELECT sw.source,
+           abs(sw.c_sw * tot.t - wtot.c_w * stot.t_s) AS num,
+           stot.t_s, tot.t
+    FROM sw
+    JOIN wtot USING (w)
+    JOIN stot USING (source)
+    CROSS JOIN tot
+),
+missing AS (
+    -- words absent from a source still contribute |0 - p_w| mass:
+    -- total absent mass = t - sum of c_w over PRESENT words, per source
+    SELECT s.source,
+           (t.t - CAST(COALESCE(SUM(wt.c_w), 0) AS BIGINT)) * s.t_s AS num,
+           s.t_s, t.t
+    FROM stot s CROSS JOIN tot t
+    LEFT JOIN sw ON sw.source = s.source
+    LEFT JOIN wtot wt ON wt.w = sw.w
+    GROUP BY s.source, s.t_s, t.t
+)
+SELECT source,
+       CAST(SUM(num) * 500000 // (MAX(t_s) * MAX(t)) AS BIGINT) AS tv_ppm
+FROM (
+    SELECT source, num, t_s, t FROM terms
+    UNION ALL
+    SELECT source, num, t_s, t FROM missing
+)
+GROUP BY source
+"""
+
+
+@register("corpus_source_drift", oracle=_source_drift_oracle())
+def corpus_source_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary DRIFT: the total-variation distance between
+    each source's word distribution and the whole corpus', in integer
+    parts-per-million — the domain-shift score that flags a source
+    whose language stopped looking like the mixture it feeds (the
+    monitoring signal behind 'retrain the mixture weights?'), without
+    any float probability ever materializing: every |p_s - p| term is
+    the integer |c_sw * T - c_w * T_s| over the common denominator,
+    summed exactly and divided once (words ABSENT from a source
+    contribute their full corpus mass — the missing-mass term a naive
+    join-only implementation silently drops).
+
+    Precision note: the cross products fit BIGINT through ~10^9-token
+    corpora per source; past that the sums go through DECIMAL — same
+    ladder as the moment aggregates (``agg_corr_covar``).
+
+    Scale: one word-count shuffle keyed (source, word); the
+    distribution join is vocabulary-sized per source; output is
+    |sources| rows.
+    """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.textstats import words
+
+    d = load_table(spark, sf_dir, "documents")
+    sw = pushdown_fence(
+        d.select("source", F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_sw"))
+    )
+    wtot = sw.groupBy("w").agg(F.sum("c_sw").cast("long").alias("c_w"))
+    stot = sw.groupBy("source").agg(F.sum("c_sw").cast("long").alias("t_s"))
+    tot = wtot.agg(F.sum("c_w").cast("long").alias("t"))
+    terms = (
+        sw.join(wtot, "w")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.abs(
+                F.col("c_sw") * F.col("t") - F.col("c_w") * F.col("t_s")
+            ).alias("num"),
+            "t_s",
+            "t",
+        )
+    )
+    present_mass = (
+        sw.join(wtot, "w")
+        .groupBy("source")
+        .agg(F.sum("c_w").cast("long").alias("present_cw"))
+    )
+    missing = (
+        stot.join(present_mass, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            (
+                (F.col("t") - F.coalesce("present_cw", F.lit(0)))
+                * F.col("t_s")
+            ).alias("num"),
+            "t_s",
+            "t",
+        )
+    )
+    return (
+        terms.unionByName(missing)
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(sum(num) * 500000 div (max(t_s) * max(t)) AS BIGINT)")
+            .alias("tv_ppm")
+        )
+    )
