@@ -459,3 +459,26 @@ def test_watermark_drops_late_data_in_append_aggregation(spark, tmp_path):
     # the 10:00 window was finalized before the straggler arrived
     assert got.get(t(10, 0)) == 1
     assert got.get(t(10, 10)) == 1
+
+
+def test_sessionize_stream_values_match_batch_session_window(spark, sf_dir):
+    """Every session the stream emits must appear with identical
+    (user, start, count) in the batch ev_session_window result —
+    value-level parity, not just shape (complete output mode emits all
+    sessions, so the comparison is full set equality)."""
+    from wikidatabots_spark.plans.quality import ev_session_window_q
+
+    ev = read_events_stream(spark, sf_dir)
+    _run_to_memory(sessionize_stream(ev), "sess_parity")
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql(
+            "select user_id, session_start, n_events from sess_parity"
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in ev_session_window_q(spark, sf_dir).collect()
+    }
+    assert len(got) > 0
+    assert got == want
