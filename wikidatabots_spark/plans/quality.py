@@ -3596,3 +3596,100 @@ def corpus_source_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tv_ppm")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_value_pareto — revenue concentration (the 80/20 table)
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) * 10000 AS BIGINT) AS v
+    FROM events
+    WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    GROUP BY user_id
+),
+ranked AS (
+    SELECT v,
+           row_number() OVER (ORDER BY v DESC, user_id) AS rn,
+           COUNT(*) OVER () AS n,
+           CAST(SUM(v) OVER () AS BIGINT) AS total
+    FROM per_user
+)
+SELECT CAST(d AS INT) AS top_decile,
+       CAST(MAX(n) AS BIGINT) AS n_users,
+       CAST(COALESCE(SUM(CASE WHEN rn <= (n * d) // 10 THEN v END), 0)
+            AS BIGINT) AS decile_value_e4,
+       CAST(COALESCE(SUM(CASE WHEN rn <= (n * d) // 10 THEN v END), 0)
+            * 1000000 // MAX(total) AS BIGINT) AS share_ppm
+FROM ranked, (SELECT unnest([1, 2, 5]) AS d)
+GROUP BY d
+"""
+
+
+@register("ev_value_pareto", oracle=_PARETO_ORACLE)
+def ev_value_pareto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the purchase-value share held by the top
+    10/20/50% of purchasers (exact rank under (value DESC, user_id);
+    value travels as DECIMAL*1e4 integers so shares are integer ppm) —
+    the whale-dependence table that contextualizes every per-user
+    average, and the 80/20 check a monetization review opens with.
+
+    Scale: one user_id aggregation; the rank and running totals run
+    over the per-user aggregate (the post-agg compromise, with the
+    bucketed two-phase rank as the documented upgrade path); the decile
+    evaluation is |cuts| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.where(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(14,4)")) * 10000)
+            .cast("long")
+            .alias("v")
+        )
+    )
+    ranked = per_user.select(
+        "v",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").desc(), F.col("user_id")))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"),
+        F.sum("v")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long")
+        .alias("total"),
+    )
+    cuts = F.explode(F.array(*[F.lit(d) for d in (1, 2, 5)])).alias("top_decile")
+    return (
+        ranked.select("v", "rn", "n", "total", cuts)
+        .groupBy("top_decile")
+        .agg(
+            F.max("n").cast("long").alias("n_users"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("rn") <= F.expr("(n * top_decile) div 10"),
+                        F.col("v"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("decile_value_e4"),
+            F.expr(
+                "CAST(COALESCE(SUM(CASE WHEN rn <= (n * top_decile) div 10 "
+                "THEN v END), 0) * 1000000 div max(total) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .select(
+            F.col("top_decile").cast("int").alias("top_decile"),
+            "n_users",
+            "decile_value_e4",
+            "share_ppm",
+        )
+    )
