@@ -193,22 +193,57 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # raw per-pass wall times (same order as the interleaved
-                # passes) so contention on this bursty host is auditable:
-                # a min that is 2x a prior round with two quiet passes is
-                # an engine regression; three contended passes are the host
-                "passes": passes,
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # raw per-pass wall times (same order as the interleaved
+        # passes) so contention on this bursty host is auditable:
+        # a min that is 2x a prior round with two quiet passes is
+        # an engine regression; three contended passes are the host
+        "passes": passes,
+        "sf": sf,
+    }
+    # Full per-query/per-pass detail goes to a FILE (plus stderr above):
+    # the driver captures only a ~2000-char tail of stdout, and the full
+    # dict outgrew that in r4 (BENCH_r04.json parsed: null). stdout gets
+    # ONE compact final line — total + the judge-bar headline mins —
+    # guaranteed to fit the capture window.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_latest.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(full, f)
+        f.write("\n")
+    bar_queries = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_embedding_cosine_lsh",
+        "dedup_ngram_jaccard",
+        "knn_cosine_topk",
+        "knn_pq_adc",
+        "corpus_bpe_train",
+        "curate_corpus",
+        "curate_corpus_v6",
+        "dedup_components_incremental",
+        "text_lm_score",
+    ]
+    compact = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": {q: timings[q] for q in bar_queries if q in timings},
+        "n_queries": len(timings),
+        "detail_file": "BENCH_local_latest.json",
+        "sf": sf,
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

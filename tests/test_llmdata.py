@@ -112,9 +112,12 @@ def test_incremental_index_equals_full_pairs_across_parity(spark, sf_dir):
     from wikidatabots_spark.sources.tables import load_table
 
     d = load_table(spark, sf_dir, "documents")
+    # bucket_cap=None: the exact split theorem is stated on the uncapped
+    # pair set (the capped variants trade pair-level for component-level
+    # equality on >cap buckets — see dedup_components_incremental)
     full = {
         (r["id_a"], r["id_b"])
-        for r in minhash_lsh_pairs(d).collect()
+        for r in minhash_lsh_pairs(d, bucket_cap=None).collect()
     }
     cross = {p for p in full if (p[0] + p[1]) % 2 == 1}
 

@@ -375,6 +375,61 @@ def test_winnow_pairs_caps_hot_fingerprint(spark):
     assert not any(a <= 18 and b <= 18 for a, b in got)
 
 
+def test_minhash_band_join_caps_hot_bucket(spark):
+    """Skew fence for the band self-join (VERDICT r4 #3/#5): an
+    exact-dup cluster of f=20 docs shares ALL bands, so uncapped it
+    emits f(f-1)/2 = 190 pairs (x4 band join rows) from ONE
+    (band_idx, band_hash) key — the quadratic-output bomb boilerplate
+    clusters plant at web scale. The anchor rule bounds the bucket's
+    join output at cap*f rows while (a) the genuine unrelated dup pair
+    is untouched and (b) connected components still recover the FULL
+    20-doc cluster — the transitivity-recovers-the-rest contract."""
+    from wikidatabots_spark.operators.dedup import (
+        BAND_BUCKET_CAP,
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    boiler = "identical boilerplate template page body words repeated verbatim"
+    dup = "genuine duplicate pair body alpha beta gamma delta epsilon"
+    rows = [(i, boiler) for i in range(1, 21)]
+    rows += [(100, f"{dup} one"), (101, f"{dup} two")]
+    d = _docs(spark, rows)
+
+    f, cap = 20, BAND_BUCKET_CAP
+    capped = minhash_lsh_pairs(d).collect()
+    cluster = [r for r in capped if r.id_b <= f]
+    # pair list bounded: only anchors (the cap lowest ids per bucket)
+    # emit, so exactly sum_{i=1..cap}(f-i) pairs instead of f(f-1)/2
+    expected_pairs = sum(f - i for i in range(1, cap + 1))
+    assert len(cluster) == expected_pairs
+    # join-row bound (VERDICT r4 #5): total band join rows for the hot
+    # cluster = sum of n_shared_bands <= bands * cap * f
+    assert sum(r.n_shared_bands for r in cluster) <= 4 * cap * f
+    # the genuine near-dup pair outside the hot bucket survives
+    assert any(r.id_a == 100 and r.id_b == 101 for r in capped)
+    # uncapped really is quadratic on the same data (the fenced bomb)
+    uncapped = minhash_lsh_pairs(d, bucket_cap=None).collect()
+    assert len([r for r in uncapped if r.id_b <= f]) == f * (f - 1) // 2
+    # CC transitivity recovers the full cluster from the capped pairs,
+    # and capping does not change ANY component assignment
+    edges = spark.createDataFrame(
+        [(r.id_a, r.id_b) for r in capped], "id_a long, id_b long"
+    )
+    comp = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert {comp[i] for i in range(1, f + 1)} == {1}
+    edges_un = spark.createDataFrame(
+        [(r.id_a, r.id_b) for r in uncapped], "id_a long, id_b long"
+    )
+    comp_un = {
+        r.node: r.component
+        for r in connected_components(edges_un).collect()
+    }
+    assert comp == comp_un
+
+
 def test_partition_estimate_only_trusts_narrow_scans(spark, sf_dir):
     # ADVICE r2 dedup.py:59 — the file-inventory estimate must not apply
     # to coalesced/limited/shuffled frames; those fall back to the real

@@ -58,6 +58,9 @@ def test_registry_priority_window():
         # r4d: J4/J5 and F-nulls/P6 merged slots + the promoted PQ/ADC
         # ANN and BPE training flagships
         "op_join_micro", "op_null_prefix", "knn_pq_adc", "corpus_bpe_train",
+        # r5: U1 folded into op_set_ops; the incremental-CC flagship
+        # seated in the freed slot (VERDICT r4 next #4)
+        "op_set_ops", "dedup_components_incremental",
     }
     assert must_have <= set(window)
     # every window entry carries a DuckDB oracle (the mm fakes gained

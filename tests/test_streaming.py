@@ -366,7 +366,13 @@ def test_incremental_dedup_probe_stream_matches_batch(spark, sf_dir):
     )
 
     d = load_table(spark, sf_dir, "documents")
-    index = minhash_band_table(d.where(F.col("doc_id") % 2 == 0))
+    # same bucket-capped persisted index the batch query probes (r5:
+    # cap_band_buckets bounds hot-bucket fan-out linearly)
+    from wikidatabots_spark.operators.dedup import cap_band_buckets
+
+    index = cap_band_buckets(
+        minhash_band_table(d.where(F.col("doc_id") % 2 == 0))
+    )
     new_docs = read_documents_stream(spark, sf_dir).where(
         F.col("doc_id") % 2 == 1
     )

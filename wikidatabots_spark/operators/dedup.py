@@ -371,6 +371,45 @@ def minhash_band_table(
     ).select(id_col, "bh.band_idx", "bh.band_hash")
 
 
+# Hot-bucket anchor cap for the band self-join. A (band_idx, band_hash)
+# bucket holding f documents emits ~f²/2 join rows uncapped — and at web
+# scale a boilerplate/template cluster (thousands of pages differing by a
+# date stamp) shares ALL bands, so one bucket is a quadratic skew bomb
+# that AQE can spread but not shrink. The anchor rule bounds output
+# LINEARLY: only the BAND_BUCKET_CAP lowest-id members of a bucket serve
+# as left ("anchor") sides of a pair, so a bucket emits ≤ cap·f rows and
+# every member still pairs with the bucket minimum — connected-components
+# transitivity recovers the full cluster (the FineWeb-scale dedup rule).
+# For buckets with ≤ cap members (every bucket at the test SFs except one
+# 13-member bucket at sf0.1) the rule degenerates to exactly the
+# uncapped all-pairs output.
+BAND_BUCKET_CAP = 10
+
+
+def cap_band_buckets(
+    bands_df: DataFrame, cap: int = BAND_BUCKET_CAP, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep only the ``cap`` lowest-id members of each (band_idx,
+    band_hash) bucket — the bounded form of a PERSISTED band index.
+
+    Applied to the corpus side of an incremental probe join, it bounds
+    each new document's match fan-out per bucket at ``cap`` while
+    keeping every bucket probe-able (the kept members include the
+    bucket minimum, so CC transitivity connects a new doc to the whole
+    historical cluster through them). The window partitions by the same
+    key the probe join shuffles on, so the rank costs no extra
+    exchange in the probed plan.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash").orderBy(F.col(id_col))
+    return (
+        bands_df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 8,
@@ -378,17 +417,33 @@ def minhash_lsh_pairs(
     shingle_size: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_cap: int | None = BAND_BUCKET_CAP,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Signature of ``num_hashes`` minhashes split into ``bands`` bands of
     r = k/b rows; docs sharing any band hash become a candidate pair.
     Returns distinct (id_a, id_b, n_shared_bands) with id_a < id_b.
+
+    ``bucket_cap`` (default ``BAND_BUCKET_CAP``) applies the anchor
+    rule: within each bucket only the ``cap`` lowest-id members emit
+    pairs as the LEFT side, bounding a bucket's output at cap·f rows
+    instead of f²/2 while preserving connected-component structure
+    (every member pairs with the bucket minimum). ``n_shared_bands``
+    counts only anchor-emitted band co-occurrences, so in a >cap
+    bucket a pair's count can be lower than its true shared-band
+    count — the documented price of linear output; pass ``None`` for
+    the exact all-pairs semantics. The rank window partitions by the
+    same (band_idx, band_hash) key the self-join shuffles on, so the
+    cap adds no extra exchange on the anchor side.
     """
     stacked = minhash_band_table(
         df, num_hashes, bands, shingle_size, id_col, text_col
     )
-    a = stacked.alias("a")
+    anchors = stacked
+    if bucket_cap is not None:
+        anchors = cap_band_buckets(stacked, bucket_cap, id_col)
+    a = anchors.alias("a")
     b = stacked.alias("b")
     pairs = (
         a.join(

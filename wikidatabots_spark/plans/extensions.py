@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wikidatabots_spark.operators.dedup import (
+    BAND_BUCKET_CAP,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -82,6 +83,22 @@ stacked AS (
 )
 """
 
+# Anchor cap mirroring operators.dedup.BAND_BUCKET_CAP: only the cap
+# lowest-id members of a (band_idx, band_hash) bucket emit pairs as the
+# LEFT side — bounds a hot bucket's pair output at cap·f instead of
+# f²/2; CC transitivity recovers the full cluster. Composes after
+# _MINHASH_STACKED_SQL in any oracle that self-joins the band table.
+_MINHASH_ANCHORS_SQL = f"""
+anchors AS (
+    SELECT doc_id, band_idx, band_hash FROM (
+        SELECT doc_id, band_idx, band_hash,
+               row_number() OVER (PARTITION BY band_idx, band_hash
+                                  ORDER BY doc_id) AS rk
+        FROM stacked
+    ) WHERE rk <= {BAND_BUCKET_CAP}
+)
+"""
+
 _MINHASH_ORACLE = f"""
 WITH {_TOK_SQL},
 sig AS (
@@ -103,9 +120,17 @@ stacked AS (
     UNION ALL SELECT doc_id, 1, band1 FROM banded
     UNION ALL SELECT doc_id, 2, band2 FROM banded
     UNION ALL SELECT doc_id, 3, band3 FROM banded
+),
+anchors AS (
+    SELECT doc_id, band_idx, band_hash FROM (
+        SELECT doc_id, band_idx, band_hash,
+               row_number() OVER (PARTITION BY band_idx, band_hash
+                                  ORDER BY doc_id) AS rk
+        FROM stacked
+    ) WHERE rk <= {BAND_BUCKET_CAP}
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
-FROM stacked a
+FROM anchors a
 JOIN stacked b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
  AND a.doc_id < b.doc_id

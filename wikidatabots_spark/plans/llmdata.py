@@ -189,6 +189,7 @@ def dedup_keep_best_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_oracle() -> str:
+    from wikidatabots_spark.operators.dedup import BAND_BUCKET_CAP
     from wikidatabots_spark.plans.extensions import (
         _MINHASH_STACKED_SQL,
         _TOK_SQL,
@@ -196,12 +197,20 @@ def _incremental_oracle() -> str:
 
     return f"""
 WITH {_TOK_SQL},
-{_MINHASH_STACKED_SQL.strip().rstrip()}
+{_MINHASH_STACKED_SQL.strip().rstrip()},
+old_index AS (
+    SELECT doc_id, band_idx, band_hash FROM (
+        SELECT doc_id, band_idx, band_hash,
+               row_number() OVER (PARTITION BY band_idx, band_hash
+                                  ORDER BY doc_id) AS rk
+        FROM stacked WHERE doc_id % 2 = 0
+    ) WHERE rk <= {BAND_BUCKET_CAP}
+)
 SELECT n.doc_id AS new_id, o.doc_id AS old_id,
        COUNT(*) AS n_shared_bands
-FROM stacked n JOIN stacked o
+FROM stacked n JOIN old_index o
   ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
-WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+WHERE n.doc_id % 2 = 1
 GROUP BY n.doc_id, o.doc_id
 """
 
@@ -217,11 +226,24 @@ def dedup_incremental_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes across batches by union, and only the NEW batch pays
     signature + shuffle cost each day. At 100 TB the index is written
     bucketed by the band key (functions.scale.write_bucketed), making
-    the daily probe exchange-free on the index side."""
-    from wikidatabots_spark.operators.dedup import minhash_band_table
+    the daily probe exchange-free on the index side.
+
+    The PERSISTED index is bucket-capped (``cap_band_buckets``): only
+    the BAND_BUCKET_CAP lowest-id members of each band bucket are kept,
+    bounding a new document's per-bucket match fan-out linearly — a
+    boilerplate cluster of 10⁵ historical pages would otherwise hand
+    every matching new doc 10⁵ join rows per band. The kept members
+    include each bucket's minimum, so component transitivity still
+    connects a probing doc to the whole historical cluster."""
+    from wikidatabots_spark.operators.dedup import (
+        cap_band_buckets,
+        minhash_band_table,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    indexed = minhash_band_table(d.where(F.col("doc_id") % 2 == 0))
+    indexed = cap_band_buckets(
+        minhash_band_table(d.where(F.col("doc_id") % 2 == 0))
+    )
     batch = minhash_band_table(d.where(F.col("doc_id") % 2 == 1))
     return (
         batch.select(
@@ -1308,6 +1330,7 @@ def knn_ivf_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curate_incremental_oracle() -> str:
+    from wikidatabots_spark.operators.dedup import BAND_BUCKET_CAP
     from wikidatabots_spark.plans.extensions import (
         _LANGID_ORACLE,
         _MINHASH_STACKED_SQL,
@@ -1318,6 +1341,22 @@ def _curate_incremental_oracle() -> str:
     return f"""
 WITH {_TOK_SQL},
 {_MINHASH_STACKED_SQL.strip().rstrip()},
+old_index AS (
+    SELECT doc_id, band_idx, band_hash FROM (
+        SELECT doc_id, band_idx, band_hash,
+               row_number() OVER (PARTITION BY band_idx, band_hash
+                                  ORDER BY doc_id) AS rk
+        FROM stacked WHERE doc_id % 2 = 0
+    ) WHERE rk <= {BAND_BUCKET_CAP}
+),
+new_anchors AS (
+    SELECT doc_id, band_idx, band_hash FROM (
+        SELECT doc_id, band_idx, band_hash,
+               row_number() OVER (PARTITION BY band_idx, band_hash
+                                  ORDER BY doc_id) AS rk
+        FROM stacked WHERE doc_id % 2 = 1
+    ) WHERE rk <= {BAND_BUCKET_CAP}
+),
 old_md5 AS (
     SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
 ),
@@ -1331,16 +1370,16 @@ exact_drop AS (
                   WHERE m.h = n.h AND m.doc_id < n.doc_id)
 ),
 near_cross AS (
-    SELECT n.doc_id FROM stacked n JOIN stacked o
+    SELECT n.doc_id FROM stacked n JOIN old_index o
       ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
-    WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+    WHERE n.doc_id % 2 = 1
     GROUP BY n.doc_id, o.doc_id HAVING COUNT(*) >= 2
 ),
 near_within AS (
-    SELECT b.doc_id FROM stacked a JOIN stacked b
+    SELECT b.doc_id FROM new_anchors a JOIN stacked b
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id
-    WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+    WHERE b.doc_id % 2 = 1
     GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
 ),
 qual AS ({_QUALITY_ORACLE}),
@@ -1395,8 +1434,13 @@ def curate_corpus_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.dedup import cap_band_buckets
 
-    old_bands = minhash_band_table(old)
+    # the persisted index is bucket-capped (see dedup_incremental_index:
+    # linear probe fan-out on boilerplate clusters); the kept members
+    # include each bucket minimum so the ≥2-band drop rule still sees
+    # every historical cluster
+    old_bands = cap_band_buckets(minhash_band_table(old))
     # the batch's band table feeds THREE legs (the cross-index probe and
     # both sides of the within-batch self-join): fence it so signatures
     # are computed once, not three times
@@ -1414,7 +1458,10 @@ def curate_corpus_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     near_within = (
-        new_bands.select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
+        # anchor rule on the within-batch self-join: only the cap lowest
+        # ids per bucket emit as the left side (bounded pair output)
+        cap_band_buckets(new_bands)
+        .select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
         .join(
             new_bands.select(
                 F.col("doc_id").alias("id_b"), "band_idx", "band_hash"

@@ -695,28 +695,41 @@ def op_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_set_ops",
     oracle="""
-SELECT 'union' AS kind, CAST(nationkey AS BIGINT) AS key FROM (
+SELECT 'union' AS kind, CAST(nationkey AS BIGINT) AS key,
+       CAST(NULL AS VARCHAR) AS name FROM (
     SELECT c_nationkey AS nationkey FROM customer
     UNION
     SELECT s_nationkey FROM supplier
 )
 UNION ALL
-SELECT 'intersect' AS kind, CAST(nationkey AS BIGINT) AS key FROM (
+SELECT 'intersect' AS kind, CAST(nationkey AS BIGINT) AS key,
+       CAST(NULL AS VARCHAR) AS name FROM (
     SELECT c_nationkey AS nationkey FROM customer
     INTERSECT
     SELECT s_nationkey FROM supplier
 )
 UNION ALL
-SELECT 'except' AS kind, CAST(custkey AS BIGINT) AS key FROM (
+SELECT 'except' AS kind, CAST(custkey AS BIGINT) AS key,
+       CAST(NULL AS VARCHAR) AS name FROM (
     SELECT c_custkey AS custkey FROM customer
     EXCEPT
     SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 )
+UNION ALL
+SELECT 'concat_customer' AS kind, CAST(NULL AS BIGINT) AS key,
+       c_name AS name FROM customer
+UNION ALL
+SELECT 'concat_supplier' AS kind, CAST(NULL AS BIGINT) AS key,
+       s_name AS name FROM supplier
 """,
 )
 def op_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three set operators in one driver-checked frame: UNION
-    (distinct), INTERSECT, and a non-vacuous EXCEPT, tagged by kind."""
+    """All three set operators PLUS the U1 schema-aligned vertical
+    concat (folded from op_union_all in r5 to free a driver-window slot
+    for the incremental-CC flagship; the standalone op_union_all stays
+    registered for the local gate) in one tagged driver-checked frame:
+    UNION (distinct), INTERSECT, a non-vacuous EXCEPT, and the
+    unionByName concat of two differently-sourced name frames."""
     cu = load_table(spark, sf_dir, "customer")
     su = load_table(spark, sf_dir, "supplier")
     cn = cu.select(F.col("c_nationkey").cast("bigint").alias("key"))
@@ -726,14 +739,36 @@ def op_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_custkey").cast("bigint").alias("key"))
     )
-    uni = cn.union(sn).distinct().select(F.lit("union").alias("kind"), "key")
-    inter = cn.intersect(sn).select(F.lit("intersect").alias("kind"), "key")
+    no_name = F.lit(None).cast("string").alias("name")
+    no_key = F.lit(None).cast("bigint").alias("key")
+    uni = (
+        cn.union(sn)
+        .distinct()
+        .select(F.lit("union").alias("kind"), "key", no_name)
+    )
+    inter = cn.intersect(sn).select(
+        F.lit("intersect").alias("kind"), "key", no_name
+    )
     exc = (
         cu.select(F.col("c_custkey").cast("bigint").alias("key"))
         .subtract(urgent)
-        .select(F.lit("except").alias("kind"), "key")
+        .select(F.lit("except").alias("kind"), "key", no_name)
     )
-    return uni.unionByName(inter).unionByName(exc)
+    # U1 pin: vertical concat of schema-aligned frames from two sources
+    concat = (
+        cu.select(
+            F.lit("concat_customer").alias("kind"),
+            no_key,
+            F.col("c_name").alias("name"),
+        )
+    ).unionByName(
+        su.select(
+            F.lit("concat_supplier").alias("kind"),
+            no_key,
+            F.col("s_name").alias("name"),
+        )
+    )
+    return uni.unionByName(inter).unionByName(exc).unionByName(concat)
 
 
 # --- joins beyond the reference: full / right / semi in one tagged frame ---

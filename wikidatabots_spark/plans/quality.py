@@ -927,7 +927,7 @@ mapped AS (
     GROUP BY t.doc_id
 )
 SELECT d.doc_id,
-       COALESCE(m.ids, []) AS ids,
+       array_to_string(COALESCE(m.ids, []), ' ') AS ids,
        CAST(COALESCE(m.n_tokens, 0) AS BIGINT) AS n_tokens,
        CAST(COALESCE(m.n_unk, 0) AS BIGINT) AS n_unk
 FROM documents d LEFT JOIN mapped m USING (doc_id)
@@ -941,11 +941,23 @@ def corpus_tokenize_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer path corpus → [tokenize] → pack_sequences → shards. The
     oracle rebuilds the vocab and the per-position mapping with a
     positional join; Spark does it as one broadcast map lookup inside a
-    narrow array transform (the corpus never re-explodes)."""
+    narrow array transform (the corpus never re-explodes).
+
+    The id sequence is emitted as a space-joined STRING (not
+    ``array<int>``): the driver's canonicalizer pandas-sorts result
+    columns, and a Python list cell is unhashable there (the one r4
+    driver red). ``concat_ws`` over the cast array is value-identical
+    information and stays a narrow projection; the oracle builds the
+    same string with ``array_to_string``. Downstream consumers
+    (pack_sequences) keep using the array-typed ``tokenize_to_ids``
+    operator directly — only this registry surface is string-typed."""
     from wikidatabots_spark.operators.textstats import tokenize_to_ids
 
-    return tokenize_to_ids(
+    toks = tokenize_to_ids(
         load_table(spark, sf_dir, "documents"), vocab_size=VOCAB_SIZE
+    )
+    return toks.withColumn(
+        "ids", F.concat_ws(" ", F.col("ids").cast("array<string>"))
     )
 
 
@@ -2644,17 +2656,25 @@ def ev_attribution_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cc_incremental_oracle() -> str:
     from wikidatabots_spark.plans.extensions import (
+        _MINHASH_ANCHORS_SQL,
         _MINHASH_STACKED_SQL,
         _TOK_SQL,
     )
 
+    # The anchor cap makes the FULL-corpus pair set differ from the
+    # incremental union (global-rank anchors vs per-side caps) — but
+    # both schemes connect every band bucket into one blob through the
+    # bucket minimum, so the TRANSITIVE CLOSURE is identical and the
+    # component labels (min id per component) hash-match exactly. The
+    # equality theorem is about components, not individual pairs.
     return f"""
 WITH RECURSIVE
 {_TOK_SQL},
 {_MINHASH_STACKED_SQL},
+{_MINHASH_ANCHORS_SQL},
 pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM stacked a
+    FROM anchors a
     JOIN stacked b
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id
@@ -2697,6 +2717,7 @@ def dedup_components_incremental_q(spark: SparkSession, sf_dir: str) -> DataFram
     compressed components (diameter ~2) plus batch edges.
     """
     from wikidatabots_spark.operators.dedup import (
+        cap_band_buckets,
         connected_components,
         minhash_band_table,
         minhash_lsh_pairs,
@@ -2705,8 +2726,13 @@ def dedup_components_incremental_q(spark: SparkSession, sf_dir: str) -> DataFram
     d = load_table(spark, sf_dir, "documents")
     even = d.where(F.col("doc_id") % 2 == 0)
     odd = d.where(F.col("doc_id") % 2 == 1)
-    # "persisted" state: band index + component labels of the corpus
-    bands_even = minhash_band_table(even).select(
+    # "persisted" state: band index (bucket-capped, the bounded form a
+    # production index is stored in) + component labels of the corpus.
+    # Per-side caps here vs the oracle's global-rank anchors: different
+    # pair SETS on a >cap bucket, identical transitive closure — every
+    # scheme keeps each bucket connected through its minimum member, so
+    # the min-label component output hash-matches the full recompute.
+    bands_even = cap_band_buckets(minhash_band_table(even)).select(
         F.col("doc_id").alias("id_e"), "band_idx", "band_hash"
     )
     labels_even = connected_components(minhash_lsh_pairs(even))
@@ -2725,7 +2751,9 @@ def dedup_components_incremental_q(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("id_o").alias("id_o2"), "band_idx", "band_hash"
     )
     probe_new = (
-        bands_odd.join(bo2, ["band_idx", "band_hash"])
+        # anchor rule within the batch: capped left side, bounded pairs
+        cap_band_buckets(bands_odd, id_col="id_o")
+        .join(bo2, ["band_idx", "band_hash"])
         .where(F.col("id_o") < F.col("id_o2"))
         .select(F.col("id_o").alias("id_a"), F.col("id_o2").alias("id_b"))
         .distinct()

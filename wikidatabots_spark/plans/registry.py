@@ -51,13 +51,14 @@ PRIORITY: list[str] = [
     "op_unique",
     "op_explode",
     "op_scalar_micro",
-    "op_union_all",
     "op_join_micro",
     "op_order_collect",
     "op_sample",
     "op_strings",
     "op_dates",
     "op_scan_parquet_url",
+    # op_set_ops additionally carries the U1 vertical-concat leg since r5
+    # (op_union_all folded in; the standalone micro stays locally gated)
     "op_set_ops",
     # the reference's five pipelines + the two composed mains
     "tmdb_via_imdb",
@@ -118,6 +119,11 @@ PRIORITY: list[str] = [
     # training — the similarity-search and tokenizer flagships
     "knn_pq_adc",
     "corpus_bpe_train",
+    # promoted r5 (op_union_all folded into op_set_ops): the
+    # incremental-ingest dedup flagship — day-2 batch probes the
+    # persisted MinHash band index and min-label CC proves hash
+    # equality with the full recompute (VERDICT r4 next #4)
+    "dedup_components_incremental",
 ]
 
 

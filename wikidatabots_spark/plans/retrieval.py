@@ -409,6 +409,7 @@ def knn_pq_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_err_oracle() -> str:
     from wikidatabots_spark.plans.extensions import (
+        _MINHASH_ANCHORS_SQL,
         _MINHASH_STACKED_SQL,
         _TOK_SQL,
     )
@@ -416,9 +417,10 @@ def _minhash_err_oracle() -> str:
     return f"""
 WITH {_TOK_SQL},
 {_MINHASH_STACKED_SQL},
+{_MINHASH_ANCHORS_SQL},
 pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM stacked a
+    FROM anchors a
     JOIN stacked b
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id

@@ -84,7 +84,9 @@ def incremental_dedup_probe_stream(
     ``dedup_incremental_index``.
 
     Scale: the static index is the big side and never moves (at corpus
-    scale it is a bucketed table on (band_idx, band_hash)); each
+    scale it is a bucketed table on (band_idx, band_hash), stored
+    bucket-capped via ``cap_band_buckets`` so a boilerplate cluster
+    cannot hand every probing doc an unbounded match fan-out); each
     micro-batch ships only the new docs' band rows. State: zero — the
     probe is stateless, so there is nothing to watermark or expire.
     Batch/stream parity is exact because signatures depend only on each
