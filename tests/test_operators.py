@@ -720,6 +720,51 @@ def test_classifier_score_deterministic_and_bounded(spark):
     assert abs(out[4] - one[5]) < 1e-12
 
 
+def test_trained_nb_learns_class_separating_weights(spark):
+    """The in-plan NB trainer must produce weights with real SIGNAL,
+    not just deterministic bits: tokens exclusive to the positive class
+    get positive w_ppm, negative-exclusive tokens negative, and the
+    scored corpus separates the classes by sign. Also pins the
+    broadcast contract (model rows <= CLS_BUCKETS) and the empty-doc
+    null-score/keep=false edge."""
+    from wikidatabots_spark.operators.textstats import (
+        CLS_BUCKETS,
+        score_hashed_nb,
+        train_hashed_nb,
+    )
+
+    pos_rows = [
+        (i, "wonderful insightful accurate thorough prose", True)
+        for i in range(1, 6)
+    ]
+    neg_rows = [
+        (i, "spam clickbait garbage keyword stuffing", False)
+        for i in range(6, 11)
+    ]
+    df = spark.createDataFrame(
+        pos_rows + neg_rows + [(11, "", False)],
+        "doc_id long, text string, label boolean",
+    )
+    model = train_hashed_nb(df)
+    rows = model.collect()
+    assert len(rows) <= CLS_BUCKETS
+    scored = {
+        r.doc_id: r
+        for r in score_hashed_nb(df.select("doc_id", "text"), model).collect()
+    }
+    # class separation by sign: every positive doc scores > 0, every
+    # negative < 0 (disjoint vocabularies, balanced classes)
+    for i in range(1, 6):
+        assert scored[i].cls_score > 0 and scored[i].keep
+    for i in range(6, 11):
+        assert scored[i].cls_score < 0 and not scored[i].keep
+    # empty doc: null score, keep=false (the classifier contract)
+    assert scored[11].cls_score is None and scored[11].keep is False
+    # determinism: retraining yields the identical model
+    again = {(r.bucket, r.w_ppm) for r in train_hashed_nb(df).collect()}
+    assert again == {(r.bucket, r.w_ppm) for r in rows}
+
+
 def test_remove_dup_spans_deletes_only_covered_tokens(spark):
     from wikidatabots_spark.operators.dedup import remove_dup_spans
 

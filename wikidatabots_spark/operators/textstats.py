@@ -471,6 +471,114 @@ def _token_weight(w: Column) -> Column:
     )
 
 
+def _token_bucket(w: Column) -> Column:
+    """Hash bucket of one token: first 16 md5 bits mod CLS_BUCKETS —
+    the same feature space ``with_classifier_score``'s weight table
+    lives in, shared by the trained model below."""
+    return (
+        F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long") % CLS_BUCKETS
+    )
+
+
+def train_hashed_nb(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+) -> DataFrame:
+    """TRAIN a hashed-feature Naive-Bayes-style linear text classifier
+    in-plan: per-bucket class-conditional token rates with add-one
+    smoothing, as exact integers. Input must carry a boolean
+    ``label_col``; output is the MODEL — one row per hash bucket seen
+    in the corpus: (bucket, w_ppm) with
+
+        w_ppm = (1e6·(c_pos+1)) div (n_pos+V) − (1e6·(c_neg+1)) div (n_neg+V)
+
+    where c_pos/c_neg are the bucket's token counts in positive /
+    negative documents, n_pos/n_neg the class token totals and
+    V = CLS_BUCKETS the smoothing vocabulary. This is the multinomial
+    NB decision rule with the log replaced by the rate difference in
+    parts-per-million — every quantity an integer, so DuckDB reproduces
+    the learned weights bit-for-bit (the property hash-derived
+    placeholder weights had, now with REAL learned signal).
+
+    Scale: one explode + groupBy(bucket) over the corpus (the training
+    pass), then a ≤V-row model frame. The class totals are a 1-row
+    aggregate broadcast into the weight expression — no collect. The
+    model is exactly the "broadcast swap-in" table
+    ``with_classifier_score`` documents: score with it via
+    ``score_hashed_nb`` (broadcast join, zero wide shuffles).
+    """
+    toks = df.select(
+        F.col(label_col).alias("__y"),
+        F.explode(words(F.col(text_col))).alias("__w"),
+    ).select("__y", _token_bucket(F.col("__w")).alias("bucket"))
+    per_bucket = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("long").alias("c_pos"),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("long").alias("c_neg"),
+    )
+    totals = per_bucket.agg(
+        F.sum("c_pos").cast("long").alias("n_pos"),
+        F.sum("c_neg").cast("long").alias("n_neg"),
+    )
+    # integer DIV on non-negative operands: truncation == floor, and
+    # both engines' integer division agree bit-for-bit
+    return per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.expr(f"(1000000 * (c_pos + 1)) DIV (n_pos + {CLS_BUCKETS})")
+            - F.expr(f"(1000000 * (c_neg + 1)) DIV (n_neg + {CLS_BUCKETS})")
+        )
+        .cast("long")
+        .alias("w_ppm"),
+    )
+
+
+def score_hashed_nb(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a trained hashed-NB model (``bucket``,
+    ``w_ppm``): per-doc occurrence counts joined to the BROADCAST model
+    table, cls_score = Σ cnt·w_ppm / (n_tokens·10⁶) — two exact
+    integers, one IEEE division. Docs with zero tokens score null and
+    keep=false (the ``with_classifier_score`` contract).
+
+    Scale: the only corpus-sized exchanges are the (id, bucket)
+    occurrence groupBy and the per-doc sum — both carry ids and longs,
+    never text; the model side is ≤CLS_BUCKETS rows, always broadcast.
+    """
+    occ = (
+        df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("__w"))
+        .select(F.col(id_col), _token_bucket(F.col("__w")).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    scored = (
+        occ.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("cnt") * F.col("w_ppm")).cast("long").alias("wsum"),
+            F.sum("cnt").cast("long").alias("n"),
+        )
+    )
+    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.when(
+            F.col("n") > 0,
+            F.col("wsum").cast("double")
+            / (F.col("n") * F.lit(1000000)).cast("double"),
+        ).alias("cls_score"),
+        F.coalesce(
+            F.col("wsum").cast("double")
+            / (F.col("n") * F.lit(1000000)).cast("double")
+            >= 0.0,
+            F.lit(False),
+        ).alias("keep"),
+    )
+
+
 def with_classifier_score(
     df: DataFrame, text_col: str = "text", score_col: str = "cls_score"
 ) -> DataFrame:

@@ -1484,6 +1484,103 @@ def text_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trained classifier: the same hashed feature space as _CLS_ORACLE but
+# with weights LEARNED in-plan (VERDICT r4 next #6) — per-bucket
+# class-conditional token rates under a deterministic synthetic label
+# (quality >= 0.5), add-one smoothed, in integer ppm. The bucket hash is
+# the md5-nibble unroll shared with _CLS_ORACLE; SUMs go HUGEINT in
+# DuckDB but `//` stays integer-exact and the only float op is the one
+# final IEEE division, so the learned weights and scores are
+# bit-identical across engines.
+_CLS_BUCKET_SQL = """(((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1)) % 1024)"""
+
+_CLS_TRAINED_ORACLE = f"""
+WITH qual AS ({_QUALITY_ORACLE}),
+lab AS (SELECT doc_id, quality >= 0.5 AS y FROM qual),
+toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != '')) AS w
+    FROM documents
+),
+occ AS (
+    SELECT doc_id, {_CLS_BUCKET_SQL} AS bucket, COUNT(*) AS cnt
+    FROM toks GROUP BY doc_id, {_CLS_BUCKET_SQL}
+),
+bkt AS (
+    SELECT o.bucket,
+           SUM(CASE WHEN l.y THEN o.cnt ELSE 0 END) AS c_pos,
+           SUM(CASE WHEN l.y THEN 0 ELSE o.cnt END) AS c_neg
+    FROM occ o JOIN lab l USING (doc_id) GROUP BY o.bucket
+),
+tot AS (SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg FROM bkt),
+model AS (
+    SELECT bucket,
+           (1000000 * (c_pos + 1)) // (n_pos + 1024)
+         - (1000000 * (c_neg + 1)) // (n_neg + 1024) AS w_ppm
+    FROM bkt, tot
+),
+sc AS (
+    SELECT o.doc_id, SUM(o.cnt * m.w_ppm) AS wsum, SUM(o.cnt) AS n
+    FROM occ o JOIN model m USING (bucket) GROUP BY o.doc_id
+)
+SELECT d.doc_id, l.y AS label,
+       CASE WHEN sc.n > 0
+            THEN CAST(sc.wsum AS DOUBLE) / CAST(sc.n * 1000000 AS DOUBLE)
+       END AS cls_score,
+       COALESCE(CAST(sc.wsum AS DOUBLE) / CAST(sc.n * 1000000 AS DOUBLE) >= 0.0,
+                FALSE) AS keep
+FROM documents d
+JOIN lab l USING (doc_id)
+LEFT JOIN sc USING (doc_id)
+"""
+
+
+@register("text_classifier_trained", oracle=_CLS_TRAINED_ORACLE)
+def text_classifier_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-NB quality classifier with weights TRAINED in-plan on a
+    deterministic synthetic label (quality >= 0.5): the scoring path
+    exercises real learned weights end-to-end instead of the
+    hash-derived stand-in (which ``text_classifier`` retains as the
+    inference-shape micro). Train = one explode + bucket groupBy over
+    the corpus; the <=1024-row model broadcasts into the scorer — the
+    literal "trained weights swap in as a broadcast table" contract
+    from the README. The oracle re-derives training AND scoring, so
+    the learned model itself is hash-verified, not just the scores.
+
+    Scale: training is one corpus pass shuffling (bucket, two longs);
+    scoring shuffles (id, bucket, cnt) then (id, two longs) — text
+    never leaves the scan stage. The label gate reuses the narrow
+    quality features; a production swap replaces `lab` with curated
+    annotations and nothing else moves.
+    """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+    from wikidatabots_spark.operators.textstats import (
+        score_hashed_nb,
+        train_hashed_nb,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # labels feed training AND the output join: fence the tiny
+    # (id, label) frame so quality features compute once
+    labeled = pushdown_fence(
+        with_quality(ensure_parallelism(d, "doc_id")).select(
+            "doc_id", (F.col("quality") >= 0.5).alias("label")
+        )
+    )
+    model = train_hashed_nb(
+        d.join(labeled, "doc_id").select("text", "label"), label_col="label"
+    )
+    scored = score_hashed_nb(d, model)
+    return labeled.join(scored, "doc_id").select(
+        "doc_id", "label", "cls_score", "keep"
+    )
+
+
 # span-removal oracle: rebuild the k=8 windows as strings, mark corpus-
 # duplicated window texts, delete covered token positions per document
 # with nested list lambdas, digest the cleaned text. COALESCE guards
