@@ -147,6 +147,14 @@ HEADLINERS = [
     "sketch_cms_error",
     "emb_cluster_quality",
     "ev_attribution_linear",
+    # round-5 wave: trained NB classifier, SCD2 point-in-time join,
+    # incremental rollup maintenance, bloom FPR calibration, power
+    # iteration (Gram spectral top component)
+    "text_classifier_trained",
+    "ev_scd2_pit_join",
+    "ev_rollup_incremental",
+    "sketch_bloom_fpr",
+    "emb_power_iteration",
 ]
 
 

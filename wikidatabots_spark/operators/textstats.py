@@ -480,10 +480,28 @@ def _token_bucket(w: Column) -> Column:
     )
 
 
+def bucket_occurrences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document hashed-feature occurrence counts: (id, bucket, cnt).
+    The ONE corpus/text pass both NB training and scoring consume —
+    compute it once (fence it if both run in one plan) and the text
+    column never leaves the scan stage again."""
+    return (
+        df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("__w"))
+        .select(F.col(id_col), _token_bucket(F.col("__w")).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
 def train_hashed_nb(
     df: DataFrame,
     label_col: str = "label",
     text_col: str = "text",
+    occ: DataFrame | None = None,
+    labels: DataFrame | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """TRAIN a hashed-feature Naive-Bayes-style linear text classifier
     in-plan: per-bucket class-conditional token rates with add-one
@@ -507,15 +525,39 @@ def train_hashed_nb(
     model is exactly the "broadcast swap-in" table
     ``with_classifier_score`` documents: score with it via
     ``score_hashed_nb`` (broadcast join, zero wide shuffles).
+
+    Pass ``occ`` (from ``bucket_occurrences``) + ``labels`` (an
+    (id, label) frame) to train from a PRECOMPUTED occurrence table —
+    the single-text-pass form when training and scoring share a plan;
+    otherwise ``df`` must carry ``label_col`` alongside the text.
     """
-    toks = df.select(
-        F.col(label_col).alias("__y"),
-        F.explode(words(F.col(text_col))).alias("__w"),
-    ).select("__y", _token_bucket(F.col("__w")).alias("bucket"))
-    per_bucket = toks.groupBy("bucket").agg(
-        F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("long").alias("c_pos"),
-        F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("long").alias("c_neg"),
-    )
+    if occ is not None:
+        if labels is None:
+            labels = df.select(F.col(id_col), F.col(label_col))
+        toks = occ.join(labels, id_col).select(
+            F.col(label_col).alias("__y"), "bucket", "cnt"
+        )
+        per_bucket = toks.groupBy("bucket").agg(
+            F.sum(F.when(F.col("__y"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("c_pos"),
+            F.sum(F.when(F.col("__y"), 0).otherwise(F.col("cnt")))
+            .cast("long")
+            .alias("c_neg"),
+        )
+    else:
+        toks = df.select(
+            F.col(label_col).alias("__y"),
+            F.explode(words(F.col(text_col))).alias("__w"),
+        ).select("__y", _token_bucket(F.col("__w")).alias("bucket"))
+        per_bucket = toks.groupBy("bucket").agg(
+            F.sum(F.when(F.col("__y"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_pos"),
+            F.sum(F.when(F.col("__y"), 0).otherwise(1))
+            .cast("long")
+            .alias("c_neg"),
+        )
     totals = per_bucket.agg(
         F.sum("c_pos").cast("long").alias("n_pos"),
         F.sum("c_neg").cast("long").alias("n_neg"),
@@ -538,6 +580,7 @@ def score_hashed_nb(
     model: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents with a trained hashed-NB model (``bucket``,
     ``w_ppm``): per-doc occurrence counts joined to the BROADCAST model
@@ -548,13 +591,11 @@ def score_hashed_nb(
     Scale: the only corpus-sized exchanges are the (id, bucket)
     occurrence groupBy and the per-doc sum — both carry ids and longs,
     never text; the model side is ≤CLS_BUCKETS rows, always broadcast.
+    Pass a precomputed ``occ`` (``bucket_occurrences``) to share the
+    text pass with training.
     """
-    occ = (
-        df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("__w"))
-        .select(F.col(id_col), _token_bucket(F.col("__w")).alias("bucket"))
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    if occ is None:
+        occ = bucket_occurrences(df, text_col, id_col)
     scored = (
         occ.join(F.broadcast(model), "bucket")
         .groupBy(id_col)

@@ -381,3 +381,174 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+# --- SCD2 point-in-time enrichment -----------------------------------------
+_EV_PIT_ORACLE = """
+WITH dim0 AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS new_run
+    FROM events WHERE event_type != 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+starts AS (
+    SELECT user_id, ts AS state_since, event_type AS state,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT)
+               AS state_version
+    FROM dim0 WHERE new_run = 1
+),
+dim AS (
+    SELECT user_id, state_since, state, state_version FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, state_since
+                                     ORDER BY state_version DESC) AS rn
+        FROM starts
+    ) WHERE rn = 1
+),
+fact AS (
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT f.purchase_id, f.user_id, f.purchase_ts,
+       d.state, d.state_version, d.state_since
+FROM fact f ASOF LEFT JOIN dim d
+  ON f.user_id = d.user_id AND f.purchase_ts >= d.state_since
+"""
+
+
+@register("ev_scd2_pit_join", oracle=_EV_PIT_ORACLE)
+def ev_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join against an SCD2 dimension: every
+    purchase is enriched with the state the user was in WHEN they
+    purchased — the lakehouse pattern for joining facts to a
+    slowly-changing dimension without time-travel errors. The dimension
+    here is the run-length state log over the user's non-purchase
+    events (the ``ev_scd2_intervals`` construction).
+
+    The scale insight: because SCD2 intervals PARTITION time per key,
+    interval containment (valid_from <= ts < valid_to) is EXACTLY a
+    backward as-of join on valid_from — so the plan never materializes
+    intervals, never range-explodes open-ended current rows, and runs
+    as one user_id exchange + per-key sort (operators/asof.py), the
+    same shape as any as-of. A bucketed-interval range join here would
+    pay unbounded fan-out on the open current state; the as-of
+    equivalence is the right 100 TB form.
+
+    Same-ts duplicate state starts resolve to the highest version (the
+    as-of contract needs a unique right row per (key, ts)).
+    """
+    from wikidatabots_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim0 = (
+        ev.where(F.col("event_type") != "purchase")
+        .withColumn("__prev", F.lag("event_type").over(w))
+        .withColumn(
+            "__new_run",
+            F.col("__prev").isNull()
+            | ~F.col("__prev").eqNullSafe(F.col("event_type")),
+        )
+    )
+    starts = dim0.where(F.col("__new_run")).select(
+        "user_id",
+        F.col("ts").alias("state_since"),
+        F.col("event_type").alias("state"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("bigint")
+        .alias("state_version"),
+    )
+    dedup_w = Window.partitionBy("user_id", "state_since").orderBy(
+        F.col("state_version").desc()
+    )
+    dim = (
+        starts.withColumn("__rn", F.row_number().over(dedup_w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    out = asof_join(
+        fact, dim, on=["user_id"], left_ts="purchase_ts", right_ts="state_since"
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "state",
+        "state_version",
+        F.col("asof_ts").alias("state_since"),
+    )
+
+
+# --- incremental rollup maintenance (materialized-view delta) --------------
+@register("ev_rollup_incremental", oracle=_EV_HOURLY_ORACLE)
+def ev_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 maintenance of the hourly rollup, PROVEN equal to full
+    recompute (the oracle IS ``ev_hourly_rollup``'s): the even-event_id
+    half plays yesterday's events with their rollup PERSISTED as
+    partial aggregates; today's odd-id delta is aggregated alone and
+    MERGED — count and decimal-sum are commutative monoids, so
+    partial + partial == full, bit-for-bit (sums stay DECIMAL until
+    the final cast, so merge order cannot change bits).
+
+    The deliberately-not-glossed-over part: COUNT(DISTINCT user_id) is
+    NOT mergeable from the aggregate alone — the maintained state must
+    include the distinct (hour, type, user) key set (what this plan
+    unions and re-distincts; its size is the rollup's true state cost),
+    or accept approximation with the MERGEABLE HyperLogLog registers
+    (``sketch_hll_by_type`` — bounded state, the 100 TB default).
+
+    Scale: the delta pays one shuffle on its own size; the merge
+    shuffles partial rows (groups, not events). At a realistic
+    delta:corpus ratio the daily cost is delta-sized — same argument
+    as ``dedup_components_incremental``, for aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.where(F.col("event_id") % 2 == 0)
+    new = ev.where(F.col("event_id") % 2 == 1)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        ).agg(
+            F.count(F.lit(1)).alias("p_events"),
+            F.sum(F.col("value").cast("decimal(14,4)")).alias("p_sum"),
+        )
+
+    def user_keys(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+            "user_id",
+        ).distinct()
+
+    merged = (
+        partials(old)
+        .unionByName(partials(new))
+        .groupBy("hour_start", "event_type")
+        .agg(
+            F.sum("p_events").cast("bigint").alias("n_events"),
+            F.sum("p_sum").alias("m_sum"),
+        )
+    )
+    users = (
+        user_keys(old)
+        .unionByName(user_keys(new))
+        .distinct()
+        .groupBy("hour_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return merged.join(users, ["hour_start", "event_type"]).select(
+        "hour_start",
+        "event_type",
+        "n_events",
+        "n_users",
+        F.col("m_sum").cast("double").alias("sum_value"),
+    )

@@ -1560,6 +1560,7 @@ def text_classifier_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidatabots_spark.functions.scale import pushdown_fence
     from wikidatabots_spark.operators.dedup import ensure_parallelism
     from wikidatabots_spark.operators.textstats import (
+        bucket_occurrences,
         score_hashed_nb,
         train_hashed_nb,
     )
@@ -1572,10 +1573,11 @@ def text_classifier_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", (F.col("quality") >= 0.5).alias("label")
         )
     )
-    model = train_hashed_nb(
-        d.join(labeled, "doc_id").select("text", "label"), label_col="label"
-    )
-    scored = score_hashed_nb(d, model)
+    # ONE text pass: the fenced (id, bucket, cnt) occurrence table
+    # feeds training and scoring both (id+longs only past this point)
+    occ = pushdown_fence(bucket_occurrences(d))
+    model = train_hashed_nb(d, occ=occ, labels=labeled, label_col="label")
+    scored = score_hashed_nb(d.select("doc_id"), model, occ=occ)
     return labeled.join(scored, "doc_id").select(
         "doc_id", "label", "cls_score", "keep"
     )

@@ -3721,3 +3721,125 @@ def ev_value_pareto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_bloom_fpr — measured Bloom-filter false-positive calibration
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def _bloom_fpr_oracle(m: int = _BLOOM_M, k: int = _BLOOM_K) -> str:
+    md5e = "md5(CAST(j AS VARCHAR) || ':' || key)"
+    hash8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr({md5e}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+WITH fset AS (
+    SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+probe AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key FROM customer),
+bits AS (
+    SELECT DISTINCT ({hash8}) % {m} AS bit_idx
+    FROM fset, generate_series(0, {k - 1}) t(j)
+),
+ppos AS (
+    SELECT key, ({hash8}) % {m} AS pos
+    FROM probe, generate_series(0, {k - 1}) t(j)
+),
+phit AS (
+    SELECT p.key,
+           SUM(CASE WHEN b.bit_idx IS NOT NULL THEN 1 ELSE 0 END) AS hits
+    FROM ppos p LEFT JOIN bits b ON b.bit_idx = p.pos
+    GROUP BY p.key
+),
+flags AS (
+    SELECT pr.key,
+           CASE WHEN f.key IS NOT NULL THEN 1 ELSE 0 END AS is_member,
+           CASE WHEN ph.hits = {k} THEN 1 ELSE 0 END AS bloom_pos
+    FROM probe pr
+    LEFT JOIN fset f USING (key)
+    JOIN phit ph ON ph.key = pr.key
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(is_member) AS BIGINT) AS n_members,
+           CAST(SUM(1 - is_member) AS BIGINT) AS n_nonmembers,
+           CAST(SUM(bloom_pos) AS BIGINT) AS n_bloom_pos,
+           CAST(SUM(CASE WHEN bloom_pos = 1 AND is_member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN bloom_pos = 0 AND is_member = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+    FROM flags
+)
+SELECT a.*,
+       CAST(CASE WHEN a.n_nonmembers > 0
+                 THEN (1000000 * a.n_false_pos) // a.n_nonmembers
+                 ELSE 0 END AS BIGINT) AS fpr_ppm,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set
+FROM agg a
+"""
+
+
+@register("sketch_bloom_fpr", oracle=_bloom_fpr_oracle())
+def sketch_bloom_fpr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured Bloom-filter accuracy, completing the calibration set
+    (HLL / KMV / CMS / MinHash / IVF / PQ all carry one): a 4096-bit
+    k=3 bloom of the urgent-order custkeys probed with EVERY customer
+    key; output is the confusion row — members, non-members, bloom
+    positives, false positives (and the structurally-zero false
+    negatives, carried as DATA so the one-sided guarantee is
+    hash-verified like CMS's overestimate bound), plus measured
+    fpr_ppm and the set-bit count. At sf0.01 the filter runs at ~0.5
+    load where false positives are plentiful — the regime a capacity
+    choice actually needs numbers for.
+
+    Scale: the bloom is ≤m rows broadcast k times into the probe side
+    (operators.sketch.with_bloom_might_contain) — the probe NEVER
+    shuffles, the exact-membership leg is a key-only left join, and
+    both small frames are fenced so orders is scanned once.
+    """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.sketch import (
+        bloom_bits,
+        with_bloom_might_contain,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    fset = pushdown_fence(
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").cast("string").alias("key"))
+        .distinct()
+    )
+    probe = cust.select(F.col("c_custkey").cast("string").alias("key")).distinct()
+    bits = pushdown_fence(bloom_bits(fset, "key", m=_BLOOM_M, k=_BLOOM_K))
+    flagged = with_bloom_might_contain(
+        probe, "key", bits, m=_BLOOM_M, k=_BLOOM_K
+    )
+    joined = flagged.join(fset.withColumn("__m", F.lit(1)), "key", "left")
+    member = F.col("__m").isNotNull()
+    pos = F.col("might_contain")
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe"),
+        F.sum(member.cast("int")).cast("bigint").alias("n_members"),
+        F.sum((~member).cast("int")).cast("bigint").alias("n_nonmembers"),
+        F.sum(pos.cast("int")).cast("bigint").alias("n_bloom_pos"),
+        F.sum((pos & ~member).cast("int")).cast("bigint").alias("n_false_pos"),
+        F.sum((~pos & member).cast("int")).cast("bigint").alias("n_false_neg"),
+    ).withColumn(
+        "fpr_ppm",
+        F.when(
+            F.col("n_nonmembers") > 0,
+            F.expr("(1000000 * n_false_pos) DIV n_nonmembers"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    return agg.crossJoin(F.broadcast(n_bits))

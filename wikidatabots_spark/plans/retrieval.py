@@ -601,3 +601,138 @@ def dedup_jaccard_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_est_above_half"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_power_iteration — top spectral component of the embedding Gram matrix
+# ---------------------------------------------------------------------------
+
+_PI_DIMS = 16
+_PI_SCALE = 100
+
+
+def _power_iter_oracle(d: int = _PI_DIMS, s: int = _PI_SCALE) -> str:
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding[1:{d}],
+                          x -> CAST(round(CAST(x AS DOUBLE) * {s}) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+pairs AS (
+    SELECT i, j, qv[i] * qv[j] AS p
+    FROM q, generate_series(1, {d}) si(i), generate_series(1, {d}) sj(j)
+),
+gram AS (SELECT i, j, SUM(p) AS c FROM pairs GROUP BY i, j),
+v1 AS (SELECT i, SUM(c) AS v FROM gram GROUP BY i),
+v2 AS (
+    SELECT g.i, SUM(g.c * v1.v) AS v
+    FROM gram g JOIN v1 ON v1.i = g.j
+    GROUP BY g.i
+),
+lam AS (
+    SELECT CAST((1000000 * SUM(v2.v * v1.v)) // SUM(v1.v * v1.v) AS BIGINT)
+               AS lambda_ppm
+    FROM v1 JOIN v2 USING (i)
+)
+SELECT CAST(v1.i AS INT) AS dim,
+       CAST(v1.v AS BIGINT) AS v1,
+       CAST(v2.v AS DOUBLE) AS v2_scaled,
+       lam.lambda_ppm
+FROM v1 JOIN v2 USING (i), lam
+"""
+
+
+@register("emb_power_iteration", oracle=_power_iter_oracle())
+def emb_power_iteration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed power iteration: two unrolled matrix-vector rounds
+    against the Gram (uncentered second-moment) matrix of the first
+    {_PI_DIMS} embedding dims, entirely in integer arithmetic — the
+    iterative-linear-algebra pattern (PCA top component, spectral
+    embedding dims) expressed Spark-first with a CTE-by-CTE oracle.
+    Quantization is the established round(x*100) integer mapping; v0 is
+    the ones vector; output per dim: v1, v2 (the iterates — v2 cast to
+    DOUBLE, exact for these magnitudes' identical integer→double
+    conversion in both engines) and the Rayleigh-quotient eigenvalue
+    estimate lambda_ppm = (1e6·v2·v1) div (v1·v1), computed in
+    DECIMAL(38,0)/HUGEINT so the ~1e31 intermediates never overflow
+    while the final quotient fits a BIGINT. Mean-centered PCA is the
+    same plan minus a broadcast rank-1 mean correction.
+
+    Scale shape (the reason this beats collect-and-numpy): the ONLY
+    corpus-sized stage is the per-vector d² pair explode feeding a
+    map-side-combined groupBy — the exchange carries at most d² rows
+    per map task regardless of corpus size (the CMS argument). Both
+    iteration rounds then run on the d²-row Gram matrix: adding
+    iterations costs d²-row joins, never another corpus pass. The
+    quantized slice is fenced (the no-CSE-through-HOF-lambdas trap:
+    the nested pair transform references it d² times).
+    """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+
+    d, s = _PI_DIMS, _PI_SCALE
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = pushdown_fence(
+        emb.select(
+            "vec_id",
+            F.transform(
+                F.slice("embedding", 1, d),
+                lambda x: F.round(x.cast("double") * s).cast("long"),
+            ).alias("qv"),
+        )
+    )
+    # one narrow stage: d^2 (i, j, q_i*q_j) structs per vector, exploded;
+    # the transform's second lambda arg is the 0-based element INDEX
+    # (the documented marker_count trap — here it is exactly what we
+    # want), emitted 1-based to match the oracle
+    pair_structs = F.flatten(
+        F.transform(
+            "qv",
+            lambda xi, i: F.transform(
+                "qv",
+                lambda xj, j: F.struct(
+                    (i + 1).cast("int").alias("i"),
+                    (j + 1).cast("int").alias("j"),
+                    (xi * xj).alias("p"),
+                ),
+            ),
+        )
+    )
+    gram = (
+        qd.select(F.explode(pair_structs).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("c"))
+    )
+    gram = pushdown_fence(gram)  # feeds v1, v2, and the lambda legs
+    v1 = gram.groupBy("i").agg(F.sum("c").alias("v"))
+    v1 = pushdown_fence(v1)
+    v2 = (
+        gram.join(
+            v1.select(F.col("i").alias("j"), F.col("v").alias("vj")), "j"
+        )
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("vj")).alias("v")
+        )
+    )
+    v2 = pushdown_fence(v2)
+    lam = (
+        v1.join(v2.select(F.col("i"), F.col("v").alias("v2v")), "i")
+        .agg(
+            F.sum(F.col("v2v") * F.col("v")).alias("num"),
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("den"),
+        )
+        .selectExpr("CAST((num * 1000000) DIV den AS BIGINT) AS lambda_ppm")
+    )
+    return (
+        v1.join(v2.select("i", F.col("v").alias("v2")), "i")
+        .crossJoin(F.broadcast(lam))
+        .select(
+            F.col("i").cast("int").alias("dim"),
+            F.col("v").cast("bigint").alias("v1"),
+            F.col("v2").cast("double").alias("v2_scaled"),
+            "lambda_ppm",
+        )
+    )
