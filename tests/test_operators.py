@@ -216,6 +216,50 @@ def test_embedding_dup_pairs_lsh_matches_brute(spark):
     assert lsh == brute and len(lsh) >= 30
 
 
+def test_srp_bucket_cap_bounds_identical_cluster(spark):
+    """The SRP candidate self-join twin of the MinHash hot-bucket cap:
+    40 IDENTICAL embeddings share every (table, bucket) key, so
+    uncapped candidates are f(f-1)/2 = 780; the anchor rule bounds the
+    pair list at sum_{i<=cap}(f-i) while a genuine separate dup pair
+    survives and connected components still recover the whole
+    cluster."""
+    import math
+
+    from wikidatabots_spark.operators.dedup import connected_components
+    from wikidatabots_spark.operators.similarity import (
+        SRP_BUCKET_CAP,
+        embedding_dup_pairs_lsh,
+    )
+
+    dim = 16
+    base = [math.sin(3.0 + d) for d in range(dim)]
+    other = [math.cos(11.0 + 2 * d) for d in range(dim)]
+    f = 40
+    rows = [(i, base) for i in range(1, f + 1)]
+    rows += [(100, other), (101, other)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    capped = embedding_dup_pairs_lsh(
+        emb, threshold=0.99, dim=dim, bits=8, tables=8
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    cap = SRP_BUCKET_CAP
+    cluster = {p for p in got if p[1] <= f}
+    assert len(cluster) == sum(f - i for i in range(1, cap + 1))
+    assert (100, 101) in got
+    uncapped = embedding_dup_pairs_lsh(
+        emb, threshold=0.99, dim=dim, bits=8, tables=8, bucket_cap=None
+    ).collect()
+    assert len({(r.id_a, r.id_b) for r in uncapped if r.id_b <= f}) == (
+        f * (f - 1) // 2
+    )
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in got], "id_a long, id_b long"
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert {comp[i] for i in range(1, f + 1)} == {1}
+
+
 def test_simhash_near_pairs_hamming(spark):
     from wikidatabots_spark.operators.dedup import simhash_near_pairs
 

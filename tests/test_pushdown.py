@@ -86,3 +86,25 @@ def test_dynamic_partition_overwrite_replaces_only_touched_partitions(
     for s, n in before.items():
         if s != target:
             assert after[s] == n  # every other partition untouched
+
+
+def test_dynamic_partition_pruning_on_join(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning (the join-driven cousin of static
+    partition pruning): a fact table partitioned on the join key must
+    be pruned by a FILTERED dim side at runtime — the plan carries a
+    dynamicpruning subquery on the partition column, and execution
+    reads only the partitions the dim filter selects. This is the
+    mechanism that makes star-schema joins on a partitioned 100 TB
+    fact scan dim-selectivity-sized, not fact-sized."""
+    fact_dir = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("signup", 2)], "event_type string, type_id int"
+    ).where(F.col("type_id") == 1)
+    fact = spark.read.parquet(fact_dir)
+    joined = fact.join(dim, "event_type")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    want = ev.where(F.col("event_type") == "purchase").count()
+    assert joined.count() == want

@@ -44,3 +44,23 @@ def test_scan_parquet_url_http(spark, sf_dir, tmp_path):
             srv.shutdown()
         except Exception:
             pass
+
+
+def test_orc_round_trip_and_pruning(spark, sf_dir, tmp_path):
+    """Format breadth: the engine's tables round-trip through ORC
+    (Spark's other first-class columnar format) bit-for-bit, and
+    predicate/column pushdown reaches the ORC scan just like parquet —
+    the properties that make the storage format swappable."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "docs_orc")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+    pruned = back.where(F.col("doc_id") < 10).select("doc_id", "source")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThan(doc_id,10)" in plan, plan
+    assert "text" not in plan.split("ReadSchema")[-1]

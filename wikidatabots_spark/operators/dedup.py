@@ -387,7 +387,10 @@ BAND_BUCKET_CAP = 10
 
 
 def cap_band_buckets(
-    bands_df: DataFrame, cap: int = BAND_BUCKET_CAP, id_col: str = "doc_id"
+    bands_df: DataFrame,
+    cap: int = BAND_BUCKET_CAP,
+    id_col: str = "doc_id",
+    bucket_cols: tuple[str, ...] = ("band_idx", "band_hash"),
 ) -> DataFrame:
     """Keep only the ``cap`` lowest-id members of each (band_idx,
     band_hash) bucket — the bounded form of a PERSISTED band index.
@@ -402,7 +405,7 @@ def cap_band_buckets(
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("band_idx", "band_hash").orderBy(F.col(id_col))
+    w = Window.partitionBy(*bucket_cols).orderBy(F.col(id_col))
     return (
         bands_df.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= cap)

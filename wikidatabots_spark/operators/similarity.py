@@ -259,6 +259,18 @@ def knn_lsh(
     )
 
 
+# Anchor cap for the SRP bucket self-join — the embedding twin of
+# operators.dedup.BAND_BUCKET_CAP: a cluster of f near-identical
+# embeddings (boilerplate pages, watermarked images) shares every SRP
+# bucket and emits ~f²/2 candidate rows per (table, bucket) key. Only
+# the cap lowest-id members anchor pairs, bounding output at cap·f;
+# connected components recover full clusters through the anchors. Sized
+# ABOVE the largest observed bucket at the test SFs (31 at sf0.1) so
+# exact-recall oracles are unperturbed there while web-scale bombs stay
+# linear; the planted test exercises the cap directly.
+SRP_BUCKET_CAP = 32
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.9,
@@ -267,6 +279,7 @@ def embedding_dup_pairs_lsh(
     tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = SRP_BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs via SRP-banded candidates + exact cosine verify.
 
@@ -291,13 +304,26 @@ def embedding_dup_pairs_lsh(
 
     Shuffles: one on (table, bucket) for candidates, one on id to re-join
     vectors for the verify. The wide vector column never self-joins.
+    ``bucket_cap`` applies the anchor rule (see ``SRP_BUCKET_CAP``): a
+    hot bucket emits ≤ cap·f candidate rows instead of f²/2; in a
+    >cap bucket a pair whose BOTH ends rank past the cap is not
+    generated even if it would verify — the documented linear-output
+    trade (CC through the anchors recovers the cluster; pass ``None``
+    for exact all-pairs candidates).
     """
+    from wikidatabots_spark.operators.dedup import cap_band_buckets
+
     srp_sig = srp_signatures_udf(dim, bits, tables)
     ids = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)), id_col)
     stacked = ids.select(
         F.col(id_col), F.posexplode(srp_sig(F.col(vec_col))).alias("tbl", "bucket")
     )
-    a, b = stacked.alias("a"), stacked.alias("b")
+    anchors = stacked
+    if bucket_cap is not None:
+        anchors = cap_band_buckets(
+            stacked, bucket_cap, id_col, bucket_cols=("tbl", "bucket")
+        )
+    a, b = anchors.alias("a"), stacked.alias("b")
     cand = (
         a.join(
             b,

@@ -874,3 +874,117 @@ def op_null_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wd_n_regionkey").cast("bigint").alias("k2"),
     )
     return nulls.unionByName(pre)
+
+
+# --- sequence-pattern mining (MATCH_RECOGNIZE-lite) ------------------------
+_SEQ_PATTERN = "view,click,purchase"
+
+_SEQ_PATTERN_ORACLE = f"""
+WITH seqs AS (
+    SELECT user_id, COUNT(*) AS n_events,
+           array_to_string(list(event_type ORDER BY ts, event_id), ',') AS seq
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq, '{_SEQ_PATTERN}')) AS BIGINT) AS n_vcp
+FROM seqs
+"""
+
+
+@register("ev_sequence_pattern", oracle=_SEQ_PATTERN_ORACLE)
+def ev_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sequence-pattern counting (the MATCH_RECOGNIZE /
+    funnel-regex idiom): each user's event types concatenate in strict
+    (ts, event_id) order into one string, and the strictly-CONSECUTIVE
+    view→click→purchase triple is counted by leftmost non-overlapping
+    regexp — the adjacency-sensitive complement of ``ev_funnel_3step``
+    (which allows gaps). A literal pattern keeps the two engines'
+    regex dialects trivially aligned.
+
+    Scale: one user_id exchange; the sequence string is bounded by the
+    user's own event count and exists only inside the aggregate — at
+    web scale per-entity sequences are short even when the corpus is
+    not, which is why the collect-then-regex form beats a 3-way
+    self-join on adjacency.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s.getField("event_type"),
+        ),
+        ",",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.size(F.regexp_extract_all(seq, F.lit(_SEQ_PATTERN), F.lit(0)))
+        .cast("bigint")
+        .alias("n_vcp"),
+    )
+
+
+# --- cohort lifetime value curve -------------------------------------------
+_COHORT_LTV_ORACLE = """
+WITH first_seen AS (
+    SELECT user_id, date_trunc('week', MIN(ts)) AS cw FROM events
+    GROUP BY user_id
+),
+wk AS (
+    SELECT f.cw, CAST(date_diff('day', f.cw, date_trunc('week', e.ts)) // 7
+                      AS INT) AS week_offset,
+           SUM(CAST(e.value AS DECIMAL(14,4))) AS wv
+    FROM events e JOIN first_seen f USING (user_id)
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+)
+SELECT CAST(cw AS DATE) AS cohort_week, week_offset,
+       CAST(wv AS DOUBLE) AS week_value,
+       CAST(SUM(wv) OVER (PARTITION BY cw ORDER BY week_offset
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+FROM wk
+"""
+
+
+@register("ev_cohort_ltv", oracle=_COHORT_LTV_ORACLE)
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: purchase value per (signup-cohort
+    week, week offset) plus the running cumulative — the revenue twin
+    of ``ev_retention``'s activity matrix. Sums stay DECIMAL through
+    both the weekly aggregate AND the cumulative window, so neither
+    engine's summation order can change bits; the double cast happens
+    once per output cell.
+
+    Scale: per-user first-seen collapse (map-side combined), one join
+    per purchase row, then the matrix is tiny (weeks × offsets) — the
+    cumulative window runs on the matrix, not the fact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    wk = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cw",
+            (
+                F.datediff(F.to_date(F.date_trunc("week", "ts")), F.to_date("cw"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.sum(_dec("value", "14,4")).alias("wv"))
+    )
+    cum = Window.partitionBy("cw").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return wk.select(
+        F.to_date("cw").alias("cohort_week"),
+        "week_offset",
+        F.col("wv").cast("double").alias("week_value"),
+        F.sum("wv").over(cum).cast("double").alias("cum_value"),
+    )

@@ -3843,3 +3843,90 @@ def sketch_bloom_fpr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
     return agg.crossJoin(F.broadcast(n_bits))
+
+
+# ---------------------------------------------------------------------------
+# corpus_curriculum_order — interleaved quality-decile training order
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_ORACLE = """
+WITH qual AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x != '')) AS nw,
+           length(text) AS nc,
+           length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS np,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> x IN ('the','a','an','of','to','and','in','is','on','for')))
+               AS ns
+    FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           least(CAST(nw AS DOUBLE) / 100.0, 1.0) * 0.5
+             + (CASE WHEN nw > 0 THEN CAST(ns AS DOUBLE) / nw ELSE 0.0 END) * 0.3
+             + (1.0 - (CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc
+                            ELSE 0.0 END)) * 0.2 AS quality
+    FROM qual
+),
+ranked AS (
+    SELECT doc_id, quality,
+           CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+               AS rk,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM scored
+),
+deciled AS (
+    SELECT doc_id, rk, ((rk - 1) * 10) // n AS decile FROM ranked
+)
+SELECT doc_id,
+       CAST(decile AS INT) AS decile,
+       CAST((row_number() OVER (PARTITION BY decile ORDER BY rk) - 1) * 10
+            + decile + 1 AS BIGINT) AS curriculum_pos
+FROM deciled
+"""
+
+
+@register("corpus_curriculum_order", oracle=_CURRICULUM_ORACLE)
+def corpus_curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: docs rank by quality
+    (exact-rank decile, no percentile interpolation), then the
+    curriculum position INTERLEAVES deciles — position p sees decile
+    p mod 10 — so every training window mixes difficulty instead of
+    front-loading one stratum (the anti-collapse property curriculum
+    schedules want). Pure integer window math; the only global
+    structure is the rank, computed once.
+
+    Scale: the global rank is the honest cost (one total order — at
+    corpus scale use the two-phase bucketed prefix-rank of
+    ``corpus_token_budget_select``, same math); the interleave itself
+    is per-decile window arithmetic on ids, no text movement.
+    """
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+    from wikidatabots_spark.operators.textstats import with_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = with_quality(ensure_parallelism(d, "doc_id")).select(
+        "doc_id", "quality"
+    )
+    wr = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+    ranked = scored.select(
+        "doc_id",
+        F.row_number().over(wr).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).cast("bigint").alias("n"),
+    )
+    deciled = ranked.select(
+        "doc_id", "rk", F.expr("((rk - 1) * 10) DIV n").alias("decile")
+    )
+    wd = Window.partitionBy("decile").orderBy("rk")
+    return deciled.select(
+        "doc_id",
+        F.col("decile").cast("int").alias("decile"),
+        (
+            (F.row_number().over(wd) - 1) * 10 + F.col("decile") + 1
+        )
+        .cast("bigint")
+        .alias("curriculum_pos"),
+    )

@@ -219,3 +219,73 @@ class VersionedTable:
                 f"n_rows at prune time: {info.n_rows}"
             )
         return spark.read.parquet(self._snapshot_dir(version))
+
+    def diff(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int,
+        key: str,
+    ) -> DataFrame:
+        """Change data feed between two snapshots: one row per changed
+        key with ``_change`` in ('insert', 'delete', 'update'), value
+        columns taken from the NEW side for insert/update and the OLD
+        side for delete — the Delta/Iceberg CDF contract derived from
+        plain immutable snapshots. ``diff(v, v)`` is empty; applying
+        the feed to ``from_version`` reproduces ``to_version`` exactly
+        (tested), which is what makes the feed a valid downstream
+        replication stream.
+
+        Scale: ONE full-outer equi-join on the key; change detection
+        compares a 256-bit hash of the value columns computed per side
+        (map-side, no second shuffle), so wide rows never join twice.
+        Snapshots written bucketed by the key would make the join
+        exchange-free; with plain snapshots it is two exchanges total.
+        """
+        from pyspark.sql import functions as F
+
+        old = self.read(spark, from_version)
+        new = self.read(spark, to_version)
+        val_cols = [c for c in new.columns if c != key]
+        if old.columns != new.columns:
+            raise ValueError(
+                f"schema changed between v{from_version} and v{to_version}: "
+                f"{old.columns} vs {new.columns}"
+            )
+
+        def hashed(df: DataFrame, tag: str) -> DataFrame:
+            return df.select(
+                F.col(key),
+                F.struct(*[F.col(c) for c in val_cols]).alias(f"__row_{tag}"),
+                F.sha2(
+                    F.concat_ws(
+                        "\x1f",
+                        *[
+                            F.coalesce(
+                                F.col(c).cast("string"), F.lit("\x00")
+                            )
+                            for c in val_cols
+                        ],
+                    ),
+                    256,
+                ).alias(f"__h_{tag}"),
+            )
+
+        j = hashed(old, "old").join(hashed(new, "new"), key, "full_outer")
+        change = (
+            F.when(F.col("__h_old").isNull(), F.lit("insert"))
+            .when(F.col("__h_new").isNull(), F.lit("delete"))
+            .when(F.col("__h_old") != F.col("__h_new"), F.lit("update"))
+        )
+        picked = F.when(
+            F.col("__h_new").isNotNull(), F.col("__row_new")
+        ).otherwise(F.col("__row_old"))
+        return (
+            j.withColumn("_change", change)
+            .where(F.col("_change").isNotNull())
+            .select(
+                F.col(key),
+                "_change",
+                *[picked.getField(c).alias(c) for c in val_cols],
+            )
+        )
