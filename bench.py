@@ -155,6 +155,8 @@ HEADLINERS = [
     "ev_rollup_incremental",
     "sketch_bloom_fpr",
     "emb_power_iteration",
+    "ev_sequence_pattern",
+    "ev_session_incident_overlap",
 ]
 
 

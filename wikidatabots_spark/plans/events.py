@@ -552,3 +552,218 @@ def ev_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.col("m_sum").cast("double").alias("sum_value"),
     )
+
+
+# --- interval algebra: coalesce + overlap join -----------------------------
+_INCIDENT_WIN_MIN = 30
+
+_INTERVAL_MERGE_ORACLE = f"""
+WITH wins AS (
+    SELECT epoch_us(ts) AS s,
+           epoch_us(ts) + {_INCIDENT_WIN_MIN} * 60 * 1000000 AS e
+    FROM events WHERE event_type = 'error'
+),
+ordered AS (
+    SELECT s, e,
+           MAX(e) OVER (ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+    FROM wins
+),
+flagged AS (
+    SELECT s, e,
+           CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+               AS new_island
+    FROM ordered
+),
+numbered AS (
+    SELECT s, e,
+           CAST(SUM(new_island) OVER (ORDER BY s, e
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS incident_id
+    FROM flagged
+)
+SELECT incident_id,
+       MIN(s) AS inc_start_us,
+       MAX(e) AS inc_end_us,
+       COUNT(*) AS n_windows
+FROM numbered GROUP BY incident_id
+"""
+
+
+def _merged_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wins = ev.where(F.col("event_type") == "error").select(
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + _INCIDENT_WIN_MIN * 60 * 1_000_000).alias("e"),
+    )
+    wo = Window.orderBy("s", "e")
+    flagged = wins.withColumn(
+        "prev_max_e",
+        F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+    ).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "incident_id",
+        F.sum("new_island")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return numbered.groupBy("incident_id").agg(
+        F.min("s").alias("inc_start_us"),
+        F.max("e").alias("inc_end_us"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+
+
+@register("ev_interval_merge", oracle=_INTERVAL_MERGE_ORACLE)
+def ev_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (gaps-and-islands over intervals): every
+    error event opens a 30-minute incident window; overlapping windows
+    MERGE into incidents via the running-max-end rule (an interval
+    starts a new island iff it begins after everything before it has
+    ended). All boundaries integer epoch-µs — exact in both engines.
+
+    Scale: the merge needs a global order, so this form pays ONE
+    unpartitioned window over the (small) window-boundary table — not
+    the event table. When incident candidates themselves are huge,
+    two-phase: merge within coarse time buckets in parallel, then
+    stitch the (bucket-count-sized) boundary islands — same running-max
+    rule; this plan documents the exact form the stitch reuses.
+    """
+    return _merged_incidents(spark, sf_dir)
+
+
+_OVERLAP_ORACLE = f"""
+WITH wins AS (
+    SELECT epoch_us(ts) AS s,
+           epoch_us(ts) + {_INCIDENT_WIN_MIN} * 60 * 1000000 AS e
+    FROM events WHERE event_type = 'error'
+),
+ordered AS (
+    SELECT s, e,
+           MAX(e) OVER (ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+    FROM wins
+),
+flagged AS (
+    SELECT s, e,
+           CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+               AS new_island
+    FROM ordered
+),
+numbered AS (
+    SELECT s, e,
+           CAST(SUM(new_island) OVER (ORDER BY s, e
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS incident_id
+    FROM flagged
+),
+incidents AS (
+    SELECT incident_id, MIN(s) AS inc_s, MAX(e) AS inc_e
+    FROM numbered GROUP BY incident_id
+),
+sess AS (
+    SELECT user_id, session_seq,
+           MIN(epoch_us(ts)) AS sess_s, MAX(epoch_us(ts)) AS sess_e
+    FROM (
+        SELECT user_id, ts, event_id,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > {SESSION_GAP_MIN} * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+    )
+    GROUP BY user_id, session_seq
+)
+SELECT s.user_id, s.session_seq,
+       CAST(COUNT(i.incident_id) AS BIGINT) AS n_incidents,
+       CAST(COALESCE(SUM(least(s.sess_e, i.inc_e)
+                         - greatest(s.sess_s, i.inc_s)), 0) AS BIGINT)
+           AS overlap_us
+FROM sess s LEFT JOIN incidents i
+  ON s.sess_s < i.inc_e AND i.inc_s < s.sess_e
+GROUP BY s.user_id, s.session_seq
+"""
+
+
+@register("ev_session_incident_overlap", oracle=_OVERLAP_ORACLE)
+def ev_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join (two interval sets, not point-in-interval):
+    each user session is joined to every merged error incident it
+    overlaps — strict inequalities on [start, end) — and reports the
+    incident count plus total overlapped microseconds (least/greatest
+    endpoint arithmetic, all integer). Completes the temporal-join
+    family: as-of (point→latest), range join (point→interval), PIT
+    (fact→SCD2), and now interval→interval.
+
+    Scale: merged incidents are bounded by real-world outage counts —
+    a tiny table — so the overlap join BROADCASTS them with the range
+    predicate; sessions never shuffle. If both interval sets were huge
+    the bucketed form applies (explode each interval over coarse time
+    buckets, equi-join on bucket, dedupe + verify — ``range_join``'s
+    construction); the broadcast form is the right plan at this
+    asymmetry and the plan lint still forbids cartesian fallback.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                > SESSION_GAP_MIN * 60 * 1_000_000
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = (
+        flagged.withColumn(
+            "session_seq",
+            F.sum("new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("sess_s"),
+            F.max(F.unix_micros("ts")).alias("sess_e"),
+        )
+    )
+    inc = _merged_incidents(spark, sf_dir).select(
+        "incident_id",
+        F.col("inc_start_us").alias("inc_s"),
+        F.col("inc_end_us").alias("inc_e"),
+    )
+    joined = sess.join(
+        F.broadcast(inc),
+        (F.col("sess_s") < F.col("inc_e")) & (F.col("inc_s") < F.col("sess_e")),
+        "left",
+    )
+    return joined.groupBy("user_id", "session_seq").agg(
+        F.count("incident_id").cast("bigint").alias("n_incidents"),
+        F.coalesce(
+            F.sum(
+                F.least("sess_e", "inc_e") - F.greatest("sess_s", "inc_s")
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("overlap_us"),
+    )
