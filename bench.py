@@ -157,6 +157,7 @@ HEADLINERS = [
     "emb_power_iteration",
     "ev_sequence_pattern",
     "ev_session_incident_overlap",
+    "curate_corpus_v7",
 ]
 
 
@@ -239,6 +240,7 @@ def main() -> None:
         "corpus_bpe_train",
         "curate_corpus",
         "curate_corpus_v6",
+        "curate_corpus_v7",
         "dedup_components_incremental",
         "text_lm_score",
     ]

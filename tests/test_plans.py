@@ -52,7 +52,7 @@ def test_registry_priority_window():
         # r3 next #5)
         "curate_corpus", "asof_purchase_signup", "sketch_count_min",
         "dedup_winnow", "curate_corpus_v3", "corpus_mix_epochs",
-        "curate_corpus_v6", "text_lm_score",
+        "curate_corpus_v7", "text_lm_score",
         # r4c: A3/O1/O2 merged slot + the promoted tokenizer
         "op_order_collect", "corpus_tokenize_ids",
         # r4d: J4/J5 and F-nulls/P6 merged slots + the promoted PQ/ADC

@@ -44,6 +44,7 @@ from wikidatabots_spark.operators.clustering import (  # noqa: F401
     with_cluster,
 )
 from wikidatabots_spark.operators.dedup import (  # noqa: F401
+    cap_band_buckets,
     connected_components,
     dedup_exact,
     minhash_band_table,
@@ -103,8 +104,11 @@ from wikidatabots_spark.operators.textstats import (  # noqa: F401
     with_token_count,
 )
 from wikidatabots_spark.operators.textstats import (  # noqa: F401
+    bucket_occurrences,
     chunk_documents,
+    score_hashed_nb,
     tokenize_to_ids,
+    train_hashed_nb,
 )
 from wikidatabots_spark.session import get_spark  # noqa: F401
 from wikidatabots_spark.sinks.compaction import compact_parquet_dir  # noqa: F401
@@ -116,4 +120,4 @@ from wikidatabots_spark.sources.corpus_io import (  # noqa: F401
     write_jsonl,
 )
 
-__version__ = "0.3.1"
+__version__ = "0.4.0"

@@ -311,12 +311,21 @@ def embedding_dup_pairs_lsh(
     trade (CC through the anchors recovers the cluster; pass ``None``
     for exact all-pairs candidates).
     """
+    from wikidatabots_spark.functions.scale import pushdown_fence
     from wikidatabots_spark.operators.dedup import cap_band_buckets
 
     srp_sig = srp_signatures_udf(dim, bits, tables)
     ids = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)), id_col)
-    stacked = ids.select(
-        F.col(id_col), F.posexplode(srp_sig(F.col(vec_col))).alias("tbl", "bucket")
+    # fence the banded signatures: the pandas-UDF signature stage is the
+    # expensive leg and feeds BOTH join sides (and the anchor window) —
+    # unfenced, the r5 cap's window broke the ReusedExchange that used
+    # to share it, and the plan ran the UDF 4x (measured 2.4 -> 3.2 s
+    # at sf0.1; fenced it computes once)
+    stacked = pushdown_fence(
+        ids.select(
+            F.col(id_col),
+            F.posexplode(srp_sig(F.col(vec_col))).alias("tbl", "bucket"),
+        )
     )
     anchors = stacked
     if bucket_cap is not None:

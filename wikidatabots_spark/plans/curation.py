@@ -386,10 +386,20 @@ FROM final f JOIN bucket ON bucket.doc_id = f.doc_id
 """
 
 
-def _v3_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _v3_gated(
+    spark: SparkSession, sf_dir: str, classifier: str = "standin"
+) -> DataFrame:
     """The shared v3 gate stack → (doc_id, source): exact dedup →
     fenced winnow pairs → connected components → quality + language +
-    repetition + classifier gates."""
+    repetition + classifier gates.
+
+    ``classifier='trained'`` swaps the hash-derived stand-in weight
+    gate for the SELF-TRAINED hashed-NB model (train_hashed_nb on the
+    quality≥0.5 label, score via the broadcast model) — the v7
+    pipeline's single difference from v6. The stand-in's gate is
+    cls_score ≥ 0; the trained gate is the model's ``keep`` verdict —
+    same plan family, learned weights.
+    """
     from wikidatabots_spark.operators.dedup import (
         connected_components,
         ensure_parallelism,
@@ -397,6 +407,9 @@ def _v3_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_pairs,
     )
     from wikidatabots_spark.operators.textstats import (
+        bucket_occurrences,
+        score_hashed_nb,
+        train_hashed_nb,
         with_classifier_score,
         with_repetition,
     )
@@ -427,17 +440,35 @@ def _v3_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio", "dup_2gram_frac", "cls_score",
         )
     )
-    return (
+    if classifier == "trained":
+        occ = pushdown_fence(bucket_occurrences(d))
+        labels = scored.select(
+            "doc_id", (F.col("quality") >= 0.5).alias("label")
+        )
+        model = train_hashed_nb(d, occ=occ, labels=labels)
+        cls_gate = (
+            score_hashed_nb(d.select("doc_id"), model, occ=occ)
+            .where(F.col("keep"))
+            .select("doc_id")
+        )
+        gate_leg = F.lit(True)
+    else:
+        cls_gate = None
+        gate_leg = F.coalesce(F.col("cls_score") >= 0.0, F.lit(False))
+    out = (
         survivors.join(scored, "doc_id")
         .where(
             (F.col("quality") >= 0.5)
             & (F.col("lang_guess") == "en")
             & (F.col("dup_2gram_frac") <= 0.05)
             & (F.col("type_token_ratio") >= 0.35)
-            & F.coalesce(F.col("cls_score") >= 0.0, F.lit(False))
+            & gate_leg
         )
         .select("doc_id", "source")
     )
+    if cls_gate is not None:
+        out = out.join(cls_gate, "doc_id", "left_semi")
+    return out
 
 
 def _mix_and_split(gated: DataFrame) -> DataFrame:

@@ -712,11 +712,12 @@ def ev_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: merged incidents are bounded by real-world outage counts —
     a tiny table — so the overlap join BROADCASTS them with the range
-    predicate; sessions never shuffle. If both interval sets were huge
-    the bucketed form applies (explode each interval over coarse time
-    buckets, equi-join on bucket, dedupe + verify — ``range_join``'s
-    construction); the broadcast form is the right plan at this
-    asymmetry and the plan lint still forbids cartesian fallback.
+    predicate; sessions never shuffle. When BOTH interval sets are
+    huge, ``operators.rangejoin.interval_overlap_join`` is the
+    exchange-shaped form (bucket explode + equi-join with the
+    canonical-bucket dedup trick, tested in tests/test_asof.py); the
+    broadcast form is the right plan at this asymmetry and the plan
+    lint still forbids cartesian fallback.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

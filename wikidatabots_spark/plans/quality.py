@@ -2841,6 +2841,82 @@ def curate_corpus_v6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# curate_corpus_v7 — the flagship with the SELF-TRAINED classifier gate
+# ---------------------------------------------------------------------------
+
+
+def _curate_v7_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import (
+        _CLS_ORACLE,
+        _CLS_TRAINED_ORACLE,
+    )
+
+    v6 = _curate_v6_oracle()
+    old = f"cls AS ({_CLS_ORACLE})"
+    assert v6.count(old) == 1, "v6 oracle classifier CTE moved"
+    return v6.replace(old, f"cls AS ({_CLS_TRAINED_ORACLE})")
+
+
+@register("curate_corpus_v7", oracle=_curate_v7_oracle())
+def curate_corpus_v7_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v6 with the stand-in classifier gate replaced by the SELF-TRAINED
+    hashed-NB model (the v5→v6 single-site-swap pattern applied to the
+    classifier): exact dedup → winnow/CC → quality/language/repetition
+    gates → TRAINED-classifier keep (train_hashed_nb on the
+    quality≥0.5 label, broadcast model, keep = score≥0) → cross-table
+    SemDeDup → LM survivor polish → data-derived temperature mixture →
+    content-hash split. The oracle is the entire v6 recursive-CTE
+    program with only the classifier CTE swapped for the trained-NB
+    derivation (asserted single-site), so the learned weights inside
+    the flagship are themselves hash-verified end-to-end — the last
+    stand-in in the curation path now carries real learned signal.
+
+    Scale: adds one (id, bucket, cnt) occurrence pass over the corpus
+    (fenced, shared by train and score) and a ≤1024-row broadcast to
+    v6's audited shape; everything else is shared code.
+    """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.lm import with_lm_score
+    from wikidatabots_spark.operators.mixture import mix_temperature
+    from wikidatabots_spark.operators.similarity import semdedup_flags
+    from wikidatabots_spark.plans.curation import _SPLIT_CUT, _v3_gated
+    from wikidatabots_spark.plans.llmdata import _v5_lmdrop
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    semdrop = (
+        semdedup_flags(emb, k=4, rounds=2, threshold=0.3)
+        .where(~F.col("is_kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    gated4 = pushdown_fence(
+        _v3_gated(spark, sf_dir, classifier="trained").join(
+            semdrop, "doc_id", "left_anti"
+        )
+    )
+    lmdrop = _v5_lmdrop(with_lm_score(d), gated4)
+    final_gated = pushdown_fence(gated4.join(lmdrop, "doc_id", "left_anti"))
+    mixed = mix_temperature(final_gated, key="doc_id", strata="source")
+    split_bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return mixed.select(
+        "doc_id",
+        "source",
+        "epoch",
+        F.when(split_bucket < _SPLIT_CUT, F.lit("train"))
+        .otherwise(F.lit("holdout"))
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # sketch_cms_error — measured count-min accuracy on the exact top words
 # ---------------------------------------------------------------------------
 

@@ -103,11 +103,13 @@ PRIORITY: list[str] = [
     "curate_corpus_v3",
     "corpus_mix_epochs",
     # promoted late-r4 (T4 folded into the op_strings slot), upgraded
-    # r4b and again r4d: the cross-table text+embedding curation
-    # flagship with the LM-score survivor polish and (v6) data-derived
-    # temperature mixture weights (v6 strictly supersedes v5/v4, which
-    # stay registered and locally gated)
-    "curate_corpus_v6",
+    # r4b, r4d, and r5: the cross-table text+embedding curation
+    # flagship — LM-score survivor polish, data-derived temperature
+    # mixture weights (v6), and the SELF-TRAINED classifier gate (v7,
+    # replacing the last stand-in with oracle-verified learned
+    # weights). v7 strictly supersedes v6/v5/v4, which stay registered
+    # and locally gated.
+    "curate_corpus_v7",
     # promoted r4b (T1 regexp_extract_null folded into op_strings too):
     # the CCNet-shaped LM quality ranking
     "text_lm_score",
