@@ -1200,3 +1200,111 @@ def op_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(o_custkey)").cast("long").alias("xor_cust"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+# --- higher-order array functions, tagged into one driver-checkable frame ---
+@register(
+    "op_higher_order",
+    oracle="""
+WITH w AS (
+    SELECT p_partkey,
+           list_filter(string_split_regex(lower(p_type), '\\s+'),
+                       x -> x != '') AS wl
+    FROM part
+)
+SELECT 'transform' AS kind, p_partkey AS key,
+       array_to_string(list_transform(wl, x -> upper(x)), ',') AS s,
+       CAST(NULL AS BIGINT) AS v
+FROM w
+UNION ALL
+SELECT 'filter_size', p_partkey, CAST(NULL AS VARCHAR),
+       CAST(len(list_filter(wl, x -> length(x) > 4)) AS BIGINT)
+FROM w
+UNION ALL
+SELECT 'aggregate', p_partkey, CAST(NULL AS VARCHAR),
+       CAST(list_sum(list_transform(wl, x -> length(x))) AS BIGINT)
+FROM w
+UNION ALL
+SELECT 'zip_with', p_partkey,
+       array_to_string(
+           list_transform(generate_series(1, least(len(wl), 2)),
+                          i -> wl[i] || ':' || (['a', 'b'])[i]), ','),
+       CAST(NULL AS BIGINT)
+FROM w
+UNION ALL
+SELECT 'exists', p_partkey, CAST(NULL AS VARCHAR),
+       CAST(CASE WHEN len(list_filter(wl, x -> x = 'standard')) > 0
+                 THEN 1 ELSE 0 END AS BIGINT)
+FROM w
+""",
+)
+def op_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order array-function family — transform / filter /
+    aggregate / zip_with / exists — in one tagged frame over the part
+    type words. These HOFs are the backbone of the zero-shuffle
+    operators here (MinHash's one-pass aggregate, shingling's indexed
+    transform, chunking's slice maps); this micro pins each
+    primitive's cross-engine semantics directly, including the
+    truncate-to-shorter zip_with contract (Spark pads the shorter side
+    with null, so the plan slices both to the shorter length first —
+    the dialect difference IS the pin) and exists rendered as a
+    filter-count on the DuckDB side. All narrow maps; zero shuffles
+    beyond the final union.
+    """
+    pa = load_table(spark, sf_dir, "part")
+    wl = F.filter(F.split(F.lower("p_type"), r"\s+"), lambda x: x != "")
+    base = pa.select(F.col("p_partkey").cast("bigint").alias("key"), wl.alias("wl"))
+    no_s = F.lit(None).cast("string").alias("s")
+    no_v = F.lit(None).cast("bigint").alias("v")
+    transform_leg = base.select(
+        F.lit("transform").alias("kind"),
+        "key",
+        F.array_join(F.transform("wl", F.upper), ",").alias("s"),
+        no_v,
+    )
+    filter_leg = base.select(
+        F.lit("filter_size").alias("kind"),
+        "key",
+        no_s,
+        F.size(F.filter("wl", lambda x: F.length(x) > 4))
+        .cast("bigint")
+        .alias("v"),
+    )
+    agg_leg = base.select(
+        F.lit("aggregate").alias("kind"),
+        "key",
+        no_s,
+        F.aggregate(
+            "wl", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("v"),
+    )
+    b_arr = F.array(F.lit("a"), F.lit("b"))
+    short = F.least(F.size(F.col("wl")), F.size(b_arr))
+    zip_leg = base.select(
+        F.lit("zip_with").alias("kind"),
+        "key",
+        F.array_join(
+            F.zip_with(
+                F.slice(F.col("wl"), 1, short),
+                F.slice(b_arr, 1, short),
+                lambda x, y: F.concat_ws(":", x, y),
+            ),
+            ",",
+        ).alias("s"),
+        no_v,
+    )
+    exists_leg = base.select(
+        F.lit("exists").alias("kind"),
+        "key",
+        no_s,
+        F.exists("wl", lambda x: x == F.lit("standard"))
+        .cast("int")
+        .cast("bigint")
+        .alias("v"),
+    )
+    return (
+        transform_leg.unionByName(filter_leg)
+        .unionByName(agg_leg)
+        .unionByName(zip_leg)
+        .unionByName(exists_leg)
+    )

@@ -4006,3 +4006,77 @@ def corpus_curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("curriculum_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_key_skew — join-key skew diagnosis (the pre-salting monitor)
+# ---------------------------------------------------------------------------
+
+_KEY_SKEW_ORACLE = """
+WITH fams AS (
+    SELECT 'orders.o_custkey' AS key_family,
+           CAST(o_custkey AS VARCHAR) AS k FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events
+),
+freq AS (
+    SELECT key_family, k, COUNT(*) AS cnt
+    FROM fams GROUP BY key_family, k
+)
+SELECT key_family,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+       CAST((COUNT(*) * MAX(cnt) * 1000) // SUM(cnt) AS BIGINT)
+           AS skew_factor_milli
+FROM freq GROUP BY key_family
+"""
+
+
+@register("dq_key_skew", oracle=_KEY_SKEW_ORACLE)
+def dq_key_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis across the three join-key families a
+    plan would shuffle on: rows, distinct keys, the hottest key's row
+    count, and the skew factor max/avg in integer milli-units
+    (1000 = perfectly uniform). This is the operational monitor run
+    BEFORE choosing a skew lever — factor ≤ ~3000 rides AQE skew-split;
+    beyond that reach for salting (`functions.scale.salted_join`) or a
+    bucket cap (`cap_band_buckets`); the read side of SCALING.md's
+    pressure-point table.
+
+    Scale: one groupBy per family (map-side combined) then a
+    family-sized (tiny) aggregate; the families union AFTER projection
+    to (family, key) so no wide columns move.
+    """
+    fams = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.lit("orders.o_custkey").alias("key_family"),
+            F.col("o_custkey").cast("string").alias("k"),
+        )
+        .unionByName(
+            load_table(spark, sf_dir, "lineitem").select(
+                F.lit("lineitem.l_orderkey").alias("key_family"),
+                F.col("l_orderkey").cast("string").alias("k"),
+            )
+        )
+        .unionByName(
+            load_table(spark, sf_dir, "events").select(
+                F.lit("events.user_id").alias("key_family"),
+                F.col("user_id").cast("string").alias("k"),
+            )
+        )
+    )
+    freq = fams.groupBy("key_family", "k").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return freq.groupBy("key_family").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_key_rows"),
+        F.expr("(COUNT(*) * MAX(cnt) * 1000) DIV SUM(cnt)")
+        .cast("bigint")
+        .alias("skew_factor_milli"),
+    )
