@@ -158,6 +158,7 @@ HEADLINERS = [
     "ev_sequence_pattern",
     "ev_session_incident_overlap",
     "curate_corpus_v7",
+    "corpus_dedup_funnel",
 ]
 
 

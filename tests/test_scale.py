@@ -81,3 +81,34 @@ def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
         spans_e.append(max(e) - min(e))
     assert sum(spans_u) / len(spans_u) < 200
     assert sum(spans_e) / len(spans_e) < 200
+
+
+def test_observe_counters_metrics_without_second_job(spark, sf_dir):
+    """Pipeline metrics ride the SAME job as the action: observe() on
+    the gated frame reports rows/sums matching an independent
+    recomputation, and the metric is available right after one count()
+    — the zero-extra-pass health report a 100 TB export wants."""
+    from pyspark.sql import functions as F
+
+    from wikidatabots_spark.functions.scale import observe_counters
+    from wikidatabots_spark.operators.textstats import with_quality
+    from wikidatabots_spark.sources.tables import load_table
+
+    d = with_quality(load_table(spark, sf_dir, "documents"))
+    gated = d.where(F.col("quality") >= 0.5)
+    observed, obs = observe_counters(
+        gated,
+        "gate_health",
+        n_kept=F.count(F.lit(1)),
+        words_kept=F.sum("n_words"),
+        min_quality=F.min("quality"),
+    )
+    n_action = observed.count()  # ONE job; metrics ride along
+    got = obs.get
+    assert got["n_kept"] == n_action
+    want = gated.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_words").alias("w")
+    ).first()
+    assert got["n_kept"] == want.n
+    assert got["words_kept"] == want.w
+    assert got["min_quality"] >= 0.5

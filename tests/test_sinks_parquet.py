@@ -98,3 +98,61 @@ def test_training_shards_roundtrip_manifest_and_determinism(spark, sf_dir, tmp_p
 
     shutil.rmtree(os.path.join(path, shard_dirs[0]))
     assert not verify_training_shards(spark, path)
+
+
+def test_jsonl_datasource_writer_two_phase_commit(spark, sf_dir, tmp_path):
+    """The Python DataSource WRITER protocol: partition tasks stage
+    files + return commit messages; only the driver's commit()
+    publishes (files renamed in, _MANIFEST.json written last). A job
+    that fails mid-write must publish NOTHING (abort cleans staging) —
+    the atomicity contract concurrent readers rely on."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wikidatabots_spark.sinks.jsonl_datasource import register_jsonl_sink
+    from wikidatabots_spark.sources.corpus_io import read_jsonl_documents
+    from wikidatabots_spark.sources.tables import load_table
+
+    register_jsonl_sink(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    out = str(tmp_path / "jsonl_out")
+    docs.repartition(4).write.format("jsonl_commit").mode("append").option(
+        "path", out
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["n_rows"] == docs.count()
+    assert manifest["n_files"] >= 1
+    assert not os.path.isdir(os.path.join(out, "_staging"))
+    from pyspark.sql.types import StructType
+
+    back = read_jsonl_documents(
+        spark,
+        out,
+        schema=StructType.fromDDL(
+            "doc_id long, text string, lang string, source string"
+        ),
+    )
+    assert sorted(map(tuple, back.select(docs.columns).collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+    # failure path: a poisoned row makes one task throw mid-write; the
+    # target must stay unpublished (no manifest, no part files)
+    out2 = str(tmp_path / "jsonl_fail")
+
+    @F.udf("string")
+    def poison(s):
+        raise ValueError("boom")
+
+    bad = docs.limit(10).withColumn("text", poison("text"))
+    with pytest.raises(Exception):
+        bad.write.format("jsonl_commit").mode("append").option("path", out2).save()
+    assert not os.path.exists(os.path.join(out2, "_MANIFEST.json"))
+    assert [
+        f for f in os.listdir(out2) if f.endswith(".jsonl")
+    ] == [] if os.path.isdir(out2) else True

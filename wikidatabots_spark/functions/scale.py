@@ -157,3 +157,22 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def observe_counters(df, name: str, **aggs):
+    """Attach free pipeline metrics to a DataFrame: ``observe`` runs the
+    given aggregate expressions AS THE DATA FLOWS through whatever
+    action executes the frame — no second job, no extra scan (contrast
+    a separate ``.count()``, which replays the whole lineage). Returns
+    (df, Observation); read ``obs.get`` AFTER an action completes.
+
+    The operational use: a curation/export pipeline observes rows-in /
+    rows-kept / bytes at each gate, and the run's health report costs
+    zero additional passes over 100 TB. Aggregates must be
+    observation-safe (count/sum/min/max — commutative, no distinct).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    named = [expr.alias(alias) for alias, expr in aggs.items()]
+    return df.observe(obs, *named), obs

@@ -4080,3 +4080,146 @@ def dq_key_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("skew_factor_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_dedup_funnel — stage-by-stage dedup yield report
+# ---------------------------------------------------------------------------
+
+
+def _dedup_funnel_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import (
+        _TOK_SQL,
+        _WINNOW_PAIRS_ORACLE,
+        _semdedup_oracle,
+    )
+
+    return f"""
+WITH RECURSIVE
+{_TOK_SQL},
+pairs AS ({_WINNOW_PAIRS_ORACLE}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL SELECT id_b, id_a FROM pairs
+),
+gnodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM gnodes
+    UNION
+    SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+dup_nodes AS (SELECT node FROM comp WHERE node != component),
+exact_canon AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+near_kept AS (
+    SELECT doc_id FROM exact_canon
+    WHERE doc_id NOT IN (SELECT node FROM dup_nodes)
+),
+sem AS ({_semdedup_oracle(0.3)}),
+semdrop AS (SELECT vec_id AS doc_id FROM sem WHERE NOT is_kept),
+sem_kept AS (
+    SELECT doc_id FROM near_kept
+    WHERE doc_id NOT IN (SELECT doc_id FROM semdrop)
+),
+stages AS (
+    SELECT 0 AS stage_idx, 'total' AS stage,
+           (SELECT COUNT(*) FROM documents) AS n_docs
+    UNION ALL
+    SELECT 1, 'after_exact', (SELECT COUNT(*) FROM exact_canon)
+    UNION ALL
+    SELECT 2, 'after_near_dup', (SELECT COUNT(*) FROM near_kept)
+    UNION ALL
+    SELECT 3, 'after_semantic', (SELECT COUNT(*) FROM sem_kept)
+)
+SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(lag(n_docs) OVER (ORDER BY stage_idx) - n_docs AS BIGINT)
+           AS n_dropped,
+       CAST((n_docs * 1000000)
+            // (SELECT COUNT(*) FROM documents) AS BIGINT) AS kept_ppm
+FROM stages
+"""
+
+
+@register("corpus_dedup_funnel", oracle=_dedup_funnel_oracle())
+def corpus_dedup_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup YIELD funnel: corpus size after each dedup stage —
+    exact (md5 canon), near-dup (winnow fingerprint connected
+    components), semantic (SemDeDup cluster-fenced cosine) — with
+    per-stage drop counts and integer-ppm survival. This is the
+    capacity-planning table a curation run publishes first: it prices
+    each stage's contribution before anyone pays for the full
+    pipeline, and a drift in any stage's yield between deliveries is
+    the earliest data-quality alarm.
+
+    Scale: stages reuse the audited dedup shapes (each is id-only
+    after its first projection); the stage counts are four tiny
+    aggregates unioned. The survivor sets are fenced so the winnow/CC
+    stage computes once and feeds both the near-dup count and the
+    semantic stage's input.
+    """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.dedup import (
+        connected_components,
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+    from wikidatabots_spark.operators.similarity import semdedup_flags
+
+    d = load_table(spark, sf_dir, "documents")
+    # total as a 1-row FRAME (no driver-side count action): broadcast
+    # into the ppm expression like every other scalar subquery here
+    total = d.agg(F.count(F.lit(1)).cast("bigint").alias("__total"))
+    exact = pushdown_fence(
+        d.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    comp = connected_components(
+        winnow_pairs(winnow_fingerprints(d, k=3, window=4), d, min_shared=3,
+                     max_df=0.2)
+    )
+    dup_nodes = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    near_kept = pushdown_fence(exact.join(dup_nodes, "doc_id", "left_anti"))
+    semdrop = (
+        semdedup_flags(
+            load_table(spark, sf_dir, "embeddings"), k=4, rounds=2,
+            threshold=0.3,
+        )
+        .where(~F.col("is_kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    sem_kept = near_kept.join(semdrop, "doc_id", "left_anti")
+
+    def stage(idx: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        ).select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+
+    stages = (
+        stage(0, "total", d.select("doc_id"))
+        .unionByName(stage(1, "after_exact", exact))
+        .unionByName(stage(2, "after_near_dup", near_kept))
+        .unionByName(stage(3, "after_semantic", sem_kept))
+    )
+    w = Window.orderBy("stage_idx")
+    return stages.crossJoin(F.broadcast(total)).select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        (F.lag("n_docs").over(w) - F.col("n_docs"))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.expr("(n_docs * 1000000) DIV __total")
+        .cast("bigint")
+        .alias("kept_ppm"),
+    )

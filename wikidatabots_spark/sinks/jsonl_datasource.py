@@ -1,0 +1,98 @@
+"""JSONL as a Spark 4 Python Data Source WRITER — the write-side twin
+of the custom read sources (`sources/sparql_datasource.py` batch read,
+`sources/replay_stream.py` streaming read), completing the Python
+DataSource API surface: `df.write.format("jsonl_commit").save(path)`.
+
+Two-phase commit, the part that matters: each executor task streams its
+partition to a STAGED file and returns a `WriterCommitMessage` with the
+file name and row count; only the DRIVER's `commit()` publishes —
+staged files are renamed into the target directory and a
+`_MANIFEST.json` of per-part row counts is written LAST (readers treat
+its presence as the commit marker, the same convention as the
+repo's other sinks). A failed/aborted job never publishes: `abort()`
+removes the staging directory, so concurrent readers either see the
+previous complete state or the new complete state, never a torn write.
+
+Scale: writes are partition-parallel and append-only; the driver
+touches only commit messages (one tiny record per task). On an object
+store the rename-based publish becomes a manifest-pointer swap — the
+`VersionedTable` pattern — with no change to the task-side protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class JsonlCommitMessage(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.field_names = [f.name for f in schema.fields]
+        self.path = options["path"]
+        self.staging = os.path.join(self.path, "_staging")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> JsonlCommitMessage:
+        os.makedirs(self.staging, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.staging, name), "w") as f:
+            for row in iterator:
+                rec = dict(zip(self.field_names, tuple(row)))
+                f.write(json.dumps(rec, default=str))
+                f.write("\n")
+                n += 1
+        return JsonlCommitMessage(filename=name, n_rows=n)
+
+    def commit(self, messages) -> None:
+        parts = {}
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(self.staging, m.filename),
+                os.path.join(self.path, m.filename),
+            )
+            parts[m.filename] = m.n_rows
+        shutil.rmtree(self.staging, ignore_errors=True)
+        manifest = {
+            "n_rows": sum(parts.values()),
+            "n_files": len(parts),
+            "files": parts,
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class JsonlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_commit"
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonlWriter:
+        return JsonlWriter(schema, self.options, overwrite)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlDataSource)
