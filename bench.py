@@ -159,6 +159,7 @@ HEADLINERS = [
     "ev_session_incident_overlap",
     "curate_corpus_v7",
     "corpus_dedup_funnel",
+    "knn_ivf_nprobe2",
 ]
 
 

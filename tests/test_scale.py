@@ -112,3 +112,60 @@ def test_observe_counters_metrics_without_second_job(spark, sf_dir):
     assert got["n_kept"] == want.n
     assert got["words_kept"] == want.w
     assert got["min_quality"] >= 0.5
+
+
+def test_aqe_splits_planted_skewed_join(spark):
+    """Turns the recurring 'AQE skew-split handles hot keys' claim into
+    a regression pin: a join where one key holds ~100x the rows of any
+    other must show AQE's skew handling in the FINAL adaptive plan
+    (skew=true on the sort-merge join) under test-scaled thresholds.
+    The planted skew mirrors what a hot band/user key looks like after
+    the anchor cap bounds OUTPUT size — the shuffle itself still skews,
+    and this is the layer that absorbs it."""
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        # force SMJ (broadcast would bypass the skew path entirely)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        joined = left.join(right, "k")
+        # collect the frame ITSELF: a .count() probe executes a
+        # different (collapsed) plan and leaves this one unexecuted —
+        # the exchange-reuse measurement trap from NOTES_r4
+        rows = joined.collect()
+        assert len(rows) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -126,6 +126,27 @@ def nearest_cluster_expr(vec, cent_rows: list[tuple[int, list[int]]]):
     return F.array_min(F.array(*structs)).getField("c")
 
 
+def top_clusters_expr(vec, cent_rows: list[tuple[int, list[int]]], n: int):
+    """Array of the ``n`` nearest centroid ids (by integer squared
+    distance, ties to lowest cluster id) — the IVF ``nprobe`` dial:
+    probing the n nearest cells instead of one trades candidate volume
+    for recall. Same literal-centroid narrow-map construction as
+    ``nearest_cluster_expr`` (which is the n=1 special case)."""
+    structs = []
+    for cluster, cv in cent_rows:
+        cv_lit = F.array(*[F.lit(int(x)) for x in cv])
+        dist = F.aggregate(
+            F.zip_with(vec, cv_lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+        structs.append(
+            F.struct(dist.alias("d"), F.lit(int(cluster)).cast("int").alias("c"))
+        )
+    ranked = F.slice(F.array_sort(F.array(*structs)), 1, n)
+    return F.transform(ranked, lambda s: s.getField("c"))
+
+
 def with_cluster(
     df: DataFrame,
     cent_rows: list[tuple[int, list[int]]],

@@ -1730,10 +1730,13 @@ def op_zorder_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 4, dim: int = 64) -> str:
+def _kmeans_oracle(k: int = 4, dim: int = 64, top_n: int = 1) -> str:
     # dist as a correlated list lambda; integer math end to end, one
     # Lloyd update between two assignments (mirrors kmeans_int_assign
     # rounds=2). Ties: lowest cluster id (row_number orders dist, cluster).
+    # top_n > 1 returns the n nearest round-2 clusters per vector (the
+    # IVF nprobe probe set — top_clusters_expr's mirror); default 1 is
+    # the plain assignment every existing caller uses.
     return f"""
 WITH q AS (
     SELECT vec_id,
@@ -1778,7 +1781,7 @@ SELECT vec_id, cluster FROM (
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY dist, cluster) AS rn
     FROM d2
-) WHERE rn = 1
+) WHERE rn <= {top_n}
 """
 
 
