@@ -160,6 +160,8 @@ HEADLINERS = [
     "curate_corpus_v7",
     "corpus_dedup_funnel",
     "knn_ivf_nprobe2",
+    "corpus_ccnet_buckets",
+    "ev_topk_paths",
 ]
 
 

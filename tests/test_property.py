@@ -536,3 +536,45 @@ def test_pq_encode_matches_python_argmin(spark, vecs):
                 (sum((a - b) ** 2 for a, b in zip(sub, cv)), c) for c, cv in book
             )[1]
             assert got[i][s] == want, (i, s)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 3), st.integers(0, 5)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 4),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cap_band_buckets_properties(spark, rows, cap):
+    """Hypothesis invariants of the hot-bucket anchor cap: (1) ≤ cap
+    rows per bucket survive, (2) output ⊆ input, (3) every non-empty
+    bucket keeps its MINIMUM id — the member CC transitivity routes
+    through."""
+    from wikidatabots_spark.operators.dedup import cap_band_buckets
+
+    df = spark.createDataFrame(
+        [(i, b, h) for i, b, h in rows],
+        "doc_id long, band_idx int, band_hash int",
+    ).distinct()
+    inp = {(r.doc_id, r.band_idx, r.band_hash) for r in df.collect()}
+    out = [
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in cap_band_buckets(df, cap=cap).collect()
+    ]
+    assert set(out) <= inp
+    per_bucket = {}
+    for i, b, h in out:
+        per_bucket.setdefault((b, h), []).append(i)
+    for ids in per_bucket.values():
+        assert len(ids) <= cap
+    mins = {}
+    for i, b, h in inp:
+        mins[(b, h)] = min(mins.get((b, h), i), i)
+    for bh, m in mins.items():
+        assert m in per_bucket.get(bh, []), (bh, m)

@@ -542,3 +542,39 @@ def test_dedup_stream_suppresses_at_least_once_replay(spark, sf_dir, tmp_path):
     want = batch.count()
     assert got.n == want  # every replayed row suppressed, none lost
     assert got.d == want
+
+
+def test_streaming_observed_metrics_in_progress(spark, sf_dir):
+    """observe() works on STREAMING frames too: per-micro-batch metric
+    rows surface in StreamingQueryProgress.observedMetrics — the
+    zero-extra-cost stream health counters (rows/sums per batch)
+    operational monitoring hangs alerts on."""
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, sf_dir).observe(
+        "batch_health",
+        F.count(F.lit(1)).alias("n_rows"),
+        # DISTINCT aggregates are rejected in observed metrics (a
+        # useful pin by itself) — min/max/sum/count only
+        F.max("user_id").alias("max_user"),
+    )
+    q = (
+        ev.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    observed = [
+        p["observedMetrics"]["batch_health"]
+        for p in q.recentProgress
+        if p["observedMetrics"].get("batch_health")
+    ]
+    assert observed, [p["observedMetrics"] for p in q.recentProgress]
+    total = sum(m["n_rows"] for m in observed)
+    from wikidatabots_spark.sources.tables import load_table
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    assert total == ev_batch.count()
+    assert max(m["max_user"] for m in observed) == (
+        ev_batch.agg(F.max("user_id")).first()[0]
+    )

@@ -988,3 +988,66 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wv").cast("double").alias("week_value"),
         F.sum("wv").over(cum).cast("double").alias("cum_value"),
     )
+
+
+# --- top event paths (sequence n-grams) ------------------------------------
+_TOPK_PATHS_ORACLE = """
+WITH seqs AS (
+    SELECT user_id, list(event_type ORDER BY ts, event_id) AS el
+    FROM events GROUP BY user_id
+),
+tris AS (
+    SELECT unnest(list_transform(
+               generate_series(1, greatest(len(el) - 2, 0)),
+               i -> el[i] || '>' || el[i+1] || '>' || el[i+2])) AS path
+    FROM seqs
+),
+counts AS (SELECT path, COUNT(*) AS n FROM tris GROUP BY path)
+SELECT path, CAST(n AS BIGINT) AS n_occurrences,
+       CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rank
+FROM counts
+ORDER BY n DESC, path
+LIMIT 10
+"""
+
+
+@register("ev_topk_paths", oracle=_TOPK_PATHS_ORACLE)
+def ev_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-event behavioral paths (sequence n-grams):
+    each user's ordered event types decompose into consecutive
+    trigram paths counted corpus-wide — the exploratory complement of
+    the hypothesis-driven funnels (you pick the funnel AFTER reading
+    this table). Indexed-transform trigram build mirrors the text
+    shingler; ties rank lexicographically.
+
+    Scale: one user_id exchange to order sequences, one path groupBy
+    (map-side combined — path cardinality <= |event_types|^3, tiny),
+    top-k on the count table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    el = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s.getField("event_type"),
+    )
+    seqs = ev.groupBy("user_id").agg(el.alias("el"))
+    tri = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("el") - 2, F.lit(0))
+        ),
+        lambda i: F.concat_ws(
+            ">",
+            F.element_at("el", i),
+            F.element_at("el", i + 1),
+            F.element_at("el", i + 2),
+        ),
+    )
+    counts = (
+        seqs.select(F.explode(tri).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+    )

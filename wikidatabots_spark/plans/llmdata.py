@@ -1616,3 +1616,69 @@ def curate_corpus_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("quality") >= 0.5) & (F.col("lang_guess") == "en"))
         .select("doc_id", "source", "quality")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_ccnet_buckets — head/middle/tail LM-quality terciles per source
+# ---------------------------------------------------------------------------
+
+
+def _ccnet_buckets_oracle() -> str:
+    return f"""
+WITH lm AS ({_LM_ORACLE}),
+ranked AS (
+    SELECT d.doc_id, d.source, lm.lm_score,
+           CAST(row_number() OVER (PARTITION BY d.source
+                                   ORDER BY lm.lm_score DESC NULLS LAST,
+                                            d.doc_id) AS BIGINT) AS rk,
+           CAST(COUNT(*) OVER (PARTITION BY d.source) AS BIGINT) AS n
+    FROM documents d JOIN lm ON lm.doc_id = d.doc_id
+)
+SELECT doc_id, source,
+       CASE ((rk - 1) * 3) // n
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END
+           AS bucket,
+       lm_score
+FROM ranked
+"""
+
+
+@register("corpus_ccnet_buckets", oracle=_ccnet_buckets_oracle())
+def corpus_ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's signature output shape: every document assigned to the
+    head / middle / tail LM-quality tercile OF ITS SOURCE (exact-rank
+    integer cut, no percentile interpolation; docs with no bigrams sort
+    last deterministically). Downstream recipes train on head+middle or
+    reweight by bucket — this is the table those decisions read.
+
+    Scale: the LM scorer is the audited text_lm_score shape; the
+    tercile is one per-source window over (id, score) rows.
+    """
+    from wikidatabots_spark.operators.lm import with_lm_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = with_lm_score(d).select("doc_id", "lm_score").join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("lm_score").desc_nulls_last(), F.col("doc_id")
+    )
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "lm_score",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.when(F.expr("((rk - 1) * 3) DIV n") == 0, F.lit("head"))
+        .when(F.expr("((rk - 1) * 3) DIV n") == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        "lm_score",
+    )
