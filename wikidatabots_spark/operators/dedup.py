@@ -443,12 +443,24 @@ def minhash_lsh_pairs(
     stacked = minhash_band_table(
         df, num_hashes, bands, shingle_size, id_col, text_col
     )
+    return band_pairs(stacked, bucket_cap, id_col)
+
+
+def band_pairs(
+    stacked: DataFrame,
+    bucket_cap: int | None = BAND_BUCKET_CAP,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The candidate-join half of ``minhash_lsh_pairs``, factored out
+    so a FENCED or PERSISTED band table can feed it without recomputing
+    signatures (the incremental queries read one band table through
+    several legs — unfenced, each leg replays the signature stage)."""
     anchors = stacked
     if bucket_cap is not None:
         anchors = cap_band_buckets(stacked, bucket_cap, id_col)
     a = anchors.alias("a")
     b = stacked.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -463,7 +475,6 @@ def minhash_lsh_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(

@@ -2716,11 +2716,12 @@ def dedup_components_incremental_q(spark: SparkSession, sf_dir: str) -> DataFram
     pair-generation cost is batch-sized, and the CC runs on star-
     compressed components (diameter ~2) plus batch edges.
     """
+    from wikidatabots_spark.functions.scale import pushdown_fence
     from wikidatabots_spark.operators.dedup import (
+        band_pairs,
         cap_band_buckets,
         connected_components,
         minhash_band_table,
-        minhash_lsh_pairs,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -2732,20 +2733,27 @@ def dedup_components_incremental_q(spark: SparkSession, sf_dir: str) -> DataFram
     # pair SETS on a >cap bucket, identical transitive closure — every
     # scheme keeps each bucket connected through its minimum member, so
     # the min-label component output hash-matches the full recompute.
-    bands_even = cap_band_buckets(minhash_band_table(even)).select(
+    # ONE fenced band table per parity: the even table feeds the probe
+    # index AND yesterday's pair/label derivation, the odd table feeds
+    # the cross probe and both sides of the batch self-join — unfenced,
+    # every leg replays the signature stage (r5 perf audit: the caps'
+    # extra legs cost ~15% here before fencing).
+    stacked_even = pushdown_fence(minhash_band_table(even))
+    bands_even = cap_band_buckets(stacked_even).select(
         F.col("doc_id").alias("id_e"), "band_idx", "band_hash"
     )
-    labels_even = connected_components(minhash_lsh_pairs(even))
-    bands_odd = minhash_band_table(odd).select(
+    labels_even = connected_components(band_pairs(stacked_even))
+    bands_odd = pushdown_fence(minhash_band_table(odd)).select(
         F.col("doc_id").alias("id_o"), "band_idx", "band_hash"
     )
+    # no per-leg .distinct(): the final edges.distinct() subsumes them,
+    # and each inner distinct was a full extra exchange (audited)
     probe_cross = (
         bands_odd.join(bands_even, ["band_idx", "band_hash"])
         .select(
             F.least("id_o", "id_e").alias("id_a"),
             F.greatest("id_o", "id_e").alias("id_b"),
         )
-        .distinct()
     )
     bo2 = bands_odd.select(
         F.col("id_o").alias("id_o2"), "band_idx", "band_hash"
@@ -2756,7 +2764,6 @@ def dedup_components_incremental_q(spark: SparkSession, sf_dir: str) -> DataFram
         .join(bo2, ["band_idx", "band_hash"])
         .where(F.col("id_o") < F.col("id_o2"))
         .select(F.col("id_o").alias("id_a"), F.col("id_o2").alias("id_b"))
-        .distinct()
     )
     stars = labels_even.where(F.col("node") != F.col("component")).select(
         F.col("component").alias("id_a"), F.col("node").alias("id_b")
