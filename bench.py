@@ -162,6 +162,7 @@ HEADLINERS = [
     "knn_ivf_nprobe2",
     "corpus_ccnet_buckets",
     "ev_topk_paths",
+    "dedup_band_sweep",
 ]
 
 

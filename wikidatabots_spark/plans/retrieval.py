@@ -736,3 +736,211 @@ def emb_power_iteration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lambda_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_band_sweep — the LSH banding S-curve as data (bands in {2,4,8})
+# ---------------------------------------------------------------------------
+
+
+def _band_sweep_oracle() -> str:
+    from wikidatabots_spark.operators.dedup import BAND_BUCKET_CAP
+    from wikidatabots_spark.plans.extensions import _TOK_SQL
+
+    # per config: band hashes over k/b consecutive minhashes, capped
+    # anchor pairs, exact-Jaccard verification on the candidates only
+    sig_cols = ", ".join(
+        f"MIN(md5('{i}:' || token)) AS mh{i}" for i in range(8)
+    )
+    configs = []
+    for b in (2, 4, 8):
+        r = 8 // b
+        bandexprs = []
+        for bi in range(b):
+            parts = " || '|' || ".join(f"mh{bi * r + j}" for j in range(r))
+            bandexprs.append(
+                f"SELECT doc_id, {bi} AS band_idx, md5({parts}) AS band_hash"
+                f" FROM sig"
+            )
+        stacked = " UNION ALL ".join(bandexprs)
+        configs.append(
+            f"""stacked{b} AS ({stacked}),
+anchors{b} AS (
+    SELECT doc_id, band_idx, band_hash FROM (
+        SELECT doc_id, band_idx, band_hash,
+               row_number() OVER (PARTITION BY band_idx, band_hash
+                                  ORDER BY doc_id) AS rk
+        FROM stacked{b}
+    ) WHERE rk <= {BAND_BUCKET_CAP}
+),
+pairs{b} AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM anchors{b} a JOIN stacked{b} b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+)"""
+        )
+    config_sql = ",\n".join(configs)
+    tagged = " UNION ALL ".join(
+        f"SELECT {b} AS bands, id_a, id_b FROM pairs{b}" for b in (2, 4, 8)
+    )
+    return f"""
+WITH {_TOK_SQL},
+sig AS (SELECT doc_id, {sig_cols} FROM tok GROUP BY doc_id),
+{config_sql},
+tagged AS ({tagged}),
+cand AS (SELECT DISTINCT id_a, id_b FROM tagged),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM tok GROUP BY doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+    FROM cand c
+    JOIN tok ta ON ta.doc_id = c.id_a
+    JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+    GROUP BY c.id_a, c.id_b
+),
+verdict AS (
+    SELECT c.id_a, c.id_b,
+           CASE WHEN 2 * COALESCE(i.n_inter, 0)
+                     >= (za.sz + zb.sz - COALESCE(i.n_inter, 0))
+                THEN 1 ELSE 0 END AS is_sim
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes za ON za.doc_id = c.id_a
+    JOIN sizes zb ON zb.doc_id = c.id_b
+)
+SELECT t.bands,
+       CAST(8 // t.bands AS INT) AS rows_per_band,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(v.is_sim) AS BIGINT) AS n_sim,
+       CAST((1000000 * SUM(v.is_sim)) // COUNT(*) AS BIGINT)
+           AS precision_ppm
+FROM tagged t JOIN verdict v ON v.id_a = t.id_a AND v.id_b = t.id_b
+GROUP BY t.bands
+"""
+
+
+@register("dedup_band_sweep", oracle=_band_sweep_oracle())
+def dedup_band_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding S-CURVE measured on this corpus: with k=8
+    minhashes, banding (bands, rows/band) ∈ {(2,4), (4,2), (8,1)}
+    sweeps the collision threshold from strict to loose — more bands =
+    more candidates at lower precision. Per config: candidate count,
+    exactly-verified near-dups (Jaccard ≥ 0.5, integer
+    cross-multiplication), precision in ppm. This is the table a
+    banding choice reads INSTEAD of trusting the (1-(1-s^r)^b) formula
+    on faith — the capstone of the measured-approximation family.
+
+    Scale: signatures compute ONCE (fenced) and feed all three band
+    derivations (narrow projections of the same 8 columns); each
+    config's candidate join is anchor-capped (bounded output); the
+    expensive exact-Jaccard leg runs on the DISTINCT union of all
+    configs' candidates only, fenced so the token table is read once
+    per join leg, never per config.
+    """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.dedup import (
+        band_pairs,
+        minhash_signature_cols,
+        shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = pushdown_fence(minhash_signature_cols(d, num_hashes=8))
+    tagged_parts = []
+    for b in (2, 4, 8):
+        r = 8 // b
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{bi * r + j}") for j in range(r)]
+                )
+            ).alias(f"band{bi}")
+            for bi in range(b)
+        ]
+        stacked = (
+            sig.select(F.col("doc_id"), *band_cols)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(bi).alias("band_idx"),
+                                F.col(f"band{bi}").alias("band_hash"),
+                            )
+                            for bi in range(b)
+                        ]
+                    )
+                ).alias("bh"),
+            )
+            .select("doc_id", "bh.band_idx", "bh.band_hash")
+        )
+        tagged_parts.append(
+            band_pairs(stacked)
+            .select("id_a", "id_b")
+            .distinct()
+            .select(F.lit(b).alias("bands"), "id_a", "id_b")
+        )
+    tagged = pushdown_fence(
+        tagged_parts[0].unionByName(tagged_parts[1]).unionByName(
+            tagged_parts[2]
+        )
+    )
+    cand = pushdown_fence(tagged.select("id_a", "id_b").distinct())
+    tok = pushdown_fence(
+        shingles(d, 3, "doc_id", "text", distinct=False)
+        .select("doc_id", F.xxhash64("token").alias("tk"))
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    inter = (
+        cand.join(
+            tok.select(F.col("doc_id").alias("id_a"), "tk"), "id_a"
+        )
+        .join(tok.select(F.col("doc_id").alias("id_b"), "tk"), ["id_b", "tk"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    verdict = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id_a"),
+                           F.col("sz").alias("sza")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("sz").alias("szb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(
+                2 * F.coalesce(F.col("n_inter"), F.lit(0))
+                >= (
+                    F.col("sza")
+                    + F.col("szb")
+                    - F.coalesce(F.col("n_inter"), F.lit(0))
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_sim"),
+        )
+    )
+    return (
+        tagged.join(verdict, ["id_a", "id_b"])
+        .groupBy("bands")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum("is_sim").cast("bigint").alias("n_sim"),
+            F.expr("(1000000 * SUM(is_sim)) DIV COUNT(*)")
+            .cast("bigint")
+            .alias("precision_ppm"),
+        )
+        .select(
+            "bands",
+            F.expr("CAST(8 DIV bands AS INT)").alias("rows_per_band"),
+            "n_candidates",
+            "n_sim",
+            "precision_ppm",
+        )
+    )
