@@ -34,8 +34,8 @@ def test_registry_priority_window():
         # pl_format AND T1 regexp_extract_null folded into the
         # op_strings slot late-r4)
         "op_unique",
-        "op_dates", "op_explode",
-        "op_scalar_micro", "op_sample", "op_strings",
+        "op_explode",
+        "op_scalar_dates", "op_sample", "op_strings",
         # pipelines + headliners + SQL API
         "tmdb_via_imdb", "tmdb_via_tvdb", "tmdb_not_found", "tmdb_main",
         "opencritic_add", "opencritic_update", "opencritic_main",
@@ -59,8 +59,10 @@ def test_registry_priority_window():
         # ANN and BPE training flagships
         "op_join_micro", "op_null_prefix", "knn_pq_adc", "corpus_bpe_train",
         # r5: U1 folded into op_set_ops; the incremental-CC flagship
-        # seated in the freed slot (VERDICT r4 next #4)
+        # seated in the freed slot (VERDICT r4 next #4); scalar+dates
+        # merged to seat the trained classifier (r4 next #6)
         "op_set_ops", "dedup_components_incremental",
+        "text_classifier_trained",
     }
     assert must_have <= set(window)
     # every window entry carries a DuckDB oracle (the mm fakes gained

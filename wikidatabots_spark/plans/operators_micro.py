@@ -1308,3 +1308,46 @@ def op_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(zip_leg)
         .unionByName(exists_leg)
     )
+
+
+# --- F6/N1/F9 + T7/D1-D3 merged: one orders projection, one driver slot ----
+@register(
+    "op_scalar_dates",
+    oracle="""
+SELECT o_orderkey,
+       (o_totalprice >= 50000 AND o_totalprice < 100000) AS in_band,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+       TRY_CAST(o_orderstatus AS INT) AS status_num,
+       CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            ELSE 'high' END AS tier,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_iso
+FROM orders
+""",
+)
+def op_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op_scalar_micro (F6 between / N1 try_cast / F9 when-otherwise)
+    and op_dates (T7 ISO parse / D2 ts->date / D3 trunc) merged into
+    ONE projection over the shared orders scan — both micro groups keep
+    driver-hash pins while occupying a single capped-window slot (the
+    r5 merge freeing a seat for text_classifier_trained; the individual
+    micros stay registered for the local gate). Same row key, so the
+    merge is column concatenation, not a tagged union."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        between_left_closed(F.col("o_totalprice"), 50000, 100000).alias(
+            "in_band"
+        ),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
+        F.col("o_orderstatus").try_cast("int").alias("status_num"),
+        F.when(F.col("o_totalprice") < 50000, F.lit("low"))
+        .when(F.col("o_totalprice") < 150000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+        .alias("tier"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_iso"),
+    )

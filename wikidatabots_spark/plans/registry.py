@@ -50,12 +50,14 @@ PRIORITY: list[str] = [
     "op_null_prefix",
     "op_unique",
     "op_explode",
-    "op_scalar_micro",
+    # op_scalar_micro + op_dates merged into op_scalar_dates in r5
+    # (same orders scan, column concatenation) to seat the trained
+    # classifier; both individual micros stay locally gated
+    "op_scalar_dates",
     "op_join_micro",
     "op_order_collect",
     "op_sample",
     "op_strings",
-    "op_dates",
     "op_scan_parquet_url",
     # op_set_ops additionally carries the U1 vertical-concat leg since r5
     # (op_union_all folded in; the standalone micro stays locally gated)
@@ -126,6 +128,11 @@ PRIORITY: list[str] = [
     # persisted MinHash band index and min-label CC proves hash
     # equality with the full recompute (VERDICT r4 next #4)
     "dedup_components_incremental",
+    # promoted r5 (op_scalar_micro/op_dates merged): the self-trained
+    # NB classifier — the driver hash-checks the LEARNED model
+    # directly (VERDICT r4 next #6), complementing curate_corpus_v7's
+    # composed check
+    "text_classifier_trained",
 ]
 
 
