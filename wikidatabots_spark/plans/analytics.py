@@ -1051,3 +1051,66 @@ def ev_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 10)
     )
+
+
+# --- equi-width histogram ---------------------------------------------------
+_HISTOGRAM_ORACLE = """
+WITH bounds AS (
+    SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+),
+binned AS (
+    SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20.0)) AS INT),
+                 19) AS bin,
+           lo, hi
+    FROM orders, bounds
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(lo + bin * ((hi - lo) / 20.0) AS DOUBLE) AS bin_lo,
+       CAST(lo + (bin + 1) * ((hi - lo) / 20.0) AS DOUBLE) AS bin_hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM binned GROUP BY bin, lo, hi
+"""
+
+
+@register("agg_histogram", oracle=_HISTOGRAM_ORACLE)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of order totalprice with the max
+    value folded into the last bin (the least() guard — without it the
+    max lands in a phantom 21st bin). Bin edges derive from one
+    broadcast (lo, hi) aggregate; the float bin width is a fixed
+    expression tree, so both engines compute identical bin ids.
+
+    Scale: one tiny bounds aggregate broadcast into a narrow binning
+    map, then a 20-group map-side-combined groupBy — histogram cost is
+    scan cost, the profile-everything default.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 20.0)
+            ).cast("int"),
+            F.lit(19),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin", "lo", "hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(
+        "bin",
+        (F.col("lo") + F.col("bin") * ((F.col("hi") - F.col("lo")) / 20.0))
+        .cast("double")
+        .alias("bin_lo"),
+        (
+            F.col("lo")
+            + (F.col("bin") + 1) * ((F.col("hi") - F.col("lo")) / 20.0)
+        )
+        .cast("double")
+        .alias("bin_hi"),
+        "n",
+    )

@@ -1351,3 +1351,38 @@ def op_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_iso"),
     )
+
+
+# --- string-function breadth: pad/translate/repeat/reverse/split_part ------
+@register(
+    "op_string_funcs2",
+    oracle="""
+SELECT s_suppkey,
+       lpad(s_name, 25, '.') AS padded_l,
+       rpad(s_name, 25, '.') AS padded_r,
+       translate(s_name, '#', '-') AS translated,
+       repeat('ab', 3) AS repeated,
+       reverse(s_name) AS reversed,
+       string_split(s_name, '#')[1] AS name_head,
+       string_split(s_name, '#')[-1] AS name_tail
+FROM supplier
+""",
+)
+def op_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function breadth micro: lpad / rpad / translate /
+    repeat / reverse / split_part-style head+tail — the everyday
+    formatting surface beyond op_strings' regex family, pinned
+    cross-engine in one narrow projection (DuckDB's 1-based
+    list-index split vs Spark's element_at/-1 is the dialect pin)."""
+    s = load_table(spark, sf_dir, "supplier")
+    parts = F.split(F.col("s_name"), "#")
+    return s.select(
+        "s_suppkey",
+        F.lpad("s_name", 25, ".").alias("padded_l"),
+        F.rpad("s_name", 25, ".").alias("padded_r"),
+        F.translate("s_name", "#", "-").alias("translated"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.reverse("s_name").alias("reversed"),
+        F.element_at(parts, 1).alias("name_head"),
+        F.element_at(parts, -1).alias("name_tail"),
+    )
