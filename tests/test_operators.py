@@ -1096,3 +1096,66 @@ def test_knn_single_exchange_query_side_broadcast(spark, sf_dir):
     ]
     assert len(hash_ex) == 1 and "query_id" in hash_ex[0]
     assert "BroadcastHashJoin" in final or "BroadcastNestedLoopJoin" in final
+
+
+def test_components_after_delete_bridge_split(spark):
+    """Deletion maintenance (VERDICT r5 next #4): deleting a BRIDGE
+    document must SPLIT its component, untouched labels must survive
+    verbatim, and the bounded re-component must hash-equal the full
+    recompute on the post-deletion corpus. The bridge is the planted
+    concatenation A+C: its shingle set is the union, so its minhash
+    signature deterministically shares ≥1 band with each side (verified
+    offline for these exact word lists) while A and C share none."""
+    from pyspark.sql import functions as F
+
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.dedup import (
+        band_pairs,
+        components_after_delete,
+        connected_components,
+        minhash_band_index_delete,
+        minhash_band_table,
+    )
+
+    A = (
+        "alpha978x0 alpha883x1 alpha970x2 alpha869x3 alpha57x4 alpha93x5 "
+        "alpha86x6 alpha369x7 alpha855x8 alpha173x9 alpha753x10 "
+        "alpha828x11 alpha685x12 alpha874x13 alpha315x14 alpha257x15 "
+        "alpha620x16 alpha217x17 alpha621x18 alpha36x19"
+    )
+    C = (
+        "gamma595y0 gamma697y1 gamma162y2 gamma441y3 gamma653y4 "
+        "gamma402y5 gamma822y6 gamma740y7 gamma880y8 gamma521y9 "
+        "gamma972y10 gamma380y11 gamma557y12 gamma958y13 gamma455y14 "
+        "gamma514y15 gamma274y16 gamma922y17 gamma36y18 gamma891y19"
+    )
+    B = A + " " + C
+    df = spark.createDataFrame(
+        [(1, A), (2, A), (5, B), (8, C), (9, C)], "doc_id long, text string"
+    )
+    stacked = pushdown_fence(minhash_band_table(df))
+    labels = connected_components(band_pairs(stacked))
+    pre = {r["node"]: r["component"] for r in labels.collect()}
+    assert set(pre.values()) == {1}, pre  # one component via the bridge
+
+    deletes = spark.createDataFrame([(5,)], "doc_id long")
+    idx2 = minhash_band_index_delete(stacked, deletes)
+    assert idx2.where(F.col("doc_id") == 5).count() == 0
+    assert idx2.count() == stacked.count() - 4  # 4 band rows tombstoned
+
+    post = {
+        r["node"]: r["component"]
+        for r in components_after_delete(stacked, labels, deletes).collect()
+    }
+    assert post == {1: 1, 2: 1, 8: 8, 9: 8}, post  # the component SPLIT
+    full = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            band_pairs(
+                pushdown_fence(
+                    minhash_band_table(df.where(F.col("doc_id") != 5))
+                )
+            )
+        ).collect()
+    }
+    assert post == full

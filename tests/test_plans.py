@@ -141,18 +141,18 @@ def test_curate_v4_semantic_gate_strictly_prunes(spark, sf_dir):
     assert v4 <= gated4
 
 
-def test_driver_window_is_pandas_canonicalizable(spark):
+def test_driver_window_is_pandas_canonicalizable(spark, sf_dir):
     """The r4 driver red in one test: the driver canonicalizes results
     with a pandas sort_values over ALL columns, which throws on any
     unhashable cell (list/dict from array/map columns). Run that exact
-    canonicalization over every driver-window query at sf0.001 so a
-    future promotion of a non-scalar-schema query fails HERE, not in
-    the external harness."""
+    canonicalization over every driver-window query (at the conftest
+    sf_dir, honoring SPARK_GRAFT_TEST_SF_DIR — ADVICE r5) so a future
+    promotion of a non-scalar-schema query fails HERE, not in the
+    external harness."""
     from wikidatabots_spark.plans.registry import PRIORITY
 
-    sf = "/root/testdata/sf0.001"
     for name in PRIORITY:
-        pdf = plans.REGISTRY[name].fn(spark, sf).toPandas()
+        pdf = plans.REGISTRY[name].fn(spark, sf_dir).toPandas()
         cols = sorted(pdf.columns)
         # the driver's sort: lexsort over every column — unhashable
         # cells raise TypeError here exactly as they did in r4

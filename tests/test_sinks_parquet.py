@@ -156,3 +156,46 @@ def test_jsonl_datasource_writer_two_phase_commit(spark, sf_dir, tmp_path):
     assert [
         f for f in os.listdir(out2) if f.endswith(".jsonl")
     ] == [] if os.path.isdir(out2) else True
+
+
+def test_jsonl_datasource_overwrite_and_append_manifest(spark, tmp_path):
+    """Save-mode semantics (ADVICE r5): mode('overwrite') must remove
+    pre-existing part files (glob readers see ONLY the new rows), and a
+    second mode('append') must merge the prior manifest's file map so
+    the manifest always describes the full directory contents."""
+    import json
+    import os
+
+    from wikidatabots_spark.sinks.jsonl_datasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "jsonl_modes")
+
+    def write(lo, hi, mode):
+        spark.range(lo, hi).selectExpr("id", "concat('d', id) AS name") \
+            .write.format("jsonl_commit").mode(mode).option("path", out).save()
+
+    def dir_rows():
+        return sum(
+            sum(1 for _ in open(os.path.join(out, f)))
+            for f in os.listdir(out)
+            if f.startswith("part-") and f.endswith(".jsonl")
+        )
+
+    def manifest():
+        return json.load(open(os.path.join(out, "_MANIFEST.json")))
+
+    write(0, 10, "append")
+    assert manifest()["n_rows"] == 10 and dir_rows() == 10
+    # append merges: manifest and directory both grow to 10 + 5
+    write(100, 105, "append")
+    m = manifest()
+    assert m["n_rows"] == 15 and m["n_files"] == len(m["files"])
+    assert dir_rows() == 15
+    # overwrite replaces: stale parts removed, manifest matches dir
+    write(200, 203, "overwrite")
+    m = manifest()
+    assert m["n_rows"] == 3 and dir_rows() == 3
+    assert set(m["files"]) == {
+        f for f in os.listdir(out) if f.startswith("part-")
+    }

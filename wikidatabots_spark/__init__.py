@@ -45,8 +45,10 @@ from wikidatabots_spark.operators.clustering import (  # noqa: F401
 )
 from wikidatabots_spark.operators.dedup import (  # noqa: F401
     cap_band_buckets,
+    components_after_delete,
     connected_components,
     dedup_exact,
+    minhash_band_index_delete,
     minhash_band_table,
     minhash_lsh_pairs,
     minhash_signature_cols,

@@ -413,6 +413,72 @@ def cap_band_buckets(
     )
 
 
+def minhash_band_index_delete(
+    index_df: DataFrame,
+    delete_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tombstone deletions from a persisted band index: drop every band
+    row of a deleted document (takedowns, robots revocations — VERDICT
+    r5 next #4). ONE anti-join keyed on the id; with the index stored
+    bucketed by id this is exchange-free on the index side.
+
+    The index this applies to must be the FULL (uncapped) band table:
+    ``cap_band_buckets`` is a JOIN-TIME bound, not a storage bound —
+    capped storage discards the >cap members' band rows, and deleting
+    the anchors would leave those survivors unreconnectable. Storage is
+    linear (bands × docs rows) either way; apply the cap when probing.
+    """
+    return index_df.join(
+        delete_ids.select(F.col(id_col)), id_col, "left_anti"
+    )
+
+
+def components_after_delete(
+    index_df: DataFrame,
+    labels_df: DataFrame,
+    delete_ids: DataFrame,
+    id_col: str = "doc_id",
+    bucket_cap: int | None = BAND_BUCKET_CAP,
+) -> DataFrame:
+    """Component labels after deleting documents, recomputing ONLY the
+    affected components — the day-2 deletion twin of the append-only
+    incremental-CC maintenance.
+
+    Deletion can SPLIT a component (removing a bridge node), so labels
+    cannot be patched in place; but the blast radius is bounded: a band
+    bucket connects all its members into one component, so any survivor
+    that shared ANY bucket with a deleted document is in a component
+    that contains that deleted document. Therefore (1) components with
+    no deleted member keep their labels verbatim — none of their
+    buckets changed, so neither did their pairs or minima; (2) the
+    re-component runs over the tombstoned index restricted to the
+    AFFECTED components' surviving members only. Buckets never span
+    components, so probe-time anchor ranks inside the restricted index
+    equal the full post-deletion ranks — the bounded recompute is
+    hash-identical to a full recompute on the post-deletion corpus
+    (the registered query's oracle IS that full recompute).
+
+    Cost at 100 TB: one anti-join (tombstone), two semi-joins (affected
+    membership), then CC over the affected slice — proportional to the
+    components touched, not the corpus.
+    """
+    dd = delete_ids.select(F.col(id_col).alias("node"))
+    affected = (
+        labels_df.join(dd, "node", "left_semi").select("component").distinct()
+    )
+    survivors = (
+        labels_df.join(affected, "component", "left_semi")
+        .join(dd, "node", "left_anti")
+        .select(F.col("node").alias(id_col))
+    )
+    new_index = minhash_band_index_delete(index_df, delete_ids, id_col)
+    sub = new_index.join(survivors, id_col, "left_semi")
+    recomputed = connected_components(band_pairs(sub, bucket_cap, id_col))
+    untouched = labels_df.join(affected, "component", "left_anti")
+    return untouched.unionByName(recomputed)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 8,
@@ -436,9 +502,11 @@ def minhash_lsh_pairs(
     counts only anchor-emitted band co-occurrences, so in a >cap
     bucket a pair's count can be lower than its true shared-band
     count — the documented price of linear output; pass ``None`` for
-    the exact all-pairs semantics. The rank window partitions by the
-    same (band_idx, band_hash) key the self-join shuffles on, so the
-    cap adds no extra exchange on the anchor side.
+    the exact all-pairs semantics. **Behavior change vs pre-0.4
+    releases** (uncapped default) — see README "Version notes". The
+    rank window partitions by the same (band_idx, band_hash) key the
+    self-join shuffles on, so the cap adds no extra exchange on the
+    anchor side.
     """
     stacked = minhash_band_table(
         df, num_hashes, bands, shingle_size, id_col, text_col

@@ -340,17 +340,25 @@ def bm25_topk(
     total_tf = functools.reduce(
         lambda a, c: a + c, [F.col(n) for n in tf_names]
     )
-    ranked = matched.select(
-        F.col(id_col),
-        total_tf.cast("bigint").alias("total_tf"),
-        score.alias("__score"),
-    ).withColumn(
+    # top-k via orderBy+limit FIRST (TakeOrderedAndProject — each task
+    # keeps k rows, no match-scale global window; common query terms can
+    # match most of the corpus), then the rank window runs over the
+    # k-row result only (VERDICT r5 next #1 class)
+    top = (
+        matched.select(
+            F.col(id_col),
+            total_tf.cast("bigint").alias("total_tf"),
+            score.alias("__score"),
+        )
+        .orderBy(F.col("__score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    return top.withColumn(
         "rank",
         F.row_number()
         .over(Window.orderBy(F.col("__score").desc(), F.col(id_col)))
         .cast("int"),
-    )
-    return ranked.where(F.col("rank") <= k).select(id_col, "rank", "total_tf")
+    ).select(id_col, "rank", "total_tf")
 
 
 # PII patterns — deliberately restricted to syntax with identical

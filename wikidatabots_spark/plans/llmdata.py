@@ -1148,24 +1148,38 @@ def _v5_lmdrop(lm_scored: DataFrame, gated4: DataFrame) -> DataFrame:
     vacuous on a heavily-gated set (measured: the corpus-level
     bottom-10% band had zero overlap with the 5-doc survivor set at
     sf0.001) — and adaptive, so the gate provably fires at any scale
-    with ≥4 survivors. The global rank here runs over the SURVIVOR set
-    (orders of magnitude smaller than the corpus); at a scale where
-    even that is too large for one partition, the bucketed two-phase
-    prefix rank of ``corpus_token_budget_select`` applies verbatim."""
-    w = Window.orderBy("lm_score", "doc_id")
+    with ≥4 survivors.
+
+    The rank rides :func:`bucketed_global_rank` (VERDICT r5 next #1):
+    production gate stacks keep tens of percent of the corpus, so the
+    survivor set is NOT safely one-partition-sized — the two-phase form
+    keeps every fact-table window partitioned by the lm_score bucket
+    (~1k ledger rows over the [0, 1e6] ppm range) and the count is a
+    broadcast 1-row aggregate instead of an unbounded global window.
+    NULL lm_scores (< 2-word docs) bucket below the real range,
+    matching Spark's ASC NULLS FIRST placement."""
+    from wikidatabots_spark.functions.scale import (
+        bucketed_global_rank,
+        pushdown_fence,
+    )
+
+    # fence: the scored survivor frame feeds the ledger aggregate, the
+    # fact-side rank join, AND the count — unfenced, the bigram-LM
+    # scoring pipeline would execute three times
+    joined = pushdown_fence(
+        gated4.select("doc_id").join(lm_scored, "doc_id")
+    )
+    n = joined.agg(F.count(F.lit(1)).cast("long").alias("n_gated"))
+    ranked = bucketed_global_rank(
+        joined,
+        bucket=F.floor(
+            F.coalesce(F.col("lm_score"), F.lit(-1024.0)) / F.lit(1024.0)
+        ),
+        order=[F.col("lm_score").asc(), F.col("doc_id").asc()],
+        rn="lrn",
+    )
     return (
-        gated4.select("doc_id")
-        .join(lm_scored, "doc_id")
-        .withColumns(
-            {
-                "lrn": F.row_number().over(w),
-                "n_gated": F.count(F.lit(1)).over(
-                    Window.rowsBetween(
-                        Window.unboundedPreceding, Window.unboundedFollowing
-                    )
-                ),
-            }
-        )
+        ranked.crossJoin(F.broadcast(n))
         .where(F.col("lrn") <= F.expr("n_gated div 4"))
         .select("doc_id")
     )

@@ -1944,14 +1944,22 @@ def ev_rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree between Spark and DuckDB given the total tie-broken order —
     the same pin ``win_distribution`` established.
 
-    Scale: one shuffle for the per-user aggregation; the tercile
-    windows are global (single-partition) over the AGGREGATED user
-    table — the standard post-agg compromise (cf.
-    ``corpus_token_budget_select`` for the bucketed two-phase rank when
-    even the aggregate is too large for one partition).
+    Scale (VERDICT r5 next #1): the per-user table is NOT assumed
+    one-partition-sized — each tercile is ``ntile_from_rank`` arithmetic
+    over a ``bucketed_global_rank`` (buckets: purchase DATE for recency,
+    the raw count for frequency, the integer dollar for monetary — all
+    monotone in their metric), so every user-scale window is partitioned
+    by its bucket and only the three tiny ledgers serialize.
     """
+    from wikidatabots_spark.functions.scale import (
+        bucketed_global_rank,
+        ntile_from_rank,
+        pushdown_fence,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    base = (
+    # fence: base feeds three ledger aggregates + the fact side + count
+    base = pushdown_fence(
         ev.where(
             (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
         )
@@ -1964,17 +1972,33 @@ def ev_rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    scored = base.withColumns(
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    ranked = bucketed_global_rank(
+        base,
+        bucket=F.col("last_purchase").cast("date"),
+        order=[F.col("last_purchase").desc(), F.col("user_id").asc()],
+        descending=True,
+        rn="__r_rn",
+    )
+    ranked = bucketed_global_rank(
+        ranked,
+        bucket=F.col("frequency"),
+        order=[F.col("frequency").desc(), F.col("user_id").asc()],
+        descending=True,
+        rn="__f_rn",
+    )
+    ranked = bucketed_global_rank(
+        ranked,
+        bucket=F.floor(F.col("monetary")),
+        order=[F.col("monetary").desc(), F.col("user_id").asc()],
+        descending=True,
+        rn="__m_rn",
+    )
+    scored = ranked.crossJoin(F.broadcast(n)).withColumns(
         {
-            "r_score": F.ntile(3)
-            .over(Window.orderBy(F.col("last_purchase").desc(), F.col("user_id")))
-            .cast("int"),
-            "f_score": F.ntile(3)
-            .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
-            .cast("int"),
-            "m_score": F.ntile(3)
-            .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
-            .cast("int"),
+            "r_score": ntile_from_rank(F.col("__r_rn"), F.col("__n"), 3),
+            "f_score": ntile_from_rank(F.col("__f_rn"), F.col("__n"), 3),
+            "m_score": ntile_from_rank(F.col("__m_rn"), F.col("__n"), 3),
         }
     )
     return scored.select(
@@ -2516,10 +2540,11 @@ def text_rake_keyphrases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phrase", "n_occurrences")
         .agg(F.sum("score_ppm").cast("long").alias("score_ppm"))
     )
-    w = Window.orderBy(F.col("score_ppm").desc(), F.col("phrase"))
+    # top-k via orderBy+limit (TakeOrderedAndProject: each task keeps k
+    # rows, no phrase-scale global window — VERDICT r5 next #1 class)
     return (
-        pscore.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _RAKE_TOPK)
+        pscore.orderBy(F.col("score_ppm").desc(), F.col("phrase"))
+        .limit(_RAKE_TOPK)
         .select("phrase", "n_occurrences", "score_ppm")
     )
 
@@ -2773,6 +2798,91 @@ def dedup_components_incremental_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# dedup_components_delete — deletion maintenance == full post-delete CC
+# ---------------------------------------------------------------------------
+
+
+def _cc_delete_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import (
+        _MINHASH_ANCHORS_SQL,
+        _MINHASH_STACKED_SQL,
+        _TOK_SQL,
+    )
+
+    # The oracle IS the full recompute on the post-deletion corpus: the
+    # only change vs the standard CC program is the corpus filter.
+    assert _TOK_SQL.count("FROM documents") == 1, "tok CTE shape moved"
+    tok_after_delete = _TOK_SQL.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 10 != 3"
+    )
+    return f"""
+WITH RECURSIVE
+{tok_after_delete},
+{_MINHASH_STACKED_SQL},
+{_MINHASH_ANCHORS_SQL},
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM anchors a
+    JOIN stacked b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.node
+)
+SELECT node, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+
+@register("dedup_components_delete", oracle=_cc_delete_oracle())
+def dedup_components_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 DELETION maintenance (VERDICT r5 next #4), PROVEN equal to
+    full recompute: the corpus holds a persisted FULL band index and its
+    component labels; a takedown batch (every doc_id ≡ 3 mod 10, ~10%)
+    is tombstoned out of the index (``minhash_band_index_delete``) and
+    ONLY the components touching a deleted document are re-computed
+    over their surviving members (``components_after_delete``) —
+    deletion can split a component at a bridge node, so affected labels
+    cannot be patched, but untouched components keep their rows
+    verbatim. The oracle is the full-corpus CC program with the
+    deletion filter applied at the scan: hash-equality is the theorem
+    that bounded re-componenting loses nothing.
+
+    Scale: the tombstone is one anti-join; the blast radius is the
+    affected components only (a bucket never spans components, so
+    survivors outside them are untouchable by construction); the CC
+    iterations run over the affected slice's pairs, not the corpus.
+    """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.dedup import (
+        band_pairs,
+        components_after_delete,
+        connected_components,
+        minhash_band_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    # "persisted" state: the FULL band table (deletion support needs
+    # uncapped storage — the cap is applied at join time inside
+    # band_pairs) + yesterday's component labels. Fenced: the index
+    # feeds the tombstone anti-join and the affected-slice semi-join;
+    # the labels feed three membership legs.
+    stacked = pushdown_fence(minhash_band_table(d))
+    labels = pushdown_fence(connected_components(band_pairs(stacked)))
+    deletes = d.where(F.col("doc_id") % 10 == 3).select("doc_id")
+    return components_after_delete(stacked, labels, deletes)
+
+
+# ---------------------------------------------------------------------------
 # curate_corpus_v6 — the flagship pipeline with DATA-DERIVED mixture weights
 # ---------------------------------------------------------------------------
 
@@ -3008,15 +3118,10 @@ def sketch_cms_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fence the (10-row) top-words frame: both the probe side and the
     # final join read it — unfenced, the exact word count replayed per
     # branch (audited 3 scans)
+    # top-10 via orderBy+limit (TakeOrderedAndProject — no
+    # vocabulary-scale global window; VERDICT r5 next #1 class)
     topw = pushdown_fence(
-        exact.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("exact_cnt").desc(), F.col("w"))
-            ),
-        )
-        .where(F.col("rn") <= 10)
-        .drop("rn")
+        exact.orderBy(F.col("exact_cnt").desc(), F.col("w")).limit(10)
     )
     sketch = count_min_sketch(words, "w", depth=4, width=256)
     est = cms_estimate(sketch, topw.select("w"), "w", depth=4, width=256)
@@ -3747,13 +3852,21 @@ def ev_value_pareto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whale-dependence table that contextualizes every per-user
     average, and the 80/20 check a monetization review opens with.
 
-    Scale: one user_id aggregation; the rank and running totals run
-    over the per-user aggregate (the post-agg compromise, with the
-    bucketed two-phase rank as the documented upgrade path); the decile
-    evaluation is |cuts| rows.
+    Scale (VERDICT r5 next #1): one user_id aggregation; the rank rides
+    ``bucketed_global_rank`` partitioned by the 2^16-centi-unit value
+    bucket (monotone in v), and count/total are ONE broadcast 1-row
+    aggregate — no user-scale window serializes; the decile evaluation
+    is |cuts| rows.
     """
+    from wikidatabots_spark.functions.scale import (
+        bucketed_global_rank,
+        pushdown_fence,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    per_user = (
+    # fence: per_user feeds the bucket ledger, the fact side, and the
+    # grand-total aggregate
+    per_user = pushdown_fence(
         ev.where(
             (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
         )
@@ -3764,18 +3877,20 @@ def ev_value_pareto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v")
         )
     )
-    ranked = per_user.select(
-        "v",
-        F.row_number()
-        .over(Window.orderBy(F.col("v").desc(), F.col("user_id")))
-        .alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .alias("n"),
-        F.sum("v")
-        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .cast("long")
-        .alias("total"),
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("total"),
+    )
+    ranked = (
+        bucketed_global_rank(
+            per_user,
+            bucket=F.expr("v div 65536"),
+            order=[F.col("v").desc(), F.col("user_id").asc()],
+            descending=True,
+            rn="rn",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("v", "rn", "n", "total")
     )
     cuts = F.explode(F.array(*[F.lit(d) for d in (1, 2, 5)])).alias("top_decile")
     return (
@@ -3980,36 +4095,44 @@ def corpus_curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     schedules want). Pure integer window math; the only global
     structure is the rank, computed once.
 
-    Scale: the global rank is the honest cost (one total order — at
-    corpus scale use the two-phase bucketed prefix-rank of
-    ``corpus_token_budget_select``, same math); the interleave itself
-    is per-decile window arithmetic on ids, no text movement.
+    Scale (VERDICT r5 next #1): the rank rides the two-phase
+    ``bucketed_global_rank`` — every document-scale window is
+    partitioned by the 1024-way quality bucket; the only
+    single-partition window runs over the ~1k-row bucket ledger. The
+    decile interleave needs NO second window at all: within-decile
+    position is ``rk - ceil(decile·n/10)`` (the decile's exact-rank
+    start), pure arithmetic on the global rank.
     """
+    from wikidatabots_spark.functions.scale import (
+        bucketed_global_rank,
+        pushdown_fence,
+    )
     from wikidatabots_spark.operators.dedup import ensure_parallelism
     from wikidatabots_spark.operators.textstats import with_quality
 
     d = load_table(spark, sf_dir, "documents")
-    scored = with_quality(ensure_parallelism(d, "doc_id")).select(
-        "doc_id", "quality"
+    # fence: scored feeds the bucket ledger, the fact-side rank join,
+    # and the count aggregate — one quality-feature pass, not three
+    scored = pushdown_fence(
+        with_quality(ensure_parallelism(d, "doc_id")).select(
+            "doc_id", "quality"
+        )
     )
-    wr = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
-    ranked = scored.select(
-        "doc_id",
-        F.row_number().over(wr).cast("bigint").alias("rk"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).cast("bigint").alias("n"),
-    )
+    n = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = bucketed_global_rank(
+        scored,
+        bucket=F.floor(F.col("quality") * 1024),
+        order=[F.col("quality").desc(), F.col("doc_id").asc()],
+        descending=True,
+        rn="rk",
+    ).crossJoin(F.broadcast(n))
     deciled = ranked.select(
-        "doc_id", "rk", F.expr("((rk - 1) * 10) DIV n").alias("decile")
+        "doc_id", "rk", "n", F.expr("((rk - 1) * 10) DIV n").alias("decile")
     )
-    wd = Window.partitionBy("decile").orderBy("rk")
     return deciled.select(
         "doc_id",
         F.col("decile").cast("int").alias("decile"),
-        (
-            (F.row_number().over(wd) - 1) * 10 + F.col("decile") + 1
-        )
+        F.expr("(rk - (decile * n + 9) DIV 10 - 1) * 10 + decile + 1")
         .cast("bigint")
         .alias("curriculum_pos"),
     )

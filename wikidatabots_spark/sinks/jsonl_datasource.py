@@ -71,6 +71,24 @@ class JsonlWriter(DataSourceWriter):
             )
             parts[m.filename] = m.n_rows
         shutil.rmtree(self.staging, ignore_errors=True)
+        # Honor the save mode (ADVICE r5): overwrite removes every
+        # pre-existing part file AFTER the new parts are in place (the
+        # manifest swap below is still the commit point — a reader that
+        # trusts the manifest never sees a torn state); append merges
+        # the prior manifest's file map so manifest and directory agree.
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if (
+                    name.startswith("part-")
+                    and name.endswith(".jsonl")
+                    and name not in parts
+                ):
+                    os.remove(os.path.join(self.path, name))
+        else:
+            prior = os.path.join(self.path, "_MANIFEST.json")
+            if os.path.exists(prior):
+                with open(prior) as f:
+                    parts = {**json.load(f)["files"], **parts}
         manifest = {
             "n_rows": sum(parts.values()),
             "n_files": len(parts),

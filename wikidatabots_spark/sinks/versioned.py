@@ -236,11 +236,16 @@ class VersionedTable:
         (tested), which is what makes the feed a valid downstream
         replication stream.
 
-        Scale: ONE full-outer equi-join on the key; change detection
-        compares a 256-bit hash of the value columns computed per side
-        (map-side, no second shuffle), so wide rows never join twice.
-        Snapshots written bucketed by the key would make the join
-        exchange-free; with plain snapshots it is two exchanges total.
+        Scale: ONE full-outer equi-join on the key; change detection is
+        a null-safe struct comparison of the value columns (the structs
+        already travel through the join for value projection, so the
+        comparison adds no bytes and — unlike the r5 string-hash form —
+        no collision risk for values containing separator bytes; ADVICE
+        r5). Presence is the struct's own nullability: an unmatched
+        full-outer side is a NULL struct, while a present row is
+        non-null even when every field is null. Snapshots written
+        bucketed by the key would make the join exchange-free; with
+        plain snapshots it is two exchanges total.
         """
         from pyspark.sql import functions as F
 
@@ -253,32 +258,23 @@ class VersionedTable:
                 f"{old.columns} vs {new.columns}"
             )
 
-        def hashed(df: DataFrame, tag: str) -> DataFrame:
+        def sided(df: DataFrame, tag: str) -> DataFrame:
             return df.select(
                 F.col(key),
                 F.struct(*[F.col(c) for c in val_cols]).alias(f"__row_{tag}"),
-                F.sha2(
-                    F.concat_ws(
-                        "\x1f",
-                        *[
-                            F.coalesce(
-                                F.col(c).cast("string"), F.lit("\x00")
-                            )
-                            for c in val_cols
-                        ],
-                    ),
-                    256,
-                ).alias(f"__h_{tag}"),
             )
 
-        j = hashed(old, "old").join(hashed(new, "new"), key, "full_outer")
+        j = sided(old, "old").join(sided(new, "new"), key, "full_outer")
         change = (
-            F.when(F.col("__h_old").isNull(), F.lit("insert"))
-            .when(F.col("__h_new").isNull(), F.lit("delete"))
-            .when(F.col("__h_old") != F.col("__h_new"), F.lit("update"))
+            F.when(F.col("__row_old").isNull(), F.lit("insert"))
+            .when(F.col("__row_new").isNull(), F.lit("delete"))
+            .when(
+                ~F.col("__row_old").eqNullSafe(F.col("__row_new")),
+                F.lit("update"),
+            )
         )
         picked = F.when(
-            F.col("__h_new").isNotNull(), F.col("__row_new")
+            F.col("__row_new").isNotNull(), F.col("__row_new")
         ).otherwise(F.col("__row_old"))
         return (
             j.withColumn("_change", change)
