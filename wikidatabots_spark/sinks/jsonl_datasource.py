@@ -71,19 +71,24 @@ class JsonlWriter(DataSourceWriter):
             )
             parts[m.filename] = m.n_rows
         shutil.rmtree(self.staging, ignore_errors=True)
-        # Honor the save mode (ADVICE r5): overwrite removes every
-        # pre-existing part file AFTER the new parts are in place (the
-        # manifest swap below is still the commit point — a reader that
-        # trusts the manifest never sees a torn state); append merges
-        # the prior manifest's file map so manifest and directory agree.
+        # Honor the save mode: in overwrite mode the stale parts are
+        # enumerated now but deleted only AFTER the manifest swap — the
+        # swap is the sole commit point, so a concurrent manifest reader
+        # (or a crash anywhere in this function) sees either the old
+        # manifest with all its files intact, or the new manifest; it is
+        # never torn. Glob readers may briefly see old+new parts
+        # together, which the manifest contract already allows. Append
+        # merges the prior manifest's file map so manifest and directory
+        # agree.
+        stale: list[str] = []
         if self.overwrite:
-            for name in os.listdir(self.path):
-                if (
-                    name.startswith("part-")
-                    and name.endswith(".jsonl")
-                    and name not in parts
-                ):
-                    os.remove(os.path.join(self.path, name))
+            stale = [
+                name
+                for name in os.listdir(self.path)
+                if name.startswith("part-")
+                and name.endswith(".jsonl")
+                and name not in parts
+            ]
         else:
             prior = os.path.join(self.path, "_MANIFEST.json")
             if os.path.exists(prior):
@@ -98,6 +103,8 @@ class JsonlWriter(DataSourceWriter):
         with open(tmp, "w") as f:
             json.dump(manifest, f, sort_keys=True)
         os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+        for name in stale:
+            os.remove(os.path.join(self.path, name))
 
     def abort(self, messages) -> None:
         shutil.rmtree(self.staging, ignore_errors=True)
