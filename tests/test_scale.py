@@ -169,3 +169,112 @@ def test_aqe_splits_planted_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_global_rank_raises_on_null_bucket(spark):
+    """A NULL bucket would be silently dropped by the phase-2 equi-join
+    (wrong answer); the library must fail loud instead (VERDICT r7 #1).
+    Before the guard this collected 2 of 3 rows with no error."""
+    from wikidatabots_spark.functions.scale import bucketed_global_rank
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0)], "id long, v double"
+    )
+    out = bucketed_global_rank(
+        df,
+        bucket=F.floor(F.col("v")),
+        order=[F.col("v").desc(), F.col("id").asc()],
+        descending=True,
+    )
+    with pytest.raises(Exception, match="NULL bucket"):
+        out.collect()
+
+
+def test_bucketed_global_rank_coalesced_sentinel_matches_window(spark):
+    """The documented caller contract: coalesce a nullable bucket to a
+    sentinel that sorts where the engine places NULLs. With the sentinel,
+    the two-phase rank reproduces a plain global window (desc = NULLS
+    LAST in Spark) bit-for-bit, NULL rows included."""
+    from pyspark.sql import Window
+
+    from wikidatabots_spark.functions.scale import bucketed_global_rank
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0), (4, None), (5, 10.0)],
+        "id long, v double",
+    )
+    got = bucketed_global_rank(
+        df,
+        bucket=F.coalesce(F.floor(F.col("v")), F.lit(-(2**62)).cast("long")),
+        order=[F.col("v").desc(), F.col("id").asc()],
+        descending=True,
+        rn="rn",
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc())
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert sorted(map(tuple, got.select("id", "rn").collect())) == sorted(
+        map(tuple, want.select("id", "rn").collect())
+    )
+
+
+def test_rfm_segments_keeps_null_metric_users(spark, tmp_path):
+    """ev_rfm_segments must NOT drop users whose monetary (all-NULL
+    purchase values) or last_purchase (all-NULL ts) is NULL — the exact
+    silent-row-drop VERDICT r7 #1 flagged. Scores must match the plain
+    ntile-window form (desc = NULLS LAST, same as the DuckDB oracle)."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    from wikidatabots_spark.plans.registry import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for uid in range(1, 7):  # six normal purchasers
+        for j in range(uid):
+            eid += 1
+            rows.append(
+                (eid, t0 + datetime.timedelta(days=uid, hours=j), uid,
+                 "purchase", float(uid * 10 + j), None)
+            )
+    rows.append((991, t0, 98, "purchase", None, None))  # NULL monetary
+    rows.append((992, None, 99, "purchase", 3.5, None))  # NULL recency
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = REGISTRY["ev_rfm_segments"].fn(spark, str(tmp_path))
+    assert got.count() == 8  # nobody dropped
+
+    base = (
+        ev.where((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(14,4)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    want = base.select(
+        "user_id",
+        F.ntile(3)
+        .over(Window.orderBy(F.col("last_purchase").desc(), F.col("user_id")))
+        .alias("r_score"),
+        F.ntile(3)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
+        .alias("f_score"),
+        F.ntile(3)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
+        .alias("m_score"),
+    )
+    got_t = sorted(
+        map(tuple, got.select("user_id", "r_score", "f_score", "m_score").collect())
+    )
+    want_t = sorted(map(tuple, want.collect()))
+    assert got_t == want_t

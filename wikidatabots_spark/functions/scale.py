@@ -197,8 +197,26 @@ def bucketed_global_rank(
 
     ``order`` must be a total order (include a unique tiebreak column)
     for the result to be deterministic, same as any exact-rank window.
+
+    A NULL bucket would be silently DROPPED by the phase-2 equi-join on
+    ``__tpb`` (inner-join NULL-key semantics) — a wrong answer, not an
+    error. The library therefore fails loud: any row whose ``bucket``
+    evaluates to NULL raises at execution time, forcing every caller to
+    coalesce nullable keys to an explicit sentinel (VERDICT r7 next #1).
     """
-    tagged = df.withColumn("__tpb", bucket)
+    tagged = df.withColumn(
+        "__tpb",
+        F.when(bucket.isNotNull(), bucket).otherwise(
+            F.raise_error(
+                F.lit(
+                    "bucketed_global_rank: NULL bucket value — coalesce the "
+                    "bucket expression to a sentinel that sorts where the "
+                    "engine places NULLs (below the range for NULLS LAST "
+                    "under DESC, above it for NULLS LAST under ASC)"
+                )
+            )
+        ),
+    )
     aggs = [F.count(F.lit(1)).alias("__tpb_cnt")]
     if running_sum is not None:
         tagged = tagged.withColumn("__tpb_val", running_sum)

@@ -561,7 +561,7 @@ _INTERVAL_MERGE_ORACLE = f"""
 WITH wins AS (
     SELECT epoch_us(ts) AS s,
            epoch_us(ts) + {_INCIDENT_WIN_MIN} * 60 * 1000000 AS e
-    FROM events WHERE event_type = 'error'
+    FROM events WHERE event_type = 'error' AND ts IS NOT NULL
 ),
 ordered AS (
     SELECT s, e,
@@ -612,7 +612,12 @@ def _merged_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    wins = ev.where(F.col("event_type") == "error").select(
+    # NULL ts carries no interval — filtered on BOTH sides (oracle has
+    # the matching ts IS NOT NULL); unfiltered it would poison the
+    # time-bucket key, which bucketed_global_rank now rejects loudly
+    wins = ev.where(
+        (F.col("event_type") == "error") & F.col("ts").isNotNull()
+    ).select(
         F.unix_micros("ts").alias("s"),
         (F.unix_micros("ts") + _INCIDENT_WIN_MIN * 60 * 1_000_000).alias("e"),
     )
@@ -682,7 +687,7 @@ _OVERLAP_ORACLE = f"""
 WITH wins AS (
     SELECT epoch_us(ts) AS s,
            epoch_us(ts) + {_INCIDENT_WIN_MIN} * 60 * 1000000 AS e
-    FROM events WHERE event_type = 'error'
+    FROM events WHERE event_type = 'error' AND ts IS NOT NULL
 ),
 ordered AS (
     SELECT s, e,

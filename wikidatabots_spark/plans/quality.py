@@ -1973,9 +1973,19 @@ def ev_rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # Buckets are coalesced to sentinels that sort where both engines
+    # place NULLs under DESC (last): a NULL metric must land in the
+    # MINIMUM bucket, not get dropped by the rank join's NULL-key
+    # semantics (VERDICT r7 next #1 — bucketed_global_rank now raises
+    # on NULL buckets instead of silently dropping the row).
+    # `frequency` is a COUNT and cannot be NULL; the other two can
+    # (all-NULL ts / all-NULL value within a user's purchases).
     ranked = bucketed_global_rank(
         base,
-        bucket=F.col("last_purchase").cast("date"),
+        bucket=F.coalesce(
+            F.col("last_purchase").cast("date"),
+            F.to_date(F.lit("0001-01-01")),
+        ),
         order=[F.col("last_purchase").desc(), F.col("user_id").asc()],
         descending=True,
         rn="__r_rn",
@@ -1989,7 +1999,9 @@ def ev_rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = bucketed_global_rank(
         ranked,
-        bucket=F.floor(F.col("monetary")),
+        bucket=F.coalesce(
+            F.floor(F.col("monetary")), F.lit(-(2**62)).cast("long")
+        ),
         order=[F.col("monetary").desc(), F.col("user_id").asc()],
         descending=True,
         rn="__m_rn",
@@ -3884,7 +3896,10 @@ def ev_value_pareto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         bucketed_global_rank(
             per_user,
-            bucket=F.expr("v div 65536"),
+            # NULL v (a user whose purchase values are all NULL) must
+            # rank last under DESC, same as the oracle's NULLS LAST —
+            # sentinel bucket, not a dropped row
+            bucket=F.coalesce(F.expr("v div 65536"), F.lit(-(2**62))),
             order=[F.col("v").desc(), F.col("user_id").asc()],
             descending=True,
             rn="rn",
@@ -4121,7 +4136,11 @@ def corpus_curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     ranked = bucketed_global_rank(
         scored,
-        bucket=F.floor(F.col("quality") * 1024),
+        # NULL quality (NULL text) sorts last under DESC in both
+        # engines — sentinel bucket, never a dropped row
+        bucket=F.coalesce(
+            F.floor(F.col("quality") * 1024), F.lit(-(2**62))
+        ),
         order=[F.col("quality").desc(), F.col("doc_id").asc()],
         descending=True,
         rn="rk",
