@@ -38,14 +38,19 @@ def test_registry_priority_window():
         "op_scalar_dates", "op_sample", "op_strings",
         # pipelines + headliners + SQL API
         "tmdb_via_imdb", "tmdb_via_tvdb", "tmdb_not_found", "tmdb_main",
-        "opencritic_add", "opencritic_update", "opencritic_main",
+        # opencritic_add/update demoted r8 — opencritic_main's union
+        # oracle pins both legs (disjoint 'wd:'/'wds:' prefixes)
+        "opencritic_main",
         "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
         "q6_revenue_forecast", "q10_returned_items",
         "sql_q1_identical_text", "sql_region_revenue",
         # graded LLM-pipeline components
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_simhash", "dedup_simhash_near", "dedup_embedding_cosine",
+        # simhash exact + near merged into one union-tagged slot r8
+        "dedup_simhash_pairs", "dedup_embedding_cosine",
         "dedup_embedding_cosine_lsh",
+        # seated r8 (VERDICT r7 next #2)
+        "dedup_components_delete", "dq_key_skew", "dedup_band_sweep",
         "mm_media_meta", "mm_sample_frames", "mm_extract_features",
         "text_profile", "knn_cosine_topk",
         # promoted composed pipelines / extensions (VERDICT r2 next #2,

@@ -799,6 +799,45 @@ def dedup_simhash_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
 
 
+def _simhash_both_oracle() -> str:
+    return f"""
+SELECT 'exact' AS leg, id_a, id_b, CAST(simhash AS BIGINT) AS metric
+FROM ({_simhash_pairs_oracle()})
+UNION ALL
+SELECT 'near' AS leg, id_a, id_b, CAST(hamming AS BIGINT) AS metric
+FROM ({_simhash_near_oracle()})
+"""
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_both_oracle())
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-window slot carrying BOTH simhash legs (the r5 merged-slot
+    pattern, freeing a window seat for the r7-mandated deletion/monitor
+    queries): the exact fingerprint-collision pairs and the banded
+    Hamming≤2 near-pairs, union-tagged by ``leg`` with the per-leg
+    metric (fingerprint / Hamming distance) normalized to BIGINT. The
+    individual queries stay registered for the local gate."""
+    from wikidatabots_spark.operators.dedup import (
+        simhash_dup_pairs,
+        simhash_near_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = simhash_dup_pairs(d).select(
+        F.lit("exact").alias("leg"),
+        "id_a",
+        "id_b",
+        F.col("simhash").cast("bigint").alias("metric"),
+    )
+    near = simhash_near_pairs(d, max_hamming=2).select(
+        F.lit("near").alias("leg"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("bigint").alias("metric"),
+    )
+    return exact.unionByName(near)
+
+
 @register("knn_ivf_topk")  # rows-only: KMeans-seeded, approximate by design
 def knn_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (MLlib KMeans cells + nprobe search) — the scale path

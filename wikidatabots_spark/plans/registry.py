@@ -67,8 +67,12 @@ PRIORITY: list[str] = [
     "tmdb_via_tvdb",
     "tmdb_not_found",
     "tmdb_main",
-    "opencritic_add",
-    "opencritic_update",
+    # opencritic_add / opencritic_update demoted to the local gate in
+    # r8: opencritic_main's oracle is the UNION ALL of both legs'
+    # oracles and the legs' rdf_statement prefixes are disjoint
+    # ('wd:' vs 'wds:'), so the main's hash check still pins each
+    # leg's exact result multiset — two window seats freed for the
+    # r7-mandated deletion/monitor queries
     "opencritic_main",
     # TPC-H headliners + SQL-text API
     "q1_pricing_summary",
@@ -88,8 +92,10 @@ PRIORITY: list[str] = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_near",
+    # dedup_simhash + dedup_simhash_near merged into one union-tagged
+    # slot in r8 (the op_scalar_dates merge pattern); the individual
+    # queries stay registered for the local gate
+    "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
     "text_profile",
@@ -133,6 +139,12 @@ PRIORITY: list[str] = [
     # directly (VERDICT r4 next #6), complementing curate_corpus_v7's
     # composed check
     "text_classifier_trained",
+    # seated r8 (VERDICT r7 next #2, window seats freed above): the
+    # bounded-deletion ≡ full-recompute theorem gets hard driver
+    # signal, plus the two calibration/monitor queries
+    "dedup_components_delete",
+    "dq_key_skew",
+    "dedup_band_sweep",
 ]
 
 
