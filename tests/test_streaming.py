@@ -578,3 +578,55 @@ def test_streaming_observed_metrics_in_progress(spark, sf_dir):
     assert max(m["max_user"] for m in observed) == (
         ev_batch.agg(F.max("user_id")).first()[0]
     )
+
+
+def test_rollup_maintenance_stream_matches_batch_recompute(spark, sf_dir, tmp_path):
+    """The streaming wiring of ev_rollup_incremental's DECIMAL-partials
+    merge (VERDICT r7 next #4): events staged as 4 files stream through
+    foreachBatch one file per trigger; each micro-batch appends only its
+    partial aggregates + user-key slice; the merged view must equal the
+    batch ev_hourly_rollup full recompute EXACTLY — counts, exact
+    n_users (carried key set, not approx), and bit-identical decimal
+    sums."""
+    from wikidatabots_spark.sources.tables import load_table
+    from wikidatabots_spark.streaming.events_stream import (
+        merged_rollup,
+        rollup_maintenance,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = str(tmp_path / "stage")
+    ev.repartition(4).write.parquet(stage)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    partials_path = str(tmp_path / "partials")
+    keys_path = str(tmp_path / "keys")
+    q = (
+        stream.writeStream.foreachBatch(
+            rollup_maintenance(partials_path, keys_path)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # the merge must actually cross micro-batches, not see one big batch
+    n_batches = (
+        spark.read.parquet(partials_path).select("__batch_id").distinct().count()
+    )
+    assert n_batches >= 2
+
+    got = {
+        (r.hour_start, r.event_type): (r.n_events, r.n_users, r.sum_value)
+        for r in merged_rollup(spark, partials_path, keys_path).collect()
+    }
+    want = {
+        (r.hour_start, r.event_type): (r.n_events, r.n_users, r.sum_value)
+        for r in ev_hourly_rollup(spark, sf_dir).collect()
+    }
+    assert got == want

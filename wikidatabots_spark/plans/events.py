@@ -487,6 +487,58 @@ def ev_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- incremental rollup maintenance (materialized-view delta) --------------
+def rollup_partials(df: DataFrame) -> DataFrame:
+    """Per-slice PARTIAL aggregates of the hourly rollup: count and
+    DECIMAL sum per (hour, event_type). Count and decimal-sum are
+    commutative monoids, so any partition of the event stream into
+    slices (yesterday/today, micro-batches) merges back bit-for-bit
+    via :func:`merge_rollup`. Shared by the batch day-2 query
+    (``ev_rollup_incremental``) and the streaming foreachBatch
+    maintenance sink (``streaming.events_stream.rollup_maintenance``)."""
+    return df.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("p_events"),
+        F.sum(F.col("value").cast("decimal(14,4)")).alias("p_sum"),
+    )
+
+
+def rollup_user_keys(df: DataFrame) -> DataFrame:
+    """The distinct (hour, type, user) key set — COUNT(DISTINCT) is not
+    mergeable from the aggregate alone, so exact maintenance must carry
+    this set (its size is the rollup's true state cost; the mergeable
+    alternative is the HLL register form, ``sketch_hll_by_type``)."""
+    return df.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+        "user_id",
+    ).distinct()
+
+
+def merge_rollup(partials: DataFrame, user_keys: DataFrame) -> DataFrame:
+    """Merge any number of partial slices back into the exact rollup:
+    partial + partial == full, bit-for-bit (sums stay DECIMAL until the
+    final cast, so merge order cannot change bits); n_users re-distincts
+    the carried key set."""
+    merged = partials.groupBy("hour_start", "event_type").agg(
+        F.sum("p_events").cast("bigint").alias("n_events"),
+        F.sum("p_sum").alias("m_sum"),
+    )
+    users = (
+        user_keys.distinct()
+        .groupBy("hour_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return merged.join(users, ["hour_start", "event_type"]).select(
+        "hour_start",
+        "event_type",
+        "n_events",
+        "n_users",
+        F.col("m_sum").cast("double").alias("sum_value"),
+    )
+
+
 @register("ev_rollup_incremental", oracle=_EV_HOURLY_ORACLE)
 def ev_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-2 maintenance of the hourly rollup, PROVEN equal to full
@@ -512,45 +564,9 @@ def ev_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     old = ev.where(F.col("event_id") % 2 == 0)
     new = ev.where(F.col("event_id") % 2 == 1)
-
-    def partials(df: DataFrame) -> DataFrame:
-        return df.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
-            F.col("event_type"),
-        ).agg(
-            F.count(F.lit(1)).alias("p_events"),
-            F.sum(F.col("value").cast("decimal(14,4)")).alias("p_sum"),
-        )
-
-    def user_keys(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
-            "event_type",
-            "user_id",
-        ).distinct()
-
-    merged = (
-        partials(old)
-        .unionByName(partials(new))
-        .groupBy("hour_start", "event_type")
-        .agg(
-            F.sum("p_events").cast("bigint").alias("n_events"),
-            F.sum("p_sum").alias("m_sum"),
-        )
-    )
-    users = (
-        user_keys(old)
-        .unionByName(user_keys(new))
-        .distinct()
-        .groupBy("hour_start", "event_type")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-    return merged.join(users, ["hour_start", "event_type"]).select(
-        "hour_start",
-        "event_type",
-        "n_events",
-        "n_users",
-        F.col("m_sum").cast("double").alias("sum_value"),
+    return merge_rollup(
+        rollup_partials(old).unionByName(rollup_partials(new)),
+        rollup_user_keys(old).unionByName(rollup_user_keys(new)),
     )
 
 
