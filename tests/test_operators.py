@@ -1159,3 +1159,50 @@ def test_components_after_delete_bridge_split(spark):
         ).collect()
     }
     assert post == full
+
+
+def test_embedding_pairs_after_delete_promotes_anchors(spark):
+    """Planted takedown (VERDICT r7 next #6): with bucket_cap=1 only the
+    lowest-id member of a bucket anchors, so pairs among {1,2,3}
+    (identical vectors) are (1,2),(1,3) — (2,3) is never generated.
+    Deleting vector 1 PROMOTES 2 to anchor; the bounded bucket-local
+    repair must surface the fresh (2,3) pair, and the result must equal
+    a full LSH recompute on the post-deletion corpus. A naive
+    survivor-filter of yesterday's pairs would return {} here."""
+    import math
+
+    from wikidatabots_spark.operators.similarity import (
+        embedding_dup_pairs_lsh,
+        embedding_pairs_after_delete,
+        srp_index,
+    )
+
+    dim = 16
+    base = [math.sin(5.0 + d) for d in range(dim)]
+    other = [math.cos(7.0 + 3 * d) for d in range(dim)]
+    rows = [(1, base), (2, base), (3, base), (50, other), (51, other)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    index = srp_index(emb, dim=dim, bits=8, tables=8)
+    pairs = embedding_dup_pairs_lsh(
+        emb, threshold=0.99, dim=dim, bits=8, tables=8, bucket_cap=1
+    )
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {
+        (1, 2), (1, 3), (50, 51)
+    }
+    deletes = spark.createDataFrame([(1,)], "vec_id long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_pairs_after_delete(
+            emb, index, pairs, deletes, threshold=0.99, bucket_cap=1
+        ).collect()
+    }
+    survivors = emb.where(F.col("vec_id") != 1)
+    want = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs_lsh(
+            survivors, threshold=0.99, dim=dim, bits=8, tables=8, bucket_cap=1
+        ).collect()
+    }
+    assert got == want
+    assert (2, 3) in got

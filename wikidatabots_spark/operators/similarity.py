@@ -271,6 +271,28 @@ def knn_lsh(
 SRP_BUCKET_CAP = 32
 
 
+def srp_index(
+    df: DataFrame,
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persisted SRP band index: one (id, tbl, bucket) row per vector
+    per table — the state ``embedding_dup_pairs_lsh`` probes and the
+    state deletion maintenance tombstones (the embedding-side twin of
+    ``operators.dedup.minhash_band_table``). Stored uncapped:
+    ``cap_band_buckets`` is a JOIN-TIME bound; capped storage would make
+    anchor promotion after deletions impossible."""
+    srp_sig = srp_signatures_udf(dim, bits, tables)
+    ids = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)), id_col)
+    return ids.select(
+        F.col(id_col),
+        F.posexplode(srp_sig(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.9,
@@ -314,19 +336,12 @@ def embedding_dup_pairs_lsh(
     from wikidatabots_spark.functions.scale import pushdown_fence
     from wikidatabots_spark.operators.dedup import cap_band_buckets
 
-    srp_sig = srp_signatures_udf(dim, bits, tables)
-    ids = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)), id_col)
     # fence the banded signatures: the pandas-UDF signature stage is the
     # expensive leg and feeds BOTH join sides (and the anchor window) —
     # unfenced, the r5 cap's window broke the ReusedExchange that used
     # to share it, and the plan ran the UDF 4x (measured 2.4 -> 3.2 s
     # at sf0.1; fenced it computes once)
-    stacked = pushdown_fence(
-        ids.select(
-            F.col(id_col),
-            F.posexplode(srp_sig(F.col(vec_col))).alias("tbl", "bucket"),
-        )
-    )
+    stacked = pushdown_fence(srp_index(df, dim, bits, tables, id_col, vec_col))
     anchors = stacked
     if bucket_cap is not None:
         anchors = cap_band_buckets(
@@ -357,6 +372,85 @@ def embedding_dup_pairs_lsh(
         )
         .select("id_a", "id_b")
     )
+
+
+def embedding_pairs_after_delete(
+    df: DataFrame,
+    index_df: DataFrame,
+    pairs_df: DataFrame,
+    delete_ids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int | None = SRP_BUCKET_CAP,
+) -> DataFrame:
+    """Verified near-dup pairs after deleting vectors, touching ONLY the
+    affected SRP buckets — the embedding-side deletion twin of
+    ``operators.dedup.components_after_delete`` (VERDICT r6 next #6 /
+    r7 next #6), PROVEN equal to a full recompute on the post-deletion
+    corpus:
+
+    - Deleting a pair endpoint removes the pair: one anti-join per side.
+    - A surviving pair stays generated: anchors rank by ascending id
+      within a bucket, so deletions only PROMOTE survivors — an anchor
+      that generated a pair is still an anchor afterwards.
+    - NEW candidate pairs can only appear where a promotion happened,
+      i.e. in buckets that contained a deleted vector: re-generate
+      capped candidates among those buckets' survivors only, verify the
+      genuinely fresh ones with the exact cosine, union in.
+
+    Cost at 100 TB: one tombstone anti-join, one bucket semi-join, and
+    a candidate join + cosine verify over the AFFECTED buckets only —
+    proportional to the deletion's blast radius, not the corpus.
+    """
+    from wikidatabots_spark.operators.dedup import cap_band_buckets
+
+    dd = delete_ids.select(F.col(id_col))
+    new_index = index_df.join(dd, id_col, "left_anti")
+    affected = (
+        index_df.join(dd, id_col, "left_semi")
+        .select("tbl", "bucket")
+        .distinct()
+    )
+    sub = new_index.join(affected, ["tbl", "bucket"], "left_semi")
+    anchors = sub
+    if bucket_cap is not None:
+        anchors = cap_band_buckets(
+            sub, bucket_cap, id_col, bucket_cols=("tbl", "bucket")
+        )
+    a, b = anchors.alias("a"), sub.alias("b")
+    cand_new = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    surviving = (
+        pairs_df.join(dd.select(F.col(id_col).alias("id_a")), "id_a", "left_anti")
+        .join(dd.select(F.col(id_col).alias("id_b")), "id_b", "left_anti")
+        .select("id_a", "id_b")
+    )
+    fresh = cand_new.join(surviving, ["id_a", "id_b"], "left_anti")
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    verified_fresh = (
+        fresh.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb")))
+            >= F.lit(threshold)
+        )
+        .select("id_a", "id_b")
+    )
+    return surviving.unionByName(verified_fresh)
 
 
 def embedding_dup_pairs_blocked(

@@ -522,6 +522,68 @@ def dedup_embedding_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DELETE_ORACLE = f"""
+WITH {_PERT_SQL},
+kept AS (SELECT * FROM corpus WHERE vec_id % 10 != 3),
+norms AS (
+    SELECT vec_id, sqrt(SUM(v[i] * v[i])) AS nrm
+    FROM kept, generate_series(1, 64) t(i)
+    GROUP BY vec_id
+),
+dots AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           SUM(a.v[i] * b.v[i]) AS dot
+    FROM kept a, kept b, generate_series(1, 64) t(i)
+    WHERE a.vec_id < b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.98
+"""
+
+
+@register("dedup_embedding_delete", oracle=_EMB_DELETE_ORACLE)
+def dedup_embedding_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 DELETION maintenance on the embedding side (the SRP twin of
+    ``dedup_components_delete``): the corpus holds a persisted FULL SRP
+    band index and yesterday's verified near-dup pairs; a takedown batch
+    (vec_id ≡ 3 mod 10 — hitting originals AND planted copies, so both
+    pair orientations exercise the tombstone) is anti-joined out and
+    ONLY the SRP buckets that contained a deleted vector re-generate
+    capped candidates among their survivors; genuinely fresh candidates
+    verify with the exact cosine. The oracle is the brute-force
+    recompute over the post-deletion corpus: hash-equality is the
+    theorem that the bounded bucket-local repair loses nothing
+    (anchor ranks only promote under deletion, so every surviving
+    pair's generating anchor survives)."""
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.similarity import (
+        embedding_dup_pairs_lsh,
+        embedding_pairs_after_delete,
+        srp_index,
+    )
+
+    corpus = _planted_corpus(spark, sf_dir)
+    # "persisted" state, fenced: the full index feeds the tombstone
+    # anti-join, the affected-bucket semi-join, and the re-pair legs;
+    # yesterday's pairs feed the two survivor anti-joins
+    stacked = pushdown_fence(
+        srp_index(corpus, dim=64, bits=16, tables=8)
+    )
+    pairs = pushdown_fence(
+        embedding_dup_pairs_lsh(
+            corpus, threshold=0.98, dim=64, bits=16, tables=8
+        )
+    )
+    deletes = corpus.select("vec_id").where(F.col("vec_id") % 10 == 3)
+    return embedding_pairs_after_delete(
+        corpus, stacked, pairs, deletes, threshold=0.98
+    )
+
+
 _MM_META_ORACLE = """
 SELECT doc_id AS media_id,
        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,
