@@ -138,3 +138,47 @@ def test_diff_is_a_valid_change_data_feed(spark, tmp_path):
         changes.where(F.col("_change") != "delete").select("k", "v")
     )
     assert _rows(applied) == _rows(t.read(spark, 2))
+
+
+def test_diff_handles_map_valued_columns(spark, tmp_path):
+    """Regression (VERDICT r7 #3 / ADVICE r6 low): eqNullSafe cannot
+    evaluate over MapType, so the struct-comparison diff failed at
+    ANALYSIS time on any map value column. Top-level maps now compare
+    via their sorted entry array — equal maps with different insertion
+    order are NOT an update — while the emitted value stays a real map."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, {"a": 1, "b": 2}), (2, {"x": 9}), (3, {"z": 0})],
+            "k long, m map<string,int>",
+        )
+    )
+    t.commit(
+        spark.createDataFrame(
+            # k=1: same entries, reversed literal order -> unchanged;
+            # k=2: value changed -> update; k=3 deleted; k=4 inserted
+            [(1, {"b": 2, "a": 1}), (2, {"x": 10}), (4, {"n": 7})],
+            "k long, m map<string,int>",
+        )
+    )
+    feed = t.diff(spark, 1, 2, key="k")
+    got = {(r.k, r._change, tuple(sorted(r.m.items()))) for r in feed.collect()}
+    assert got == {
+        (2, "update", (("x", 10),)),
+        (3, "delete", (("z", 0),)),
+        (4, "insert", (("n", 7),)),
+    }
+
+
+def test_diff_rejects_nested_map_with_clear_error(spark, tmp_path):
+    """A map nested inside an array can't be canonicalized one level
+    down; the contract is a clear ValueError, not an opaque Catalyst
+    analysis failure."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(1, [{"a": 1}])], "k long, am array<map<string,int>>"
+    )
+    t.commit(df)
+    t.commit(df)
+    with pytest.raises(ValueError, match="map nested inside"):
+        t.diff(spark, 1, 2, key="k")

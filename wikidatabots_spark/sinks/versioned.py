@@ -248,6 +248,7 @@ class VersionedTable:
         plain snapshots it is two exchanges total.
         """
         from pyspark.sql import functions as F
+        from pyspark.sql.types import ArrayType, MapType, StructType
 
         old = self.read(spark, from_version)
         new = self.read(spark, to_version)
@@ -258,10 +259,49 @@ class VersionedTable:
                 f"{old.columns} vs {new.columns}"
             )
 
+        def _contains_map(dt) -> bool:
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return _contains_map(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_contains_map(f.dataType) for f in dt.fields)
+            return False
+
+        # eqNullSafe cannot evaluate over MapType (maps are unordered,
+        # Spark refuses equality at analysis time — ADVICE r6 low). A
+        # TOP-LEVEL map column is canonicalized for the COMPARISON only:
+        # sorted entry array, deterministic and equatable; the value
+        # projection below still emits the raw map. Maps nested deeper
+        # than one level get a clear error instead of an opaque
+        # analysis failure.
+        dtypes = {f.name: f.dataType for f in new.schema.fields}
+
+        def _cmp_col(c: str):
+            dt = dtypes[c]
+            if isinstance(dt, MapType):
+                if _contains_map(dt.keyType) or _contains_map(dt.valueType):
+                    raise ValueError(
+                        f"VersionedTable.diff cannot compare column {c!r}: "
+                        f"map nested inside a map ({dt.simpleString()}); "
+                        "flatten or drop it before diffing"
+                    )
+                return F.array_sort(F.map_entries(F.col(c)))
+            if _contains_map(dt):
+                raise ValueError(
+                    f"VersionedTable.diff cannot compare column {c!r}: "
+                    f"map nested inside {dt.simpleString()} is not "
+                    "equatable; flatten or drop it before diffing"
+                )
+            return F.col(c)
+
         def sided(df: DataFrame, tag: str) -> DataFrame:
             return df.select(
                 F.col(key),
                 F.struct(*[F.col(c) for c in val_cols]).alias(f"__row_{tag}"),
+                F.struct(*[_cmp_col(c).alias(c) for c in val_cols]).alias(
+                    f"__cmp_{tag}"
+                ),
             )
 
         j = sided(old, "old").join(sided(new, "new"), key, "full_outer")
@@ -269,7 +309,7 @@ class VersionedTable:
             F.when(F.col("__row_old").isNull(), F.lit("insert"))
             .when(F.col("__row_new").isNull(), F.lit("delete"))
             .when(
-                ~F.col("__row_old").eqNullSafe(F.col("__row_new")),
+                ~F.col("__cmp_old").eqNullSafe(F.col("__cmp_new")),
                 F.lit("update"),
             )
         )
