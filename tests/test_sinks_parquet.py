@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from wikidatabots_spark.sinks.parquet import read_partitioned, write_partitioned
@@ -199,3 +200,113 @@ def test_jsonl_datasource_overwrite_and_append_manifest(spark, tmp_path):
     assert set(m["files"]) == {
         f for f in os.listdir(out) if f.startswith("part-")
     }
+
+
+def _staged_writer(tmp_path, overwrite, rows_per_part=(3, 2)):
+    """Build a JsonlWriter with staged part files + commit messages, so
+    commit() can be driven directly (it runs driver-side in production;
+    unit-driving it lets the crash window be simulated)."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from wikidatabots_spark.sinks.jsonl_datasource import (
+        JsonlCommitMessage,
+        JsonlWriter,
+    )
+
+    out = str(tmp_path)
+    w = JsonlWriter(
+        StructType([StructField("id", LongType())]), {"path": out}, overwrite
+    )
+    os.makedirs(w.staging, exist_ok=True)
+    msgs = []
+    for i, n in enumerate(rows_per_part):
+        name = f"part-new{i}.jsonl"
+        with open(os.path.join(w.staging, name), "w") as f:
+            for r in range(n):
+                f.write(_json.dumps({"id": r}) + "\n")
+        msgs.append(JsonlCommitMessage(filename=name, n_rows=n))
+    return w, msgs
+
+
+def test_jsonl_commit_crash_at_manifest_swap_preserves_old_state(
+    tmp_path, monkeypatch
+):
+    """The property the r7 reorder claimed but never tested (VERDICT r7
+    #6): a crash AT the manifest swap must leave the OLD manifest and
+    every file it lists intact — stale parts are deleted only after the
+    swap. On the pre-r7 ordering (delete-then-swap) this fails: the old
+    manifest survives but its part files are already gone."""
+    import json
+    import os
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    # committed old state: one part + manifest listing it
+    (d / "part-old.jsonl").write_text('{"id": 99}\n')
+    (d / "_MANIFEST.json").write_text(
+        json.dumps({"n_rows": 1, "n_files": 1, "files": {"part-old.jsonl": 1}})
+    )
+    w, msgs = _staged_writer(d, overwrite=True)
+
+    real_replace = os.replace
+
+    def crashing_replace(src, dst):
+        if dst.endswith("_MANIFEST.json"):
+            raise OSError("simulated crash at commit point")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crashing_replace)
+    with pytest.raises(OSError, match="simulated crash"):
+        w.commit(msgs)
+    monkeypatch.undo()
+    # old committed state fully intact: manifest unchanged, its file alive
+    m = json.load(open(d / "_MANIFEST.json"))
+    assert m["files"] == {"part-old.jsonl": 1}
+    assert (d / "part-old.jsonl").exists()
+
+
+def test_jsonl_commit_sweeps_orphans_and_tolerates_racing_cleanup(
+    tmp_path, monkeypatch
+):
+    """ADVICE r7 lows: (1) parts not listed in the manifest (debris from
+    a crash after a previous swap) are swept at the next commit in BOTH
+    modes, so glob readers stop double-counting; (2) post-swap stale
+    deletion is best-effort — a file removed by a racing cleaner must
+    not fail a durably committed write."""
+    import json
+    import os
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    (d / "part-old.jsonl").write_text('{"id": 99}\n')
+    (d / "part-orphan.jsonl").write_text('{"id": 1}\n{"id": 2}\n')
+    (d / "_MANIFEST.json").write_text(
+        json.dumps({"n_rows": 1, "n_files": 1, "files": {"part-old.jsonl": 1}})
+    )
+    w, msgs = _staged_writer(d, overwrite=False)
+    w.commit(msgs)
+    m = json.load(open(d / "_MANIFEST.json"))
+    assert not (d / "part-orphan.jsonl").exists()  # swept
+    assert set(m["files"]) == {"part-old.jsonl", "part-new0.jsonl", "part-new1.jsonl"}
+    assert m["n_rows"] == 1 + 3 + 2
+    # directory and manifest agree exactly (orphan gone, no extras)
+    on_disk = {f for f in os.listdir(d) if f.startswith("part-")}
+    assert on_disk == set(m["files"])
+
+    # overwrite where a stale part vanishes mid-delete: commit succeeds
+    w2, msgs2 = _staged_writer(d, overwrite=True, rows_per_part=(1,))
+    real_remove = os.remove
+
+    def racing_remove(p):
+        real_remove(p)
+        if p.endswith("part-old.jsonl"):
+            raise FileNotFoundError(p)  # racer got there first
+
+    monkeypatch.setattr(os, "remove", racing_remove)
+    w2.commit(msgs2)  # must NOT raise
+    monkeypatch.undo()
+    m2 = json.load(open(d / "_MANIFEST.json"))
+    assert set(m2["files"]) == {"part-new0.jsonl"}

@@ -21,6 +21,7 @@ store the rename-based publish becomes a manifest-pointer swap — the
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -61,6 +62,26 @@ class JsonlWriter(DataSourceWriter):
         return JsonlCommitMessage(filename=name, n_rows=n)
 
     def commit(self, messages) -> None:
+        # Self-heal orphans FIRST (ADVICE r7): parts on disk that the
+        # current manifest does not list are debris from a crash between
+        # a previous commit's manifest swap and its deletion loop (or
+        # from an aborted glob-visible write). They are unreachable via
+        # the manifest contract but double-count for glob readers, and
+        # nothing else ever removes them. New part names are uuid-fresh,
+        # so sweeping before publish cannot touch this job's files.
+        prior_path = os.path.join(self.path, "_MANIFEST.json")
+        prior_files: dict[str, int] = {}
+        if os.path.exists(prior_path):
+            with open(prior_path) as f:
+                prior_files = json.load(f)["files"]
+            for name in os.listdir(self.path):
+                if (
+                    name.startswith("part-")
+                    and name.endswith(".jsonl")
+                    and name not in prior_files
+                ):
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(self.path, name))
         parts = {}
         for m in messages:
             if m is None:
@@ -90,10 +111,7 @@ class JsonlWriter(DataSourceWriter):
                 and name not in parts
             ]
         else:
-            prior = os.path.join(self.path, "_MANIFEST.json")
-            if os.path.exists(prior):
-                with open(prior) as f:
-                    parts = {**json.load(f)["files"], **parts}
+            parts = {**prior_files, **parts}
         manifest = {
             "n_rows": sum(parts.values()),
             "n_files": len(parts),
@@ -103,8 +121,13 @@ class JsonlWriter(DataSourceWriter):
         with open(tmp, "w") as f:
             json.dump(manifest, f, sort_keys=True)
         os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+        # Post-swap cleanup is best-effort (ADVICE r7): the swap above
+        # is the commit point, so a file that vanished meanwhile
+        # (concurrent cleanup, racing job) must not turn a durably
+        # committed write into a reported failure + abort().
         for name in stale:
-            os.remove(os.path.join(self.path, name))
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(self.path, name))
 
     def abort(self, messages) -> None:
         shutil.rmtree(self.staging, ignore_errors=True)
