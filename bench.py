@@ -20,9 +20,14 @@ Measurement protocol (VERDICT r5 next #3):
   lineage — no shuffle reuse between runs, so the min is a true
   full-execution time.
 - BAR-CARRYING headliners (the queries the judge grades against hard
-  wall-clock bars) get TWO EXTRA passes (5 total): in r5 the driver's
-  3-pass record caught `dedup_embedding_cosine_lsh` with all passes
-  contended while idle re-measures converged 25% lower.
+  wall-clock bars) additionally run in a DEDICATED FIRST BLOCK of two
+  passes immediately after warmup, before any heavy query has dirtied
+  the JVM (VERDICT r6 next #3 / r7 next #5): the r6/r7 bar passes were
+  0.6%-margin variance events because every bar pass shared the
+  session with the curate/funnel family's GC tail; the first block
+  makes the bar measurement a protocol property, recorded in its own
+  `bar_first_block` section of the detail JSON (5 passes total per
+  bar query).
 - The heavy curate/funnel family is scheduled LAST within every pass,
   so its multi-GB shuffle + GC tail cannot leak into the light
   bar-carrying queries that follow it in suite order.
@@ -254,12 +259,22 @@ def main() -> None:
         passes[name].append(round(time.perf_counter() - t0, 4))
         loadavg[name].append(round(os.getloadavg()[0], 2))
 
-    for _ in range(3):
-        for name in order:
-            run_one(name)
-    # two extra passes for the bar-carrying queries only
+    # DEDICATED FIRST BLOCK (VERDICT r6 next #3 / r7 next #5): the
+    # bar-carrying queries measure FIRST — JVM warm from the sf0.001
+    # warmup, before ANY heavy query has run — so their recorded mins
+    # cannot absorb the curate/funnel family's GC + shuffle-spill tail
+    # even across passes. This replaces the r6 trailing extra passes
+    # (which ran AFTER the heavy family and were the reason the r6/r7
+    # bar passes depended on run-to-run luck); the block's passes are
+    # recorded in their own section so the isolation is auditable from
+    # the record, not inferred.
+    bar_first_block: dict[str, list[float]] = {name: [] for name in bar_order}
     for _ in range(2):
         for name in bar_order:
+            run_one(name)
+            bar_first_block[name].append(passes[name][-1])
+    for _ in range(3):
+        for name in order:
             run_one(name)
     timings = {name: min(ts) for name, ts in passes.items()}
     for name in HEADLINERS:
@@ -281,6 +296,10 @@ def main() -> None:
         # a min that is 2x a prior round with two quiet passes is
         # an engine regression; all passes contended means the host
         "passes": passes,
+        # the isolated pre-heavy measurements (first two entries of each
+        # bar query's pass list, broken out for auditability): a bar met
+        # here is met under the protocol, not by scheduler luck
+        "bar_first_block": bar_first_block,
         # 1-min loadavg sampled right after each measurement — the
         # contention adjudicator (VERDICT r5 next #3)
         "loadavg": loadavg,
