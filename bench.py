@@ -182,6 +182,11 @@ HEADLINERS = [
     "corpus_ccnet_buckets",
     "ev_topk_paths",
     "dedup_band_sweep",
+    # round-8 wave: the two deletion-maintenance twins seated in the
+    # driver window this round — priced so the bounded-blast-radius
+    # claim has a wall-clock record next to the incremental append path
+    "dedup_components_delete",
+    "dedup_embedding_delete",
 ]
 
 # The multi-GB-shuffle composed pipelines: scheduled LAST within every
@@ -268,6 +273,13 @@ def main() -> None:
     # bar passes depended on run-to-run luck); the block's passes are
     # recorded in their own section so the isolation is auditable from
     # the record, not inferred.
+    # one UNRECORDED pass at the target SF first: sf0.001 warmup covers
+    # codegen/UDF-worker startup but not the sf0.1-sized shuffle
+    # buffers/page cache — measured, the first recorded pass otherwise
+    # runs ~20% over steady state and the "isolated" block would read
+    # worse than the interleaved passes it exists to protect
+    for name in bar_order:
+        plans.REGISTRY[name].fn(spark, sf_dir).count()
     bar_first_block: dict[str, list[float]] = {name: [] for name in bar_order}
     for _ in range(2):
         for name in bar_order:
