@@ -363,3 +363,26 @@ def test_round4b_ops_empty_input_safety(spark):
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     assert out.count() == 0
+
+
+def test_sample_weighted_k_is_exact_size_and_length_biased(spark, sf_dir):
+    """The A-ES exponential race draws EXACTLY k distinct docs with
+    P ∝ n_chars: size is exact, no duplicates, and the sample's mean
+    length must sit well above the corpus mean (length-weighted draws
+    overrepresent long docs — for weights w the inclusion probability
+    is ~k·w/Σw). Also pins the plan: the top-k must be a
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    from wikidatabots_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["sample_weighted_k"].fn(spark, sf_dir)
+    rows = df.collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == 100 and len(set(ids)) == 100
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    from wikidatabots_spark.sources.tables import load_table
+
+    corpus = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    corpus_mean = corpus.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean * 1.1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

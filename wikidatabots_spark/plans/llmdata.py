@@ -692,6 +692,84 @@ def corpus_quality_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sample_weighted_k — exact-k weighted sampling w/o replacement (A-ES race)
+# ---------------------------------------------------------------------------
+
+# 100 of the 500-doc sf0.001/sf0.01 corpus: the draw must be a real
+# subset at the driver's correctness SF, not a whole-corpus no-op
+_WSAMP_K = 100
+
+# 13 hex digits = 52 bits: exact in a DOUBLE, u in (0, 1]
+_WSAMP_HEX = "".join(
+    f"+ (strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS "
+    f"VARCHAR)), {j + 1}, 1)) - 1) * {16 ** (12 - j)}\n"
+    for j in range(13)
+)
+
+_WSAMP_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           -ln((({_WSAMP_HEX}) + 1.0) / {16 ** 13}.0)
+               / CAST(n_chars AS DOUBLE) AS t
+    FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars
+FROM keyed
+ORDER BY t, doc_id
+LIMIT {_WSAMP_K}
+"""
+
+
+@register("sample_weighted_k", oracle=_WSAMP_ORACLE)
+def sample_weighted_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SIZE weighted sampling without replacement: k documents
+    drawn with probability proportional to weight (here n_chars — the
+    token-budget-proportional draw corpus mixing wants), via the
+    Efraimidis-Spirakis exponential race: per doc an independent
+    Exp(rate = w) arrival t = -ln(u)/w from a deterministic md5 uniform
+    (52-bit, u ∈ (0,1]); the k SMALLEST arrivals are exactly a
+    P∝w draw without replacement. Complements the repo's two other
+    samplers — Bernoulli keeps a RANDOM-SIZED set, per-group top-k
+    keeps k per group uniformly — this is the fixed-budget global
+    weighted draw (the 'subsample exactly 1M docs, length-weighted'
+    request).
+
+    Deterministic and oracle-exact: u is integer-derived on both
+    engines; ln/division are the same IEEE doubles the oracle-green
+    log-prob queries already rely on; (t, doc_id) is a total order.
+
+    Scale: a narrow map then ONE top-k — Catalyst plans the
+    sort+limit as TakeOrderedAndProject (per-partition heaps, k-row
+    exchange), so no global sort and no corpus-scale window at any k
+    that fits the driver; at larger k the same key ranks under
+    ``bucketed_global_rank`` with a floor(log) bucket.
+    """
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).where(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    t = -F.log((h + F.lit(1.0)) / F.lit(float(16**13))) / F.col(
+        "n_chars"
+    ).cast("double")
+    return (
+        d.select("doc_id", "n_chars", t.alias("__t"))
+        .orderBy("__t", "doc_id")
+        .limit(_WSAMP_K)
+        .select("doc_id", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
 # win_distribution — ntile / percent_rank / cume_dist (window family gap)
 # ---------------------------------------------------------------------------
 
