@@ -384,3 +384,44 @@ def test_split_decontaminate_flags_only_cross_split_links(spark, sf_dir):
         bkt = int(hashlib.md5(f"split:{r.doc_id}".encode()).hexdigest()[:4], 16)
         assert bkt >= SPLIT_TRAIN_END
         assert r.n_train_links >= 1
+
+
+def test_quantile_hist_sketch_is_mergeable_and_bounded(spark, sf_dir):
+    """The sketch's reason to exist: per-slice log2 histograms MERGE BY
+    ADDITION into exactly the whole-corpus histogram (so the streaming/
+    day-2 form needs no new math), the state is bounded (< 64 buckets,
+    one per octave), and every estimate is within one octave (2x) of
+    the exact quantile by construction."""
+    from wikidatabots_spark.plans.registry import REGISTRY
+    from wikidatabots_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    vals = (
+        ev.where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            (F.col("value").cast("decimal(14,4)") * 100)
+            .cast("bigint")
+            .alias("v_cents"),
+            "event_id",
+        )
+        .where(F.col("v_cents") > 0)
+    )
+    bkt = F.length(F.bin(F.col("v_cents"))).alias("bkt")
+
+    def hist(df):
+        return {
+            r.bkt: r.cnt
+            for r in df.groupBy(bkt).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+
+    whole = hist(vals)
+    assert len(whole) < 64  # bounded state
+    h_even = hist(vals.where(F.col("event_id") % 2 == 0))
+    h_odd = hist(vals.where(F.col("event_id") % 2 == 1))
+    merged = {
+        b: h_even.get(b, 0) + h_odd.get(b, 0) for b in set(h_even) | set(h_odd)
+    }
+    assert merged == whole  # counters merge by addition, bit-exact
+
+    for r in REGISTRY["sketch_quantile_hist"].fn(spark, sf_dir).collect():
+        assert r.exact_cents <= r.est_cents < 2 * r.exact_cents + 2

@@ -4059,6 +4059,155 @@ def sketch_bloom_fpr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sketch_quantile_hist — mergeable log2-histogram quantiles, measured error
+# ---------------------------------------------------------------------------
+
+_QHIST_QS = (50, 90, 99)
+
+_QHIST_ORACLE = f"""
+WITH vals AS (
+    SELECT CAST(CAST(value AS DECIMAL(14,4)) * 100 AS BIGINT) AS v_cents,
+           event_id
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+      AND CAST(CAST(value AS DECIMAL(14,4)) * 100 AS BIGINT) > 0
+),
+hist AS (
+    SELECT length(bin(v_cents)) AS bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM vals GROUP BY length(bin(v_cents))
+),
+cum AS (
+    SELECT bkt, cnt,
+           SUM(cnt) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS c,
+           SUM(cnt) OVER () AS n
+    FROM hist
+),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _QHIST_QS)}]) AS q),
+est AS (
+    SELECT q, MIN(bkt) AS est_bkt, MAX(n) AS n
+    FROM cum, qs
+    WHERE c * 100 >= q * n
+    GROUP BY q
+),
+ranked AS (
+    SELECT v_cents,
+           row_number() OVER (ORDER BY v_cents, event_id) AS rn
+    FROM vals
+),
+exact AS (
+    SELECT e.q,
+           MAX(r.v_cents) AS exact_cents
+    FROM est e JOIN ranked r
+      ON r.rn = CAST(ceil(e.q * e.n / 100.0) AS BIGINT)
+    GROUP BY e.q
+)
+SELECT e.q AS q,
+       CAST(e.n AS BIGINT) AS n,
+       CAST(power(2, e.est_bkt) AS BIGINT) - 1 AS est_cents,
+       x.exact_cents,
+       CAST(abs((CAST(power(2, e.est_bkt) AS BIGINT) - 1) - x.exact_cents)
+            * 1000000 // x.exact_cents AS BIGINT) AS abs_err_ppm
+FROM est e JOIN exact x ON x.q = e.q
+"""
+
+
+@register("sketch_quantile_hist", oracle=_QHIST_ORACLE)
+def sketch_quantile_hist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch + measured calibration — the quantile
+    member of the measured-approximation family (CMS error, bloom FPR,
+    KMV overlap, HLL error, minhash estimate error). The sketch is a
+    LOG2-WIDTH HISTOGRAM over integer cents: bucket = bit length of the
+    value (integer-exact on both engines via ``bin``'s string length —
+    no float log at any boundary), state = |buckets| ≈ 40 counters that
+    merge by ADDITION across partitions/days/streams; the p-quantile
+    estimate is the upper bound of the first bucket whose cumulative
+    count reaches p·n (guaranteed within 2x of truth by construction —
+    one bucket spans one octave). The exact quantiles ride the same
+    bucket as a two-phase rank, so the measured abs_err_ppm per
+    quantile is what a capacity plan actually consults before trusting
+    the sketch at 100 TB (where the exact rank is a job and the sketch
+    is free).
+
+    Scale: ONE map-side-combined aggregate for the histogram (~40-row
+    state, mergeable — the streaming/day-2 form needs no new code);
+    the exact leg is the ledger-window two-phase rank, priced only for
+    calibration runs.
+    """
+    from wikidatabots_spark.functions.scale import (
+        bucketed_global_rank,
+        pushdown_fence,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    vals = pushdown_fence(
+        ev.where(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .select(
+            (F.col("value").cast("decimal(14,4)") * 100)
+            .cast("bigint")
+            .alias("v_cents"),
+            "event_id",
+        )
+        .where(F.col("v_cents") > 0)
+    )
+    bkt = F.length(F.bin(F.col("v_cents")))
+    hist = vals.groupBy(bkt.alias("bkt")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    wc = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bkt",
+        F.sum("cnt").over(wc).alias("c"),
+        F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in _QHIST_QS])
+    ).alias("q")
+    est = (
+        cum.select("bkt", "c", "n", qs)
+        .where(F.col("c") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("bkt").alias("est_bkt"), F.max("n").alias("n"))
+    )
+    ranked = bucketed_global_rank(
+        vals,
+        bucket=F.length(F.bin(F.col("v_cents"))),
+        order=[F.col("v_cents").asc(), F.col("event_id").asc()],
+        rn="rn",
+    )
+    exact = (
+        est.join(
+            ranked,
+            ranked["rn"]
+            == F.ceil(F.col("q") * F.col("n") / F.lit(100.0)).cast("bigint"),
+        )
+        .groupBy("q")
+        .agg(F.max("v_cents").alias("exact_cents"))
+    )
+    est_cents = F.pow(F.lit(2.0), F.col("est_bkt")).cast("bigint") - 1
+    return (
+        est.join(exact, "q")
+        .select(
+            F.col("q").cast("int").alias("q"),
+            F.col("n").cast("bigint").alias("n"),
+            est_cents.alias("est_cents"),
+            F.col("exact_cents").cast("bigint").alias("exact_cents"),
+            F.expr(
+                "CAST(abs((CAST(power(2, est_bkt) AS BIGINT) - 1) - "
+                "exact_cents) * 1000000 DIV exact_cents AS BIGINT)"
+            ).alias("abs_err_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus_curriculum_order — interleaved quality-decile training order
 # ---------------------------------------------------------------------------
 
