@@ -187,6 +187,10 @@ HEADLINERS = [
     # claim has a wall-clock record next to the incremental append path
     "dedup_components_delete",
     "dedup_embedding_delete",
+    # round-8 wave 2: exact-k weighted draw (exponential race) and the
+    # mergeable quantile sketch with its measured-error calibration
+    "sample_weighted_k",
+    "sketch_quantile_hist",
 ]
 
 # The multi-GB-shuffle composed pipelines: scheduled LAST within every
