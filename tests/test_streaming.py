@@ -630,3 +630,32 @@ def test_rollup_maintenance_stream_matches_batch_recompute(spark, sf_dir, tmp_pa
         for r in ev_hourly_rollup(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_quantile_hist_stream_matches_batch_histogram(spark, sf_dir):
+    """The quantile sketch's streaming form is just the incremental
+    version of its additive-counter aggregate: the streamed histogram
+    must equal the batch one bucket-for-bucket, bit-exact — the
+    mergeability claim under the real streaming engine."""
+    from wikidatabots_spark.sources.tables import load_table
+    from wikidatabots_spark.streaming.events_stream import quantile_hist_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    _run_to_memory(quantile_hist_stream(ev), "qhist")
+    got = {
+        r.bkt: r.cnt for r in spark.sql("select * from qhist").collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    v_cents = (F.col("value").cast("decimal(14,4)") * 100).cast("bigint")
+    want = {
+        r.bkt: r.cnt
+        for r in batch.where(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .select(v_cents.alias("v_cents"))
+        .where(F.col("v_cents") > 0)
+        .groupBy(F.length(F.bin(F.col("v_cents"))).alias("bkt"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .collect()
+    }
+    assert got == want and 0 < len(got) < 64

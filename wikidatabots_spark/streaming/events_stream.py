@@ -314,3 +314,23 @@ def merged_rollup(
     )
     keys = spark.read.parquet(user_keys_path)
     return merge_rollup(partials, keys)
+
+
+def quantile_hist_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``sketch_quantile_hist``'s state: the log2
+    histogram is a pure additive-counter aggregate, so the streaming
+    form IS a groupBy-count — no watermark needed (the state is the
+    bounded <64-bucket table itself, not per-event), no new math (the
+    mergeability the batch test pins is exactly what the incremental
+    aggregation exercises). Quantile estimates read the latest
+    histogram with the same cumulative rule as the batch query."""
+    v_cents = (F.col("value").cast("decimal(14,4)") * 100).cast("bigint")
+    return (
+        events.where(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .select(v_cents.alias("v_cents"))
+        .where(F.col("v_cents") > 0)
+        .groupBy(F.length(F.bin(F.col("v_cents"))).alias("bkt"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
