@@ -191,6 +191,10 @@ HEADLINERS = [
     # mergeable quantile sketch with its measured-error calibration
     "sample_weighted_k",
     "sketch_quantile_hist",
+    # round-8 wave 3: stratified weighted draw (partitioned-window race)
+    # and zero-shuffle rendezvous resharding
+    "sample_weighted_per_source",
+    "corpus_shard_rendezvous",
 ]
 
 # The multi-GB-shuffle composed pipelines: scheduled LAST within every

@@ -386,3 +386,44 @@ def test_sample_weighted_k_is_exact_size_and_length_biased(spark, sf_dir):
     assert sample_mean > corpus_mean * 1.1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_weighted_per_source_exact_k_per_stratum(spark, sf_dir):
+    """The stratified race draws EXACTLY k distinct docs in EVERY
+    source stratum, each stratum length-biased (P ∝ n_chars within the
+    stratum). Plan pin: the rank is a source-PARTITIONED window — the
+    single exchange is hashpartitioning(source), and there is no global
+    (empty-partition-spec) window or global top-k anywhere."""
+    from wikidatabots_spark.plans.llmdata import _WSAMP_SRC_K
+    from wikidatabots_spark.plans.registry import REGISTRY
+    from wikidatabots_spark.sources.tables import load_table
+
+    df = REGISTRY["sample_weighted_per_source"].fn(spark, sf_dir)
+    rows = df.collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("n_chars").alias("mean"))
+        .collect()
+    )
+    strata = {r.source: (r.n, r.mean) for r in corpus}
+    assert set(by_src) == set(strata)
+    biased = 0
+    for src, lens in by_src.items():
+        n, mean = strata[src]
+        assert len(lens) == min(_WSAMP_SRC_K, n)
+        if sum(lens) / len(lens) > mean:
+            biased += 1
+    # Length bias holds in the overwhelming majority of strata (each
+    # stratum is a small draw, so a few can fall below by chance).
+    assert biased >= 0.75 * len(by_src)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(source" in plan
+    assert "windowspecdefinition(source" in plan
+    assert "windowspecdefinition()" not in plan  # no global window

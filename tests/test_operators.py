@@ -1206,3 +1206,24 @@ def test_embedding_pairs_after_delete_promotes_anchors(spark):
     }
     assert got == want
     assert (2, 3) in got
+
+
+def test_rendezvous_sharding_minimal_movement(spark, sf_dir):
+    """HRW sharding's defining guarantees, 8 -> 9 shards: every moved
+    doc lands on the NEW shard (existing shards only ever lose to the
+    newcomer — no doc reshuffles between old shards), stayers keep
+    their shard, the moved fraction concentrates near 1/9, and the
+    whole assignment is a zero-Exchange narrow map."""
+    from wikidatabots_spark import plans as _p
+
+    df = _p.REGISTRY["corpus_shard_rendezvous"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    moved = [r for r in rows if r.moved]
+    assert moved, "some docs must move when a shard is added"
+    assert all(r.shard_new == 8 for r in moved)
+    assert all(r.shard_old == r.shard_new for r in rows if not r.moved)
+    frac = len(moved) / len(rows)
+    assert 0.04 < frac < 0.25  # E = 1/9 ~ 0.111
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

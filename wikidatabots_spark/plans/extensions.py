@@ -2298,3 +2298,108 @@ def corpus_length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(0.9).alias("p90_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_shard_rendezvous — consistent (HRW) sharding with minimal movement
+# ---------------------------------------------------------------------------
+
+_HRW_N_OLD = 8
+
+
+def _rendezvous_oracle(n_old: int = _HRW_N_OLD) -> str:
+    def hex_int(md5_expr: str, ndigits: int = 13) -> str:
+        terms = " + ".join(
+            f"(strpos('0123456789abcdef', substr({md5_expr}, {i + 1}, 1)) - 1)"
+            f" * {16 ** (ndigits - 1 - i)}"
+            for i in range(ndigits)
+        )
+        return f"({terms})"
+
+    h = hex_int(
+        "md5('hrw:' || CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))"
+    )
+    return f"""
+WITH shards AS (SELECT unnest(range(0, {n_old + 1})) AS s),
+hashes AS (
+    SELECT doc_id, s, CAST({h} AS BIGINT) AS h
+    FROM documents, shards
+),
+old AS (
+    SELECT doc_id, s AS shard_old FROM (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY h DESC, s DESC) AS rk
+        FROM hashes WHERE s < {n_old}) t WHERE rk = 1
+),
+new AS (
+    SELECT doc_id, s AS shard_new FROM (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY h DESC, s DESC) AS rk
+        FROM hashes) t WHERE rk = 1
+)
+SELECT o.doc_id,
+       CAST(o.shard_old AS INT) AS shard_old,
+       CAST(n.shard_new AS INT) AS shard_new,
+       CAST(o.shard_old <> n.shard_new AS INT) AS moved
+FROM old o JOIN new n USING (doc_id)
+"""
+
+
+@register("corpus_shard_rendezvous", oracle=_rendezvous_oracle())
+def corpus_shard_rendezvous_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding: doc -> argmax_s
+    md5('hrw:' || doc_id || ':' || s) — the CONSISTENT assignment whose
+    defining property is minimal movement under resharding: growing
+    8 -> 9 shards moves only docs whose new shard WINS the argmax, i.e.
+    every moved doc lands on the NEW shard and the expected moved
+    fraction is exactly 1/9 (a modulo reshard would move ~8/9 of the
+    corpus). The per-doc (shard_old, shard_new, moved) output makes the
+    property hash-checkable; tests/test_operators.py pins it.
+
+    Complements ``corpus_shard_manifest`` (static content-hash shards):
+    this is the primitive for GROWING a 100 TB sharded corpus in place
+    — recompute assignment, copy only `moved` rows.
+
+    Scale: ZERO shuffles — both argmaxes evaluate per row over a
+    9-element literal array (array_max over (hash, shard) structs,
+    whole-stage codegen, no explode, no join); the plan is a bare
+    Project over the scan. At any shard count N the cost is O(N) per
+    row map-side; for N in the thousands the same argmax rides
+    ``F.aggregate`` over a broadcast shard list unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def hrw(s):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("hrw:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        s.cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def pick(n: int):
+        arr = F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda s: F.struct(hrw(s).alias("h"), s.alias("s")),
+        )
+        return F.array_max(arr)["s"].cast("int")
+
+    return (
+        d.withColumn("shard_old", pick(_HRW_N_OLD))
+        .withColumn("shard_new", pick(_HRW_N_OLD + 1))
+        .withColumn(
+            "moved", (F.col("shard_old") != F.col("shard_new")).cast("int")
+        )
+    )

@@ -769,6 +769,72 @@ def sample_weighted_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WSAMP_SRC_K = 10
+
+_WSAMP_SRC_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id, source, n_chars,
+           -ln((({_WSAMP_HEX}) + 1.0) / {16 ** 13}.0)
+               / CAST(n_chars AS DOUBLE) AS t
+    FROM documents WHERE n_chars > 0
+),
+ranked AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY t, doc_id) AS rk
+    FROM keyed
+)
+SELECT doc_id, source, n_chars FROM ranked WHERE rk <= {_WSAMP_SRC_K}
+"""
+
+
+@register("sample_weighted_per_source", oracle=_WSAMP_SRC_ORACLE)
+def sample_weighted_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-budget weighted draw: exactly k docs PER SOURCE,
+    each stratum sampled P ∝ n_chars without replacement — the same
+    exponential race as ``sample_weighted_k`` ranked within a
+    source-partitioned window instead of a global top-k. This is the
+    mixture-construction primitive ('equal doc budget per source,
+    length-weighted within') that neither the global weighted draw nor
+    the uniform per-group top-k gives.
+
+    Scale: one shuffle on source + a per-stratum sort — a PARTITIONED
+    window, parallel across strata; no global ordering anywhere. Skewed
+    strata ride AQE; a pathological mega-stratum would use the same
+    salting levers as any hot key.
+
+    k=10: the test corpus has exactly 25 docs per source at BOTH sf0.001
+    and sf0.01, so any k >= 25 would select every row and the oracle
+    comparison would be a vacuous no-op (same pitfall as the global
+    ``sample_weighted_k``).
+    """
+    from pyspark.sql import Window
+
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).where(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    t = -F.log((h + F.lit(1.0)) / F.lit(float(16**13))) / F.col(
+        "n_chars"
+    ).cast("double")
+    w = Window.partitionBy("source").orderBy(F.col("__t"), F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars", t.alias("__t"))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= _WSAMP_SRC_K)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # win_distribution — ntile / percent_rank / cume_dist (window family gap)
 # ---------------------------------------------------------------------------
