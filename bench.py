@@ -195,6 +195,9 @@ HEADLINERS = [
     # and zero-shuffle rendezvous resharding
     "sample_weighted_per_source",
     "corpus_shard_rendezvous",
+    # round-8 wave 4: DSIR domain-targeted selection (hashed log-ratio
+    # importance + Gumbel-top-k resample)
+    "corpus_dsir_select",
 ]
 
 # The multi-GB-shuffle composed pipelines: scheduled LAST within every

@@ -427,3 +427,46 @@ def test_sample_weighted_per_source_exact_k_per_stratum(spark, sf_dir):
     assert "hashpartitioning(source" in plan
     assert "windowspecdefinition(source" in plan
     assert "windowspecdefinition()" not in plan  # no global window
+
+
+def test_corpus_dsir_select_importance_biased_and_topk_plan(spark, sf_dir):
+    """DSIR selection contract: exactly k raw-pool docs (never the
+    target source), and the Gumbel-top-k draw is importance-driven —
+    the importance spread in this corpus (~12 log units) dwarfs Gumbel
+    noise (sigma ~1.28), so the selection must largely coincide with
+    the true importance top-k and its mean importance must beat the
+    candidate-pool mean. Plan pin: the k-selection is a
+    TakeOrderedAndProject (per-partition heaps), not a global sort,
+    and the model side joins as a broadcast."""
+    from wikidatabots_spark.plans import llmdata
+    from wikidatabots_spark.plans.registry import REGISTRY
+
+    fn = REGISTRY["corpus_dsir_select"].fn
+    df = fn(spark, sf_dir)
+    sel = df.collect()
+    assert len(sel) == llmdata._DSIR_K
+    ids = [r.doc_id for r in sel]
+    assert len(ids) == len(set(ids))
+    assert all(r.source != llmdata._DSIR_TARGET for r in sel)
+
+    # pool = same plan with the limit lifted above the pool size
+    old_k = llmdata._DSIR_K
+    llmdata._DSIR_K = 10**9
+    try:
+        pool = fn(spark, sf_dir).collect()
+    finally:
+        llmdata._DSIR_K = old_k
+    assert len(pool) > len(sel)
+    mean_sel = sum(r.imp_ppm for r in sel) / len(sel)
+    mean_pool = sum(r.imp_ppm for r in pool) / len(pool)
+    assert mean_sel > mean_pool
+    true_topk = {
+        r.doc_id
+        for r in sorted(pool, key=lambda r: (-r.imp_ppm, r.doc_id))[: len(sel)]
+    }
+    overlap = len(true_topk & set(ids)) / len(sel)
+    assert overlap >= 0.6
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan

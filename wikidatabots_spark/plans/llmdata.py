@@ -836,6 +836,163 @@ def sample_weighted_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus_dsir_select — data selection via importance resampling (DSIR)
+# ---------------------------------------------------------------------------
+
+_DSIR_K = 100
+_DSIR_TARGET = "src0"
+_DSIR_B = 1024  # hashed feature buckets — the NB classifier's space
+
+_DSIR_GUMBEL_HEX = "".join(
+    f"+ (strpos('0123456789abcdef', substr(md5('dsir:' || CAST(doc_id AS "
+    f"VARCHAR)), {j + 1}, 1)) - 1) * {16 ** (12 - j)}\n"
+    for j in range(13)
+)
+
+_DSIR_BUCKET_SQL = (
+    "(((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1)) % 1024)"
+)
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != '')) AS w
+    FROM documents
+),
+occ AS (
+    SELECT doc_id, source, {_DSIR_BUCKET_SQL} AS bucket, COUNT(*) AS cnt
+    FROM toks GROUP BY doc_id, source, {_DSIR_BUCKET_SQL}
+),
+cls AS (
+    SELECT bucket,
+           SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN cnt ELSE 0 END) AS c_t,
+           SUM(CASE WHEN source <> '{_DSIR_TARGET}' THEN cnt ELSE 0 END) AS c_r
+    FROM occ GROUP BY bucket
+),
+tot AS (SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r FROM cls),
+model AS (
+    SELECT bucket,
+           CAST(floor(ln(((c_t + 1.0) / (n_t + {_DSIR_B}.0))
+                         / ((c_r + 1.0) / (n_r + {_DSIR_B}.0)))
+                      * 1000000.0) AS BIGINT) AS lr_ppm
+    FROM cls, tot
+),
+sc AS (
+    SELECT o.doc_id, o.source,
+           CAST(SUM(o.cnt * m.lr_ppm) AS BIGINT) AS imp_ppm
+    FROM occ o JOIN model m USING (bucket)
+    WHERE o.source <> '{_DSIR_TARGET}'
+    GROUP BY o.doc_id, o.source
+),
+keyed AS (
+    SELECT doc_id, source, imp_ppm,
+           ln(-ln((({_DSIR_GUMBEL_HEX}) + 0.5) / {16 ** 13}.0))
+             - CAST(imp_ppm AS DOUBLE) / 1000000.0 AS gk
+    FROM sc
+)
+SELECT doc_id, source, imp_ppm
+FROM keyed ORDER BY gk, doc_id LIMIT {_DSIR_K}
+"""
+
+
+@register("corpus_dsir_select", oracle=_DSIR_ORACLE)
+def corpus_dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    NeurIPS'23): estimate per-example importance weights from hashed
+    unigram features — log p_target(b) − log p_raw(b) per bucket, where
+    target = the 'src0' domain sample and raw = every other source —
+    then Gumbel-top-k resample k raw docs under those weights. This is
+    the domain-targeting selector the gate stack lacks: the NB
+    classifier scores docs against LABELS; DSIR matches a target
+    DISTRIBUTION with no labels at all.
+
+    Engine-exactness: the per-bucket log-ratio is floored to integer
+    ppm (one ln per bucket over exact-integer ratios, then floor —
+    identical in both engines), so the per-doc importance is an exact
+    INTEGER sum immune to float reassociation; the only per-row float
+    math is the Gumbel key ln(-ln(u)) − s, the same md5-uniform ln
+    family every race sampler here uses. u gets a +0.5 offset (not +1)
+    so u < 1 strictly — Spark's log returns NULL at 0 where DuckDB
+    errors, and the open interval sidesteps both.
+
+    Scale: one text pass to hashed occurrences (fenced — shared by
+    training and scoring; text never leaves the scan stage), a
+    ≤1024-row bucket aggregate joined to a 1-row-broadcast total, the
+    ≤1024-row model broadcast into the per-doc scorer, and one
+    TakeOrderedAndProject top-k (per-partition heaps, k-row exchange).
+    No global window, no corpus-scale collect.
+    """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+    from wikidatabots_spark.operators.textstats import _token_bucket, words
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        ),
+        "doc_id",
+    )
+    occ = pushdown_fence(
+        d.select(
+            "doc_id", "source", F.explode(words(F.col("text"))).alias("__w")
+        )
+        .select(
+            "doc_id", "source", _token_bucket(F.col("__w")).alias("bucket")
+        )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tgt = F.col("source") == _DSIR_TARGET
+    cls = occ.groupBy("bucket").agg(
+        F.sum(F.when(tgt, F.col("cnt")).otherwise(F.lit(0))).alias("c_t"),
+        F.sum(F.when(~tgt, F.col("cnt")).otherwise(F.lit(0))).alias("c_r"),
+    )
+    tot = cls.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r"))
+    b = F.lit(float(_DSIR_B))
+    model = cls.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            F.log(
+                ((F.col("c_t") + F.lit(1.0)) / (F.col("n_t") + b))
+                / ((F.col("c_r") + F.lit(1.0)) / (F.col("n_r") + b))
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("lr_ppm"),
+    )
+    sc = (
+        occ.where(~tgt)
+        .join(F.broadcast(model), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lr_ppm")).cast("long").alias("imp_ppm")
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(16**13))
+    gk = F.log(-F.log(u)) - F.col("imp_ppm").cast("double") / F.lit(1000000.0)
+    return (
+        sc.withColumn("__gk", gk)
+        .orderBy("__gk", "doc_id")
+        .limit(_DSIR_K)
+        .select("doc_id", "source", "imp_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
 # win_distribution — ntile / percent_rank / cume_dist (window family gap)
 # ---------------------------------------------------------------------------
 
