@@ -302,6 +302,7 @@ def embedding_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int | None = SRP_BUCKET_CAP,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via SRP-banded candidates + exact cosine verify.
 
@@ -340,8 +341,16 @@ def embedding_dup_pairs_lsh(
     # expensive leg and feeds BOTH join sides (and the anchor window) —
     # unfenced, the r5 cap's window broke the ReusedExchange that used
     # to share it, and the plan ran the UDF 4x (measured 2.4 -> 3.2 s
-    # at sf0.1; fenced it computes once)
-    stacked = pushdown_fence(srp_index(df, dim, bits, tables, id_col, vec_col))
+    # at sf0.1; fenced it computes once). Callers that already hold the
+    # persisted (id, tbl, bucket) index (deletion maintenance rebuilding
+    # yesterday's pairs) pass it via ``index`` so the signature stage is
+    # not recomputed — it must be fenced and built with the same
+    # dim/bits/tables.
+    stacked = (
+        index
+        if index is not None
+        else pushdown_fence(srp_index(df, dim, bits, tables, id_col, vec_col))
+    )
     anchors = stacked
     if bucket_cap is not None:
         anchors = cap_band_buckets(

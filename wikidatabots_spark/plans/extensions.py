@@ -568,14 +568,16 @@ def dedup_embedding_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _planted_corpus(spark, sf_dir)
     # "persisted" state, fenced: the full index feeds the tombstone
-    # anti-join, the affected-bucket semi-join, and the re-pair legs;
-    # yesterday's pairs feed the two survivor anti-joins
+    # anti-join, the affected-bucket semi-join, the re-pair legs, AND
+    # yesterday's pair rebuild (passed via index= so the SRP signature
+    # UDF stage runs exactly once in the whole plan)
     stacked = pushdown_fence(
         srp_index(corpus, dim=64, bits=16, tables=8)
     )
     pairs = pushdown_fence(
         embedding_dup_pairs_lsh(
-            corpus, threshold=0.98, dim=64, bits=16, tables=8
+            corpus, threshold=0.98, dim=64, bits=16, tables=8,
+            index=stacked,
         )
     )
     deletes = corpus.select("vec_id").where(F.col("vec_id") % 10 == 3)
