@@ -748,6 +748,41 @@ def test_pack_sequences_contiguity(spark):
             cum += r.n_tokens
 
 
+def test_pack_spans_tile_bins_exactly(spark):
+    """The fragment table's defining invariants: per document the
+    fragments sum to its token count; per (shard, bin) the fragments
+    tile [0, ctx) exactly — full bins sum to ctx with no gaps or
+    overlaps (the last bin of a shard may be partial); starts_doc /
+    ends_doc mark exactly one fragment each per document."""
+    from wikidatabots_spark.operators.textstats import pack_spans
+
+    docs = [(i, " ".join(["w"] * (30 + 17 * (i % 7)))) for i in range(1, 41)]
+    out = pack_spans(_docs(spark, docs), ctx=64, n_shards=4).collect()
+    by_doc, by_bin = {}, {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        by_bin.setdefault((r.shard, r.bin), []).append(r)
+    want_tokens = {i: 30 + 17 * (i % 7) for i in range(1, 41)}
+    for doc_id, frags in by_doc.items():
+        assert sum(f.n_in_bin for f in frags) == want_tokens[doc_id]
+        assert sum(f.starts_doc for f in frags) == 1
+        assert sum(f.ends_doc for f in frags) == 1
+        # fragments of one doc occupy consecutive bins
+        bins = sorted(f.bin for f in frags)
+        assert bins == list(range(bins[0], bins[-1] + 1))
+    for (shard, b), frags in by_bin.items():
+        frags = sorted(frags, key=lambda f: f.bin_offset)
+        pos = 0
+        for f in frags:
+            assert f.bin_offset == pos  # no gap, no overlap
+            pos += f.n_in_bin
+        last_bin = max(bb for (s, bb) in by_bin if s == shard)
+        if b < last_bin:
+            assert pos == 64  # every non-final bin is exactly full
+        else:
+            assert 0 < pos <= 64
+
+
 def test_classifier_score_deterministic_and_bounded(spark):
     from wikidatabots_spark.operators.textstats import with_classifier_score
 

@@ -460,6 +460,70 @@ def pack_sequences(
     )
 
 
+def pack_spans(
+    df: DataFrame,
+    ctx: int = 512,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-bin attention-span table for packed sequences — the artifact
+    a trainer actually consumes from ``pack_sequences``: one row per
+    (document, bin) fragment with the fragment's offset and length
+    inside the bin, so attention masks and loss masks can be built
+    without re-deriving the layout. A document crossing bin boundaries
+    emits one fragment per bin it touches; fragments tile every full
+    bin exactly ([0, ctx) with no gaps or overlaps) and per document
+    sum back to its token count — both invariants are pinned by test.
+
+    Same layout contract as ``pack_sequences`` (shard = id % n_shards,
+    concatenation ordered by id within shard): the two queries describe
+    the SAME packing, table-per-document vs table-per-fragment.
+
+    Scale: one shard-partitioned window (parallel across shards) and a
+    narrow explode of ≤ (n_tokens/ctx)+1 bins per doc; all integer math
+    — bit-identical across engines by construction.
+    """
+    wl = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    t = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        F.size(wl).cast("bigint").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = (F.col("cum") - F.col("n_tokens")).alias("__start")
+    exploded = (
+        c.select(
+            F.col(id_col),
+            "shard",
+            "n_tokens",
+            start,
+            F.col("cum").alias("__end"),
+        )
+        .withColumn("bin_first", F.expr(f"__start DIV {ctx}"))
+        .withColumn("bin_last", F.expr(f"(__end - 1) DIV {ctx}"))
+        .withColumn(
+            "bin", F.explode(F.sequence(F.col("bin_first"), F.col("bin_last")))
+        )
+    )
+    span_start = F.greatest(F.col("__start"), F.col("bin") * ctx)
+    span_end = F.least(F.col("__end"), (F.col("bin") + 1) * ctx)
+    return exploded.select(
+        F.col(id_col),
+        "shard",
+        F.col("bin").cast("bigint").alias("bin"),
+        (span_start - F.col("bin") * ctx).cast("bigint").alias("bin_offset"),
+        (span_end - span_start).cast("bigint").alias("n_in_bin"),
+        (F.col("bin") == F.col("bin_first")).cast("int").alias("starts_doc"),
+        (F.col("bin") == F.col("bin_last")).cast("int").alias("ends_doc"),
+    )
+
+
 # hashed-feature linear classifier: bucket count + a multiplicative-hash
 # weight table. Knuth constant mod an ODD range centered on zero — every
 # quantity integer, so scores are bit-identical across engines.

@@ -1538,6 +1538,55 @@ def corpus_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_SPANS_ORACLE = """
+WITH t AS (
+    SELECT doc_id, CAST(doc_id % 32 AS INT) AS shard,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x != '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, shard, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t WHERE n_tokens > 0
+),
+b AS (
+    SELECT doc_id, shard, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS s, CAST(cum AS BIGINT) AS e,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_first,
+           CAST((cum - 1) // 512 AS BIGINT) AS bin_last
+    FROM c
+),
+frag AS (
+    SELECT doc_id, shard, s, e, bin_first, bin_last,
+           unnest(generate_series(bin_first, bin_last)) AS bin
+    FROM b
+)
+SELECT doc_id, shard, CAST(bin AS BIGINT) AS bin,
+       CAST(greatest(s, bin * 512) - bin * 512 AS BIGINT) AS bin_offset,
+       CAST(least(e, (bin + 1) * 512) - greatest(s, bin * 512) AS BIGINT)
+           AS n_in_bin,
+       CAST(bin = bin_first AS INT) AS starts_doc,
+       CAST(bin = bin_last AS INT) AS ends_doc
+FROM frag
+"""
+
+
+@register("corpus_pack_spans", oracle=_PACK_SPANS_ORACLE)
+def corpus_pack_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment-level view of the 512-token packing: one row per
+    (document, bin) with in-bin offset and length — what attention/loss
+    masking reads at train time (``corpus_pack_sequences`` is the same
+    layout per-document). Shard-partitioned window + narrow explode;
+    all integer math."""
+    from wikidatabots_spark.operators.textstats import pack_spans
+
+    return pack_spans(
+        load_table(spark, sf_dir, "documents"), ctx=512, n_shards=32
+    )
+
+
 # classifier oracle: per-token md5 16-bit bucket mod 1024, Knuth
 # multiplicative hash into [-1000,1000]; score = exact integer weight sum
 # over 1000*n_tokens (one IEEE division of exact integers — engine-neutral)
