@@ -1262,3 +1262,25 @@ def test_rendezvous_sharding_minimal_movement(spark, sf_dir):
     assert 0.04 < frac < 0.25  # E = 1/9 ~ 0.111
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_jl_distortion_concentrates_at_unity(spark, sf_dir):
+    """JL's guarantee, measured: the per-pair squared-distance ratio
+    (projected/original, scaled by k) is unbiased — the corpus mean
+    sits within a few percent of 1e6 ppm — and every quantity is exact
+    integer arithmetic. Plan pins: the projection is a pure narrow
+    expression map (no pandas-UDF stage, no window); the only exchange
+    is the id-shifted pair join."""
+    from wikidatabots_spark import plans
+
+    df = plans.REGISTRY["emb_jl_distortion"].fn(spark, sf_dir)
+    rows = df.collect()
+    from wikidatabots_spark.sources.tables import load_table
+
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vec - 1
+    mean = sum(r.distortion_ppm for r in rows) / len(rows)
+    assert 900_000 < mean < 1_150_000
+    assert all(r.dist_sq_proj >= 0 and r.dist_sq_orig > 0 for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "Window" not in plan

@@ -1200,6 +1200,169 @@ def emb_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# emb_jl_distortion — JL sign random projection with MEASURED distortion
+# ---------------------------------------------------------------------------
+
+_JL_K = 16  # projected dimensions (64 -> 16, the 4x ANN shrink)
+# float -> integer quantization scale. Smaller than emb_standardize's
+# 1e6 BY NECESSITY: the ppm ratio's numerator is 1e6 · Σ_k (Σ_64 q)² —
+# worst case 8.8e10·S² with |x| ≤ 0.58 in this corpus — and S = 5000
+# caps that at 2.2e18, inside BIGINT with 4x headroom (S = 1e4 would
+# sit within 5% of overflow). Quantization error ~2e-4 absolute is
+# noise next to the ~1/sqrt(k) distortion being measured.
+_JL_SCALE = 5_000
+
+
+def _jl_signs() -> list[list[int]]:
+    """The deterministic ±1 projection matrix, k rows × 64 cols: sign =
+    parity of the first hex digit of md5('jl:<j>:<i>'). Generated once
+    in Python and embedded as LITERALS in both engines' plans, so the
+    matrix is identical by construction."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[0], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(64)
+        ]
+        for j in range(_JL_K)
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    s_sql = (
+        "["
+        + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in signs)
+        + "]"
+    )
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_JL_SCALE}) AS BIGINT)) AS qv
+    FROM embeddings
+),
+proj AS (
+    SELECT vec_id, qv,
+           list_transform({s_sql},
+               row -> CAST(list_sum(
+                   list_transform(generate_series(1, 64),
+                                  i -> qv[i] * row[i])) AS BIGINT)) AS yv
+    FROM q
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+               i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS BIGINT)
+               AS dist_sq_orig,
+           CAST(list_sum(list_transform(generate_series(1, {_JL_K}),
+               j -> (a.yv[j] - b.yv[j]) * (a.yv[j] - b.yv[j]))) AS BIGINT)
+               AS dist_sq_proj
+    FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+)
+SELECT id_a, id_b, dist_sq_orig, dist_sq_proj,
+       CAST((1000000 * dist_sq_proj) // ({_JL_K} * dist_sq_orig) AS BIGINT)
+           AS distortion_ppm
+FROM pairs WHERE dist_sq_orig > 0
+"""
+
+
+@register("emb_jl_distortion", oracle=_jl_oracle())
+def emb_jl_distortion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection (64 → 16 dims, the
+    Achlioptas ±1 variant) with its distortion MEASURED, not assumed —
+    the dimensionality-reduction member of the measured-approximation
+    family (minhash est-error, HLL/CMS error, PQ recall, quantile
+    calibration): for each consecutive-id vector pair, the exact
+    squared L2 distance in the original and projected spaces and the
+    ratio E[·]≈1e6 in ppm. JL says the ratio concentrates near 1 with
+    variance ~2/k; the emitted table is the evidence.
+
+    Engine-exactness: vectors are quantized to integers
+    (emb_standardize's floor(x·1e6) trick), the ±1 matrix is a Python-
+    generated LITERAL identical in both plans, so projections,
+    distances and the ppm ratio are all exact integer arithmetic —
+    zero float summation anywhere.
+
+    Scale: the projection is a NARROW per-row map (k·64 integer
+    multiply-adds against literal sign rows — whole-stage codegen, no
+    shuffle, no UDF); at 100 TB this is the 4× ANN-index shrink pass.
+    The distortion probe's only exchange is the id-shifted self-join
+    (one hash exchange on vec_id); output is O(n) rows of five longs.
+    """
+    signs = _jl_signs()
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * _JL_SCALE).cast("long"),
+        ).alias("qv"),
+    )
+
+    def project(qv):
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        qv,
+                        F.array(*[F.lit(v) for v in row]),
+                        lambda a, s: a * s.cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                for row in signs
+            ]
+        )
+
+    proj = q.select("vec_id", "qv", project(F.col("qv")).alias("yv"))
+
+    def sq_dist(col_a, col_b):
+        return F.aggregate(
+            F.zip_with(col_a, col_b, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    a = proj.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("qv").alias("qa"),
+        F.col("yv").alias("ya"),
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("qv").alias("qb"),
+        F.col("yv").alias("yb"),
+    )
+    pairs = a.join(b, "id_a").select(
+        "id_a",
+        "id_b",
+        sq_dist(F.col("qa"), F.col("qb")).alias("dist_sq_orig"),
+        sq_dist(F.col("ya"), F.col("yb")).alias("dist_sq_proj"),
+    )
+    return pairs.where(F.col("dist_sq_orig") > 0).select(
+        "id_a",
+        "id_b",
+        "dist_sq_orig",
+        "dist_sq_proj",
+        # integer floor division (Spark `/` would route through DOUBLE
+        # and lose exactness past 2^53)
+        F.expr(
+            f"(1000000L * dist_sq_proj) div ({_JL_K}L * dist_sq_orig)"
+        ).alias("distortion_ppm"),
+    )
+
+
 @register(
     "text_vocab_topk",
     oracle="""
