@@ -659,3 +659,53 @@ def test_quantile_hist_stream_matches_batch_histogram(spark, sf_dir):
         .collect()
     }
     assert got == want and 0 < len(got) < 64
+
+
+def test_dsir_score_stream_matches_batch_scorer(spark, sf_dir):
+    """Stream-static DSIR scoring parity: the literal-map token-by-token
+    scorer over the document stream produces the SAME exact integer
+    imp_ppm as the batch occurrence-aggregate scorer, for every
+    document — and carries zero streaming state (no aggregation, no
+    watermark; the engine's own progress metrics report no state
+    operators)."""
+    from wikidatabots_spark.plans.llmdata import dsir_occ_and_model
+    from wikidatabots_spark.sources.tables import load_table
+    from wikidatabots_spark.streaming.docs_stream import (
+        dsir_score_stream,
+        read_documents_stream,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    occ, model = dsir_occ_and_model(d)
+    model_ppm = {r.bucket: r.lr_ppm for r in model.collect()}
+    assert 0 < len(model_ppm) <= 1024
+
+    docs = read_documents_stream(spark, sf_dir)
+    out = dsir_score_stream(docs, model_ppm)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dsir_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    for prog in q.recentProgress:
+        assert prog["stateOperators"] == []
+    got = {
+        r.doc_id: r.imp_ppm for r in spark.sql("select * from dsir_s").collect()
+    }
+    want = {
+        r.doc_id: r.imp_ppm
+        for r in occ.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("lr_ppm")).cast("long").alias("imp_ppm"))
+        .collect()
+    }
+    assert len(got) == d.count()
+    # zero-token docs (absent from the occurrence table) score 0
+    assert got == {k: want.get(k, 0) for k in got}
+    assert any(v != 0 for v in got.values())

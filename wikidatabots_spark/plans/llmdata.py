@@ -899,43 +899,17 @@ FROM keyed ORDER BY gk, doc_id LIMIT {_DSIR_K}
 """
 
 
-@register("corpus_dsir_select", oracle=_DSIR_ORACLE)
-def corpus_dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data Selection via Importance Resampling (DSIR, Xie et al.
-    NeurIPS'23): estimate per-example importance weights from hashed
-    unigram features — log p_target(b) − log p_raw(b) per bucket, where
-    target = the 'src0' domain sample and raw = every other source —
-    then Gumbel-top-k resample k raw docs under those weights. This is
-    the domain-targeting selector the gate stack lacks: the NB
-    classifier scores docs against LABELS; DSIR matches a target
-    DISTRIBUTION with no labels at all.
-
-    Engine-exactness: the per-bucket log-ratio is floored to integer
-    ppm (one ln per bucket over exact-integer ratios, then floor —
-    identical in both engines), so the per-doc importance is an exact
-    INTEGER sum immune to float reassociation; the only per-row float
-    math is the Gumbel key ln(-ln(u)) − s, the same md5-uniform ln
-    family every race sampler here uses. u gets a +0.5 offset (not +1)
-    so u < 1 strictly — Spark's log returns NULL at 0 where DuckDB
-    errors, and the open interval sidesteps both.
-
-    Scale: one text pass to hashed occurrences (fenced — shared by
-    training and scoring; text never leaves the scan stage), a
-    ≤1024-row bucket aggregate joined to a 1-row-broadcast total, the
-    ≤1024-row model broadcast into the per-doc scorer, and one
-    TakeOrderedAndProject top-k (per-partition heaps, k-row exchange).
-    No global window, no corpus-scale collect.
-    """
+def dsir_occ_and_model(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The DSIR training pieces, shared by the batch selector and the
+    streaming scoring twin: the fenced per-doc hashed-bucket occurrence
+    table over ``d`` (doc_id, source, text) and the ≤1024-row
+    (bucket, lr_ppm) importance model — floored integer-ppm log-ratios
+    of target-vs-raw bucket rates (see ``corpus_dsir_select``)."""
     from wikidatabots_spark.functions.scale import pushdown_fence
     from wikidatabots_spark.operators.dedup import ensure_parallelism
     from wikidatabots_spark.operators.textstats import _token_bucket, words
 
-    d = ensure_parallelism(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", "source", "text"
-        ),
-        "doc_id",
-    )
+    d = ensure_parallelism(d, "doc_id")
     occ = pushdown_fence(
         d.select(
             "doc_id", "source", F.explode(words(F.col("text"))).alias("__w")
@@ -965,6 +939,42 @@ def corpus_dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lr_ppm"),
     )
+    return occ, model
+
+
+@register("corpus_dsir_select", oracle=_DSIR_ORACLE)
+def corpus_dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    NeurIPS'23): estimate per-example importance weights from hashed
+    unigram features — log p_target(b) − log p_raw(b) per bucket, where
+    target = the 'src0' domain sample and raw = every other source —
+    then Gumbel-top-k resample k raw docs under those weights. This is
+    the domain-targeting selector the gate stack lacks: the NB
+    classifier scores docs against LABELS; DSIR matches a target
+    DISTRIBUTION with no labels at all.
+
+    Engine-exactness: the per-bucket log-ratio is floored to integer
+    ppm (one ln per bucket over exact-integer ratios, then floor —
+    identical in both engines), so the per-doc importance is an exact
+    INTEGER sum immune to float reassociation; the only per-row float
+    math is the Gumbel key ln(-ln(u)) − s, the same md5-uniform ln
+    family every race sampler here uses. u gets a +0.5 offset (not +1)
+    so u < 1 strictly — Spark's log returns NULL at 0 where DuckDB
+    errors, and the open interval sidesteps both.
+
+    Scale: one text pass to hashed occurrences (fenced — shared by
+    training and scoring; text never leaves the scan stage), a
+    ≤1024-row bucket aggregate joined to a 1-row-broadcast total, the
+    ≤1024-row model broadcast into the per-doc scorer, and one
+    TakeOrderedAndProject top-k (per-partition heaps, k-row exchange).
+    No global window, no corpus-scale collect.
+    """
+    occ, model = dsir_occ_and_model(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+    )
+    tgt = F.col("source") == _DSIR_TARGET
     sc = (
         occ.where(~tgt)
         .join(F.broadcast(model), "bucket")

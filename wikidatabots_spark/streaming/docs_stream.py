@@ -101,3 +101,49 @@ def incremental_dedup_probe_stream(
         F.col("doc_id").alias("old_id"), "band_idx", "band_hash"
     )
     return probe.join(idx, ["band_idx", "band_hash"])
+
+
+def dsir_score_stream(
+    docs: DataFrame, model_ppm: dict[int, int]
+) -> DataFrame:
+    """Streaming DSIR scoring: documents arriving from the drop zone are
+    importance-scored against a batch-trained model with ZERO streaming
+    state — the model (≤1024 (bucket, lr_ppm) rows, KB-sized like the
+    BPE vocab frames) is embedded as a LITERAL map, so scoring is a pure
+    narrow per-row map: imp_ppm = Σ_tokens lr_ppm[bucket(token)]. This
+    is the production shape for domain-targeted ingest — train DSIR
+    once on the existing corpus (``plans.llmdata.dsir_occ_and_model``),
+    then score every arriving document in-flight and route/weight it
+    before it lands.
+
+    Identical to the batch scorer by construction: the batch path sums
+    cnt·lr_ppm over the per-doc occurrence aggregate; this path sums
+    lr_ppm token-by-token — the same integer total (parity-tested).
+    Tokens whose bucket is missing from the model contribute 0 (the
+    out-of-vocabulary policy; cannot occur when the model was trained
+    on a corpus covering the stream's buckets, e.g. the parity test).
+
+    Scale/state: no aggregation, no watermark, no state store rows at
+    all — the stream's progress metrics report zero state operators.
+    At 1024 buckets the literal map is ~16 KB of plan; for much larger
+    models swap the literal for a broadcast stream-static join on
+    bucket (the `incremental_dedup_probe_stream` pattern).
+    """
+    from pyspark.sql import functions as F
+
+    from wikidatabots_spark.operators.textstats import _token_bucket, words
+
+    m = F.create_map(
+        *[
+            F.lit(x).cast("long")
+            for kv in sorted(model_ppm.items())
+            for x in kv
+        ]
+    )
+    imp = F.aggregate(
+        words(F.col("text")),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.coalesce(m[_token_bucket(w)], F.lit(0).cast("long")),
+    )
+    return docs.select("doc_id", "source", imp.alias("imp_ppm"))
