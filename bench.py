@@ -198,6 +198,8 @@ HEADLINERS = [
     # round-8 wave 4: DSIR domain-targeted selection (hashed log-ratio
     # importance + Gumbel-top-k resample)
     "corpus_dsir_select",
+    # round-8 wave 5: the flagship with the DSIR domain-affinity gate
+    "curate_corpus_v8",
 ]
 
 # The multi-GB-shuffle composed pipelines: scheduled LAST within every
@@ -209,6 +211,7 @@ HEAVY_LAST = [
     "curate_corpus_incremental",
     "curate_corpus_v6",
     "curate_corpus_v7",
+    "curate_corpus_v8",
     "corpus_dedup_funnel",
 ]
 

@@ -425,3 +425,38 @@ def test_quantile_hist_sketch_is_mergeable_and_bounded(spark, sf_dir):
 
     for r in REGISTRY["sketch_quantile_hist"].fn(spark, sf_dir).collect():
         assert r.exact_cents <= r.est_cents < 2 * r.exact_cents + 2
+
+
+def test_curate_v8_dsir_gate_semantics(spark, sf_dir):
+    """The v8 domain gate's contract: every RAW-pool doc the v8
+    flagship keeps has per-token DSIR affinity at or above the raw
+    pool's overall per-token rate (imp*Σn ≥ n*Σimp, the integer
+    cross-multiply), target-source docs are exempt, and the gate
+    genuinely fires — at least one below-rate doc that v7 kept is gone
+    from v8."""
+    from pyspark.sql import functions as F
+
+    from wikidatabots_spark import plans
+    from wikidatabots_spark.plans.llmdata import _DSIR_TARGET, dsir_scores
+    from wikidatabots_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    sc = dsir_scores(d).collect()
+    s_imp = sum(r.imp_ppm for r in sc)
+    s_tok = sum(r.n_tok for r in sc)
+    below = {r.doc_id for r in sc if r.imp_ppm * s_tok < r.n_tok * s_imp}
+    assert below and len(below) < len(sc)
+
+    v8 = plans.REGISTRY["curate_corpus_v8"].fn(spark, sf_dir).collect()
+    assert v8
+    v8_raw = {r.doc_id for r in v8 if r.source != _DSIR_TARGET}
+    assert v8_raw.isdisjoint(below)
+
+    v7_docs = {
+        r.doc_id
+        for r in plans.REGISTRY["curate_corpus_v7"].fn(spark, sf_dir).collect()
+    }
+    v8_docs = {r.doc_id for r in v8}
+    assert (v7_docs & below) - v8_docs, "the DSIR gate never fired"

@@ -856,43 +856,49 @@ _DSIR_BUCKET_SQL = (
     " + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1)) % 1024)"
 )
 
-_DSIR_ORACLE = f"""
-WITH toks AS (
+# The DSIR scoring program as a reusable CTE fragment (dsir_-prefixed
+# names so it can be spliced into larger oracle programs — the v8
+# flagship gate): hashed-bucket occurrences -> target/raw counts ->
+# floored integer-ppm log-ratio model -> per-raw-doc importance sums.
+_DSIR_SC_CTES = f"""dsir_toks AS (
     SELECT doc_id, source,
            unnest(list_filter(string_split_regex(lower(text), '\\s+'),
                               x -> x != '')) AS w
     FROM documents
 ),
-occ AS (
+dsir_occ AS (
     SELECT doc_id, source, {_DSIR_BUCKET_SQL} AS bucket, COUNT(*) AS cnt
-    FROM toks GROUP BY doc_id, source, {_DSIR_BUCKET_SQL}
+    FROM dsir_toks GROUP BY doc_id, source, {_DSIR_BUCKET_SQL}
 ),
-cls AS (
+dsir_cls AS (
     SELECT bucket,
            SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN cnt ELSE 0 END) AS c_t,
            SUM(CASE WHEN source <> '{_DSIR_TARGET}' THEN cnt ELSE 0 END) AS c_r
-    FROM occ GROUP BY bucket
+    FROM dsir_occ GROUP BY bucket
 ),
-tot AS (SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r FROM cls),
-model AS (
+dsir_tot AS (SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r FROM dsir_cls),
+dsir_model AS (
     SELECT bucket,
            CAST(floor(ln(((c_t + 1.0) / (n_t + {_DSIR_B}.0))
                          / ((c_r + 1.0) / (n_r + {_DSIR_B}.0)))
                       * 1000000.0) AS BIGINT) AS lr_ppm
-    FROM cls, tot
+    FROM dsir_cls, dsir_tot
 ),
-sc AS (
+dsir_sc AS (
     SELECT o.doc_id, o.source,
            CAST(SUM(o.cnt * m.lr_ppm) AS BIGINT) AS imp_ppm
-    FROM occ o JOIN model m USING (bucket)
+    FROM dsir_occ o JOIN dsir_model m USING (bucket)
     WHERE o.source <> '{_DSIR_TARGET}'
     GROUP BY o.doc_id, o.source
-),
+)"""
+
+_DSIR_ORACLE = f"""
+WITH {_DSIR_SC_CTES},
 keyed AS (
     SELECT doc_id, source, imp_ppm,
            ln(-ln((({_DSIR_GUMBEL_HEX}) + 0.5) / {16 ** 13}.0))
              - CAST(imp_ppm AS DOUBLE) / 1000000.0 AS gk
-    FROM sc
+    FROM dsir_sc
 )
 SELECT doc_id, source, imp_ppm
 FROM keyed ORDER BY gk, doc_id LIMIT {_DSIR_K}
@@ -942,6 +948,24 @@ def dsir_occ_and_model(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     return occ, model
 
 
+def dsir_scores(d: DataFrame) -> DataFrame:
+    """Per-raw-doc DSIR importance scores (doc_id, source, imp_ppm,
+    n_tok): the occurrence table joined to the broadcast model, summed
+    per doc — exact integers (the Spark twin of the ``dsir_sc`` +
+    ``dsir_ntok`` oracle CTEs). Shared by the Gumbel selector and the
+    v8 flagship's per-token domain gate."""
+    occ, model = dsir_occ_and_model(d)
+    return (
+        occ.where(F.col("source") != _DSIR_TARGET)
+        .join(F.broadcast(model), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lr_ppm")).cast("long").alias("imp_ppm"),
+            F.sum("cnt").cast("long").alias("n_tok"),
+        )
+    )
+
+
 @register("corpus_dsir_select", oracle=_DSIR_ORACLE)
 def corpus_dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al.
@@ -969,18 +993,9 @@ def corpus_dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject top-k (per-partition heaps, k-row exchange).
     No global window, no corpus-scale collect.
     """
-    occ, model = dsir_occ_and_model(
+    sc = dsir_scores(
         load_table(spark, sf_dir, "documents").select(
             "doc_id", "source", "text"
-        )
-    )
-    tgt = F.col("source") == _DSIR_TARGET
-    sc = (
-        occ.where(~tgt)
-        .join(F.broadcast(model), "bucket")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.sum(F.col("cnt") * F.col("lr_ppm")).cast("long").alias("imp_ppm")
         )
     )
     h = F.conv(

@@ -3046,6 +3046,134 @@ def curate_corpus_v7_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# curate_corpus_v8 — the flagship with the DSIR domain-affinity gate
+# ---------------------------------------------------------------------------
+
+
+def _curate_v8_oracle() -> str:
+    from wikidatabots_spark.plans.llmdata import _DSIR_SC_CTES
+
+    v7 = _curate_v7_oracle()
+    # splice 1: the DSIR scoring CTEs (dsir_-prefixed, collision-free)
+    # ahead of the semdedup CTE
+    anchor = "sem AS ("
+    assert v7.count(anchor) == 1, "v7 oracle semdedup CTE moved"
+    v8 = v7.replace(
+        anchor,
+        f"""{_DSIR_SC_CTES},
+dsir_ntok AS (
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok
+    FROM dsir_occ WHERE source <> 'src0' GROUP BY doc_id
+),
+dsir_stats AS (
+    SELECT CAST(SUM(s.imp_ppm) AS BIGINT) AS s_imp,
+           CAST(SUM(n.n_tok) AS BIGINT) AS s_tok
+    FROM dsir_sc s JOIN dsir_ntok n USING (doc_id)
+),
+dsir_drop AS (
+    SELECT s.doc_id FROM dsir_sc s JOIN dsir_ntok n USING (doc_id), dsir_stats
+    WHERE s.imp_ppm * dsir_stats.s_tok < n.n_tok * dsir_stats.s_imp
+),
+{anchor}""",
+    )
+    # splice 2: the gate itself, right after the semdedup anti-membership
+    gate = "AND s.doc_id NOT IN (SELECT doc_id FROM semdrop)"
+    assert v8.count(gate) == 1, "v7 oracle semdrop gate moved"
+    return v8.replace(
+        gate,
+        gate + "\n      AND s.doc_id NOT IN (SELECT doc_id FROM dsir_drop)",
+    )
+
+
+@register("curate_corpus_v8", oracle=_curate_v8_oracle())
+def curate_corpus_v8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v7 with a DSIR DOMAIN-AFFINITY gate added to the stack (the
+    single-site-extension pattern the v5→v6→v7 chain established):
+    exact dedup → winnow/CC → quality/language/repetition gates →
+    trained-classifier keep → cross-table SemDeDup → **drop raw-pool
+    docs whose PER-TOKEN DSIR affinity is below the raw pool's overall
+    per-token rate** (target-source docs pass untouched; the raw
+    importance SUM is length-correlated — with it, 38 of v7's 40
+    sf0.01 survivors died because quality gates favor long docs — so
+    the gate compares imp_i·Σn ≥ n_i·Σimp, the integer cross-multiply
+    of per-token averages, no division anywhere) → LM
+    survivor polish → temperature mixture → content-hash split. This is
+    DSIR doing its actual job — steering a pretraining corpus toward a
+    target domain inside the full curation stack — rather than standing
+    alone. The oracle is the entire v7 recursive-CTE program with the
+    DSIR CTEs and one anti-membership spliced in (both asserted
+    single-site), so the whole composition stays hash-verified.
+
+    Scale: adds one hashed-occurrence pass over the corpus (the same
+    (id, bucket, cnt) shape the trained classifier already prices), a
+    ≤1024-row broadcast model, a 1-row broadcast stats aggregate, and
+    one anti-join — nothing unbounded. A production deployment would
+    share the occurrence table with the classifier gate's
+    (``bucket_occurrences``); here they price separately so each gate's
+    cost stays attributable.
+    """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.lm import with_lm_score
+    from wikidatabots_spark.operators.mixture import mix_temperature
+    from wikidatabots_spark.operators.similarity import semdedup_flags
+    from wikidatabots_spark.plans.curation import _SPLIT_CUT, _v3_gated
+    from wikidatabots_spark.plans.llmdata import _v5_lmdrop, dsir_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    semdrop = (
+        semdedup_flags(emb, k=4, rounds=2, threshold=0.3)
+        .where(~F.col("is_kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    # the cross-multiply stays inside BIGINT at the tested SFs (|imp|
+    # ≲ 5e7, pool tokens ≲ 1.5e6 → products ≲ 1e14); at 10^11-doc pools
+    # Σn/Σimp outgrow the product headroom — there the gate compares
+    # floor-div ppm per-token averages instead (one div per side, still
+    # engine-exact), a data change not a shape change
+    sc = pushdown_fence(
+        dsir_scores(d.select("doc_id", "source", "text"))
+    )
+    stats = sc.agg(
+        F.sum("imp_ppm").cast("long").alias("s_imp"),
+        F.sum("n_tok").cast("long").alias("s_tok"),
+    )
+    dsirdrop = (
+        sc.crossJoin(F.broadcast(stats))
+        .where(
+            F.col("imp_ppm") * F.col("s_tok")
+            < F.col("n_tok") * F.col("s_imp")
+        )
+        .select("doc_id")
+    )
+    gated4 = pushdown_fence(
+        _v3_gated(spark, sf_dir, classifier="trained")
+        .join(semdrop, "doc_id", "left_anti")
+        .join(dsirdrop, "doc_id", "left_anti")
+    )
+    lmdrop = _v5_lmdrop(with_lm_score(d), gated4)
+    final_gated = pushdown_fence(gated4.join(lmdrop, "doc_id", "left_anti"))
+    mixed = mix_temperature(final_gated, key="doc_id", strata="source")
+    split_bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return mixed.select(
+        "doc_id",
+        "source",
+        "epoch",
+        F.when(split_bucket < _SPLIT_CUT, F.lit("train"))
+        .otherwise(F.lit("holdout"))
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # sketch_cms_error — measured count-min accuracy on the exact top words
 # ---------------------------------------------------------------------------
 
