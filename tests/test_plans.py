@@ -57,7 +57,10 @@ def test_registry_priority_window():
         # r3 next #5)
         "curate_corpus", "asof_purchase_signup", "sketch_count_min",
         "dedup_winnow", "curate_corpus_v3", "corpus_mix_epochs",
-        "curate_corpus_v7", "text_lm_score",
+        # v7 -> v8 seat upgrade r8: v8's oracle is v7's entire program
+        # plus the DSIR-gate splices (asserted single-site), so the
+        # driver verifies a strict superset; v7 stays locally gated
+        "curate_corpus_v8", "text_lm_score",
         # r4c: A3/O1/O2 merged slot + the promoted tokenizer
         "op_order_collect", "corpus_tokenize_ids",
         # r4d: J4/J5 and F-nulls/P6 merged slots + the promoted PQ/ADC

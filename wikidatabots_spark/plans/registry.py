@@ -113,11 +113,13 @@ PRIORITY: list[str] = [
     # promoted late-r4 (T4 folded into the op_strings slot), upgraded
     # r4b, r4d, and r5: the cross-table text+embedding curation
     # flagship — LM-score survivor polish, data-derived temperature
-    # mixture weights (v6), and the SELF-TRAINED classifier gate (v7,
-    # replacing the last stand-in with oracle-verified learned
-    # weights). v7 strictly supersedes v6/v5/v4, which stay registered
-    # and locally gated.
-    "curate_corpus_v7",
+    # mixture weights (v6), the SELF-TRAINED classifier gate (v7), and
+    # the length-neutral DSIR domain-affinity gate (v8, seated r8).
+    # Each vN's oracle is the previous program plus asserted
+    # single-site splices, so v8 strictly supersedes v7/v6/v5/v4 in
+    # what the driver hash-verifies; the earlier versions stay
+    # registered and locally gated.
+    "curate_corpus_v8",
     # promoted r4b (T1 regexp_extract_null folded into op_strings too):
     # the CCNet-shaped LM quality ranking
     "text_lm_score",
