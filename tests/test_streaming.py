@@ -709,3 +709,63 @@ def test_dsir_score_stream_matches_batch_scorer(spark, sf_dir):
     # zero-token docs (absent from the occurrence table) score 0
     assert got == {k: want.get(k, 0) for k in got}
     assert any(v != 0 for v in got.values())
+
+
+def test_dedup_graph_maintenance_matches_full_recompute(spark, sf_dir, tmp_path):
+    """Streaming maintenance of the dedup graph: documents staged as 3
+    files stream through foreachBatch one file per trigger; each
+    micro-batch probes the accumulated band index, adds within-batch
+    pairs and star edges, and appends new labels. The FINAL labels must
+    equal the full-corpus min-label CC recompute exactly — the
+    multi-batch induction of dedup_components_incremental's theorem."""
+    from wikidatabots_spark.operators.dedup import (
+        band_pairs,
+        connected_components,
+        minhash_band_table,
+    )
+    from wikidatabots_spark.sources.tables import load_table
+    from wikidatabots_spark.streaming.docs_stream import (
+        dedup_graph_maintenance,
+        latest_labels,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    stage = str(tmp_path / "stage")
+    d.repartition(3).write.parquet(stage)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    index_path = str(tmp_path / "index")
+    labels_path = str(tmp_path / "labels")
+    q = (
+        stream.writeStream.foreachBatch(
+            dedup_graph_maintenance(index_path, labels_path)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    n_batches = (
+        spark.read.parquet(labels_path)
+        .select("__batch_id")
+        .distinct()
+        .count()
+    )
+    assert n_batches >= 2  # the induction actually crossed batches
+
+    got = {
+        (r.node, r.component)
+        for r in latest_labels(spark, labels_path).collect()
+    }
+    want = {
+        (r.node, r.component)
+        for r in connected_components(
+            band_pairs(minhash_band_table(d))
+        ).collect()
+    }
+    assert got == want and len(want) > 0

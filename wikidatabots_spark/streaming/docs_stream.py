@@ -147,3 +147,106 @@ def dsir_score_stream(
         + F.coalesce(m[_token_bucket(w)], F.lit(0).cast("long")),
     )
     return docs.select("doc_id", "source", imp.alias("imp_ppm"))
+
+
+def dedup_graph_maintenance(index_path: str, labels_path: str):
+    """foreachBatch sink maintaining the dedup graph EXACTLY as document
+    micro-batches land — the streaming wiring of
+    ``dedup_components_incremental``'s theorem (which proves one
+    prior/new step; sequential micro-batches compose by induction,
+    parity-tested in tests/test_streaming.py):
+
+    per micro-batch: (a) sign the new docs (narrow — signatures depend
+    only on each doc's own text, the property that makes the index
+    APPEND-ONLY), (b) probe the accumulated index (capped at probe
+    time — stored uncapped, like the deletion twin requires), (c) add
+    within-batch capped pairs and yesterday's components as star
+    edges, (d) one min-label CC, (e) append the new labels under
+    ``__batch_id`` and the new band rows to the index.
+
+    State layout mirrors ``rollup_maintenance``: both tables are
+    APPEND-ONLY parquet (labels are versioned by ``__batch_id``;
+    ``latest_labels`` serves the current view), so a crashed batch
+    never tears existing state and the foreachBatch replay fence is
+    the batch id itself.
+
+    Scale: per batch the work is batch-sized signatures + an equi-join
+    probe against the index + CC over star-compressed components
+    (diameter ~2) plus batch edges — yesterday's corpus is touched
+    only through (id, band) rows and (node, component) ids, never
+    text.
+    """
+    from pyspark.sql import functions as F
+
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.dedup import (
+        band_pairs,
+        cap_band_buckets,
+        connected_components,
+        minhash_band_table,
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        bands_new = pushdown_fence(minhash_band_table(batch))
+        have_state = os.path.isdir(index_path) and bool(
+            os.listdir(index_path)
+        )
+        if not have_state:
+            labels = connected_components(band_pairs(bands_new))
+        else:
+            prior = spark.read.parquet(index_path)
+            prior_labels = latest_labels(spark, labels_path)
+            bn = bands_new.select(
+                F.col("doc_id").alias("id_n"), "band_idx", "band_hash"
+            )
+            probe_cross = bn.join(
+                cap_band_buckets(prior).select(
+                    F.col("doc_id").alias("id_p"), "band_idx", "band_hash"
+                ),
+                ["band_idx", "band_hash"],
+            ).select(
+                F.least("id_n", "id_p").alias("id_a"),
+                F.greatest("id_n", "id_p").alias("id_b"),
+            )
+            bn2 = bn.select(
+                F.col("id_n").alias("id_n2"), "band_idx", "band_hash"
+            )
+            probe_new = (
+                cap_band_buckets(bn, id_col="id_n")
+                .join(bn2, ["band_idx", "band_hash"])
+                .where(F.col("id_n") < F.col("id_n2"))
+                .select(
+                    F.col("id_n").alias("id_a"), F.col("id_n2").alias("id_b")
+                )
+            )
+            stars = prior_labels.where(
+                F.col("node") != F.col("component")
+            ).select(
+                F.col("component").alias("id_a"), F.col("node").alias("id_b")
+            )
+            edges = (
+                probe_cross.unionByName(probe_new).unionByName(stars).distinct()
+            )
+            labels = connected_components(edges)
+        labels.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(labels_path)
+        bands_new.write.mode("append").parquet(index_path)
+
+    return apply
+
+
+def latest_labels(spark: SparkSession, labels_path: str) -> DataFrame:
+    """The current component labels: the rows of the highest
+    ``__batch_id`` in the append-only labels table."""
+    from pyspark.sql import functions as F
+
+    all_labels = spark.read.parquet(labels_path)
+    last = all_labels.agg(F.max("__batch_id").alias("m"))
+    return (
+        all_labels.join(
+            F.broadcast(last), F.col("__batch_id") == F.col("m"), "inner"
+        )
+        .select("node", "component")
+    )
