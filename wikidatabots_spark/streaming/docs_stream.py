@@ -229,24 +229,31 @@ def dedup_graph_maintenance(index_path: str, labels_path: str):
                 probe_cross.unionByName(probe_new).unionByName(stars).distinct()
             )
             labels = connected_components(edges)
+        # labels are PARTITIONED by batch id so the current-view read
+        # (latest_labels) prunes to one partition instead of scanning
+        # every superseded version; old versions are retention history
+        # (compact by deleting low-__batch_id partitions — never the
+        # index, which is the append-only source of truth)
         labels.withColumn("__batch_id", F.lit(batch_id)).write.mode(
             "append"
-        ).parquet(labels_path)
+        ).partitionBy("__batch_id").parquet(labels_path)
         bands_new.write.mode("append").parquet(index_path)
 
     return apply
 
 
 def latest_labels(spark: SparkSession, labels_path: str) -> DataFrame:
-    """The current component labels: the rows of the highest
-    ``__batch_id`` in the append-only labels table."""
+    """The current component labels: the highest-``__batch_id``
+    PARTITION of the append-only labels table. The max batch id comes
+    from the partition directory names (a metadata listing, no data
+    read), and the literal equality filter partition-prunes the scan to
+    that one version — superseded versions cost nothing to keep."""
     from pyspark.sql import functions as F
 
     all_labels = spark.read.parquet(labels_path)
-    last = all_labels.agg(F.max("__batch_id").alias("m"))
-    return (
-        all_labels.join(
-            F.broadcast(last), F.col("__batch_id") == F.col("m"), "inner"
-        )
-        .select("node", "component")
+    last = all_labels.select("__batch_id").distinct().agg(
+        F.max("__batch_id").alias("m")
+    ).first().m
+    return all_labels.where(F.col("__batch_id") == F.lit(last)).select(
+        "node", "component"
     )
