@@ -769,3 +769,296 @@ def test_dedup_graph_maintenance_matches_full_recompute(spark, sf_dir, tmp_path)
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+# --- dedup-graph maintenance: replay fence / deltas / deletion / compaction ---
+
+_DOC_TEXTS = {
+    "A": "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    "B": "one two three four five six seven eight nine ten",
+    "C": "red orange yellow green blue indigo violet umber sepia ochre",
+    "Z": "north south east west zenith nadir port starboard fore aft",
+    "Q": "quark lepton boson gluon photon neutrino muon tauon hadron meson",
+}
+
+
+def _docs(spark, *rows):
+    """rows: (doc_id, text_key) or (doc_id, text_key, op)."""
+    data = []
+    for r in rows:
+        op = r[2] if len(r) > 2 else "insert"
+        data.append((int(r[0]), _DOC_TEXTS[r[1]] if r[1] else None, op))
+    return spark.createDataFrame(
+        data, "doc_id long, text string, __op string"
+    )
+
+
+def _full_recompute(docs):
+    from wikidatabots_spark.operators.dedup import (
+        band_pairs,
+        connected_components,
+        minhash_band_table,
+    )
+
+    return {
+        (r.node, r.component)
+        for r in connected_components(
+            band_pairs(minhash_band_table(docs))
+        ).collect()
+    }
+
+
+def test_dedup_graph_replay_fence_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: invoking apply() TWICE with the
+    same batch id (a replay after a complete first write) must leave
+    every store byte-identical — same latest_labels, same band-index
+    multiset, same downstream candidate generation (VERDICT r9 #2: the
+    old append-mode labels + unfenced index double-appended)."""
+    from wikidatabots_spark.streaming.docs_stream import (
+        dedup_graph_maintenance,
+        latest_labels,
+        read_band_index,
+    )
+
+    index_path = str(tmp_path / "idx")
+    labels_path = str(tmp_path / "lbl")
+    apply = dedup_graph_maintenance(index_path, labels_path)
+
+    apply(_docs(spark, (1, "A"), (2, "A"), (3, "B")), 0)
+    b1 = _docs(spark, (4, "A"), (5, "C"), (6, "C"))
+    apply(b1, 1)
+
+    def snapshot():
+        labels = {
+            (r.node, r.component)
+            for r in latest_labels(spark, labels_path).collect()
+        }
+        index = sorted(
+            (r.doc_id, r.band_idx, r.band_hash)
+            for r in read_band_index(spark, index_path).collect()
+        )
+        return labels, index
+
+    once = snapshot()
+    apply(b1, 1)  # replay of batch 1
+    assert snapshot() == once
+
+    # candidate generation after the replay is unchanged: the next
+    # batch still converges to the full-recompute fixed point
+    apply(_docs(spark, (7, "A")), 2)
+    got = {
+        (r.node, r.component)
+        for r in latest_labels(spark, labels_path).collect()
+    }
+    want = _full_recompute(
+        _docs(
+            spark,
+            (1, "A"), (2, "A"), (3, "B"), (4, "A"),
+            (5, "C"), (6, "C"), (7, "A"),
+        )
+    )
+    assert got == want and len(want) > 0
+
+
+def test_dedup_graph_writes_deltas_not_snapshots(spark, tmp_path):
+    """Each batch's label partition holds ONLY nodes of components the
+    batch touched (VERDICT r8 #1 / r9 next #2): a batch disjoint from
+    the prior corpus writes no rows for prior components; a batch that
+    merges into a prior component writes exactly that component."""
+    from wikidatabots_spark.streaming.docs_stream import (
+        dedup_graph_maintenance,
+        latest_labels,
+    )
+
+    index_path = str(tmp_path / "idx")
+    labels_path = str(tmp_path / "lbl")
+    apply = dedup_graph_maintenance(index_path, labels_path)
+
+    apply(_docs(spark, (1, "A"), (2, "A"), (3, "B")), 0)
+    apply(_docs(spark, (10, "Z"), (11, "Z")), 1)  # disjoint from batch 0
+    apply(_docs(spark, (12, "A")), 2)  # merges into {1,2}
+
+    def partition_nodes(bid):
+        return {
+            r.node
+            for r in spark.read.parquet(labels_path)
+            .where(F.col("__batch_id") == bid)
+            .collect()
+        }
+
+    assert partition_nodes(1) == {10, 11}
+    assert partition_nodes(2) == {1, 2, 12}
+    got = {
+        (r.node, r.component)
+        for r in latest_labels(spark, labels_path).collect()
+    }
+    want = _full_recompute(
+        _docs(spark, (1, "A"), (2, "A"), (3, "B"), (10, "Z"), (11, "Z"), (12, "A"))
+    )
+    assert got == want
+
+
+def test_dedup_graph_index_probe_partition_filters(spark, tmp_path):
+    """The probe-side index read carries PARTITION filters (VERDICT r9
+    next #3): both the batch-id replay fence and the band-prefix IN
+    list land in the parquet scan's PartitionFilters, so the probe
+    prunes directories instead of scanning the full accumulated
+    index."""
+    from wikidatabots_spark.streaming.docs_stream import (
+        dedup_graph_maintenance,
+        read_band_index,
+    )
+
+    index_path = str(tmp_path / "idx")
+    labels_path = str(tmp_path / "lbl")
+    apply = dedup_graph_maintenance(index_path, labels_path)
+    apply(_docs(spark, (1, "A"), (2, "B")), 0)
+    apply(_docs(spark, (3, "C"), (4, "Z")), 1)
+
+    df = read_band_index(
+        spark, index_path, before_batch=2, prefixes=["0", "7", "f"]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "__batch_id" in seg and "band_pfx" in seg
+
+
+def test_dedup_graph_deletion_batch_parity(spark, tmp_path):
+    """Tombstone batches inside the maintenance sink (VERDICT r9 next
+    #4): across 4 micro-batches with a deletion in the middle, the
+    final labels equal the full min-label CC recompute over the
+    SURVIVING documents — the streaming composition of
+    components_after_delete's bounded-blast-radius theorem. Also pins
+    that a deleted doc's index rows stop matching later arrivals while
+    its surviving duplicate still does."""
+    from wikidatabots_spark.streaming.docs_stream import (
+        dedup_graph_maintenance,
+        latest_labels,
+    )
+
+    index_path = str(tmp_path / "idx")
+    labels_path = str(tmp_path / "lbl")
+    apply = dedup_graph_maintenance(index_path, labels_path)
+
+    apply(_docs(spark, (1, "A"), (2, "A"), (3, "B"), (4, "C"), (5, "C")), 0)
+    # delete doc 1: component {1,2} loses its minimum; survivor 2 is
+    # singleton-ized (label tombstoned) until doc 6 re-pairs it
+    apply(_docs(spark, (1, None, "delete")), 1)
+    mid = {
+        (r.node, r.component)
+        for r in latest_labels(spark, labels_path).collect()
+    }
+    assert mid == {(4, 4), (5, 4)}  # {1,2} gone; {4,5} untouched
+    apply(_docs(spark, (6, "A"), (7, "C")), 2)
+    apply(_docs(spark, (4, None, "delete"), (8, "Q"), (9, "Q")), 3)
+
+    got = {
+        (r.node, r.component)
+        for r in latest_labels(spark, labels_path).collect()
+    }
+    want = _full_recompute(
+        _docs(
+            spark,
+            (2, "A"), (3, "B"), (5, "C"), (6, "A"),
+            (7, "C"), (8, "Q"), (9, "Q"),
+        )
+    )
+    assert got == want == {(2, 2), (6, 2), (5, 5), (7, 5), (8, 8), (9, 8)}
+
+
+def test_dedup_graph_delete_replay_idempotent(spark, tmp_path):
+    """Replaying a DELETION batch (same batch id twice) leaves labels,
+    tombstones, and the served index unchanged — the same fence as the
+    insert path, exercised on the tombstone store."""
+    from wikidatabots_spark.streaming.docs_stream import (
+        dedup_graph_maintenance,
+        latest_labels,
+        read_band_index,
+    )
+
+    index_path = str(tmp_path / "idx")
+    labels_path = str(tmp_path / "lbl")
+    apply = dedup_graph_maintenance(index_path, labels_path)
+    apply(_docs(spark, (1, "A"), (2, "A"), (3, "B")), 0)
+    d = _docs(spark, (1, None, "delete"))
+    apply(d, 1)
+
+    def snapshot():
+        labels = {
+            (r.node, r.component)
+            for r in latest_labels(spark, labels_path).collect()
+        }
+        tomb = sorted(
+            r.doc_id
+            for r in spark.read.parquet(index_path + "_tombstones").collect()
+        )
+        served = sorted(
+            r.doc_id for r in read_band_index(
+                spark, index_path, index_path + "_tombstones", before_batch=2
+            ).collect()
+        )
+        return labels, tomb, served
+
+    once = snapshot()
+    apply(d, 1)  # replay
+    assert snapshot() == once
+    assert once[1] == [1]
+    assert 1 not in set(once[2])
+
+
+def test_compact_labels_preserves_view_and_bounds_partitions(spark, tmp_path):
+    """Retention compaction (VERDICT r9 next #8): folding all but the
+    newest delta partition into one base partition preserves
+    latest_labels EXACTLY (including tombstoned nodes staying dead),
+    bounds the partition count, and the maintenance loop keeps working
+    against the compacted store."""
+    import os as _os
+
+    from wikidatabots_spark.streaming.docs_stream import (
+        compact_labels,
+        dedup_graph_maintenance,
+        latest_labels,
+    )
+
+    index_path = str(tmp_path / "idx")
+    labels_path = str(tmp_path / "lbl")
+    apply = dedup_graph_maintenance(index_path, labels_path)
+    apply(_docs(spark, (1, "A"), (2, "A"), (3, "B")), 0)
+    apply(_docs(spark, (10, "Z"), (11, "Z")), 1)
+    apply(_docs(spark, (1, None, "delete")), 2)
+    apply(_docs(spark, (12, "C"), (13, "C")), 3)
+
+    before = {
+        (r.node, r.component)
+        for r in latest_labels(spark, labels_path).collect()
+    }
+    n_parts = lambda: len(  # noqa: E731
+        [d for d in _os.listdir(labels_path) if d.startswith("__batch_id=")]
+    )
+    assert n_parts() == 4
+    removed = compact_labels(spark, labels_path, keep_last=1)
+    assert removed == 2 and n_parts() == 2
+    after = {
+        (r.node, r.component)
+        for r in latest_labels(spark, labels_path).collect()
+    }
+    assert after == before
+    # node 2 was singleton-ized by the deletion: its tombstone must
+    # survive the fold (not resurrect its batch-0 label)
+    assert 2 not in {n for n, _ in after}
+
+    # maintenance continues against the compacted store
+    apply(_docs(spark, (14, "A")), 4)
+    got = {
+        (r.node, r.component)
+        for r in latest_labels(spark, labels_path).collect()
+    }
+    want = _full_recompute(
+        _docs(
+            spark,
+            (2, "A"), (3, "B"), (10, "Z"), (11, "Z"),
+            (12, "C"), (13, "C"), (14, "A"),
+        )
+    )
+    assert got == want

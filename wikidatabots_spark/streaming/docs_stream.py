@@ -149,35 +149,149 @@ def dsir_score_stream(
     return docs.select("doc_id", "source", imp.alias("imp_ppm"))
 
 
-def dedup_graph_maintenance(index_path: str, labels_path: str):
+# Sentinel component id marking "this node currently has NO label"
+# (deleted, or singleton-ized by a deletion). doc_ids are non-negative
+# longs, so -1 can never collide with a real component minimum. A
+# sentinel (rather than a NULL) keeps the merge-on-read max(struct)
+# total-ordered with no null-ordering edge cases.
+TOMBSTONE_COMPONENT = -1
+
+# Width (hex chars of the md5 band hash) of the index partition prefix:
+# 1 → 16 leaf partitions per batch. Probes filter on this column with a
+# literal IN list, so the scan partition-prunes to the prefixes the
+# arriving batch actually hashes into. Widen to 2 (256 partitions) when
+# micro-batches are small relative to the hash space; at full corpus
+# scale the production layout is a bucketed table on (band_idx,
+# band_hash) and this prefix becomes the bucket function.
+_BAND_PFX_LEN = 1
+
+
+def _band_pfx():
+    return F.substring("band_hash", 1, _BAND_PFX_LEN)
+
+
+def _has_parquet(path: str) -> bool:
+    """True iff ``path`` holds at least one parquet footer. An
+    all-singleton batch writes an EMPTY delta (zero partitions, maybe a
+    bare _SUCCESS marker), so existence/listdir checks are not enough —
+    reading such a directory throws UNABLE_TO_INFER_SCHEMA."""
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def read_band_index(
+    spark: SparkSession,
+    index_path: str,
+    tombstones_path: str | None = None,
+    before_batch: int | None = None,
+    prefixes: list[str] | None = None,
+) -> DataFrame:
+    """Pruned, tombstone-aware read of the accumulated band index.
+
+    Two literal predicates land as PARTITION filters on the parquet
+    scan (plan-asserted in tests/test_streaming.py): ``__batch_id <
+    before_batch`` (the replay fence — a re-run of batch N never sees
+    the crashed attempt's own index rows, so its candidate generation
+    and bucket-cap ranks are identical to a clean first run) and
+    ``band_pfx IN (...)`` (probe pruning — only directories holding
+    band hashes the arriving batch can match are scanned). Deleted
+    documents are removed by one anti-join against the tombstone store
+    (``minhash_band_index_delete``'s rule); the anti-join runs BEFORE
+    any probe-time bucket cap so tombstoned members neither consume
+    cap slots nor serve as anchors.
+    """
+    if not _has_parquet(index_path):
+        return spark.createDataFrame(
+            [], "doc_id long, band_idx int, band_hash string"
+        )
+    idx = spark.read.parquet(index_path)
+    if before_batch is not None:
+        idx = idx.where(F.col("__batch_id") < F.lit(int(before_batch)))
+    if prefixes is not None:
+        idx = idx.where(F.col("band_pfx").isin(list(prefixes)))
+    idx = idx.select("doc_id", "band_idx", "band_hash")
+    if tombstones_path and _has_parquet(tombstones_path):
+        tomb = spark.read.parquet(tombstones_path)
+        if before_batch is not None:
+            tomb = tomb.where(F.col("__batch_id") < F.lit(int(before_batch)))
+        idx = idx.join(tomb.select("doc_id"), "doc_id", "left_anti")
+    return idx
+
+
+def _merged_labels(
+    spark: SparkSession, labels_path: str, before_batch: int | None = None
+) -> DataFrame:
+    """Merge-on-read of the label DELTA store: latest ``__batch_id`` row
+    per node (max over (batch, component) structs — one row per node
+    per batch by construction, so the struct max IS the newest row),
+    dropping tombstoned nodes. ``before_batch`` is the replay fence:
+    batch N's own re-run reads only deltas `< N`, never the crashed
+    attempt's."""
+    if not _has_parquet(labels_path):
+        return spark.createDataFrame([], "node long, component long")
+    all_labels = spark.read.parquet(labels_path)
+    if before_batch is not None:
+        all_labels = all_labels.where(
+            F.col("__batch_id") < F.lit(int(before_batch))
+        )
+    cur = (
+        all_labels.groupBy("node")
+        .agg(F.max(F.struct("__batch_id", "component")).alias("s"))
+        .select("node", F.col("s.component").alias("component"))
+    )
+    return cur.where(F.col("component") != F.lit(TOMBSTONE_COMPONENT))
+
+
+def dedup_graph_maintenance(
+    index_path: str,
+    labels_path: str,
+    tombstones_path: str | None = None,
+    op_col: str = "__op",
+):
     """foreachBatch sink maintaining the dedup graph EXACTLY as document
     micro-batches land — the streaming wiring of
-    ``dedup_components_incremental``'s theorem (which proves one
-    prior/new step; sequential micro-batches compose by induction,
-    parity-tested in tests/test_streaming.py):
+    ``dedup_components_incremental``'s insertion theorem plus
+    ``components_after_delete``'s bounded-blast-radius deletion theorem
+    (each proves one prior/new step; sequential micro-batches compose
+    by induction, parity-tested in tests/test_streaming.py).
 
-    per micro-batch: (a) sign the new docs (narrow — signatures depend
+    Per micro-batch: (a) sign the new docs (narrow — signatures depend
     only on each doc's own text, the property that makes the index
-    APPEND-ONLY), (b) probe the accumulated index (capped at probe
-    time — stored uncapped, like the deletion twin requires), (c) add
-    within-batch capped pairs and yesterday's components as star
-    edges, (d) one min-label CC, (e) append the new labels under
-    ``__batch_id`` and the new band rows to the index.
+    append-only), (b) if the batch carries an ``op_col`` column, rows
+    with op ``"delete"`` are tombstones: their components are
+    recomputed over surviving members only (deletion can SPLIT a
+    component, so labels cannot be patched — but the blast radius is
+    bounded at the affected components), (c) probe the accumulated
+    index (partition-pruned via ``read_band_index``, bucket-capped at
+    probe time — stored uncapped, as the deletion twin requires),
+    (d) within-batch capped pairs plus star edges for the TOUCHED
+    prior components only, (e) one min-label CC over that bounded edge
+    set, (f) write the batch's label DELTA — only nodes of touched /
+    affected components, with ``TOMBSTONE_COMPONENT`` rows for nodes
+    that lost their label — never a full snapshot.
 
-    State layout mirrors ``rollup_maintenance``: both tables are
-    APPEND-ONLY parquet (labels are versioned by ``__batch_id``;
-    ``latest_labels`` serves the current view), so a crashed batch
-    never tears existing state and the foreachBatch replay fence is
-    the batch id itself.
+    Replay fence (foreachBatch is at-least-once): every store write is
+    idempotent — labels, index, and tombstones all carry ``__batch_id``
+    as a PARTITION column and are written with dynamic partition
+    overwrite, so a replay of batch N overwrites exactly its own
+    partitions instead of double-appending; every store READ inside the
+    batch filters ``__batch_id < N``, so a replay that crashed after a
+    partial write recomputes from exactly the pre-batch state
+    (double-invocation-tested). Contrast ``rollup_maintenance``, whose
+    commutative partials can instead dedup on batch id at merge time.
 
-    Scale: per batch the work is batch-sized signatures + an equi-join
-    probe against the index + CC over star-compressed components
-    (diameter ~2) plus batch edges — yesterday's corpus is touched
-    only through (id, band) rows and (node, component) ids, never
-    text.
+    Scale: per batch the work is batch-sized signatures + a
+    partition-pruned equi-join probe + CC over the touched components
+    (star-compressed, diameter ~2) plus batch edges; the label write is
+    delta-sized. Yesterday's corpus is touched only through (id, band)
+    rows and (node, component) ids, never text. The merge-on-read
+    current view scans one narrow row per node-version until
+    ``compact_labels`` folds history down.
     """
-    from pyspark.sql import functions as F
-
     from wikidatabots_spark.functions.scale import pushdown_fence
     from wikidatabots_spark.operators.dedup import (
         band_pairs,
@@ -186,26 +300,112 @@ def dedup_graph_maintenance(index_path: str, labels_path: str):
         minhash_band_table,
     )
 
+    tomb_path = tombstones_path or index_path.rstrip("/") + "_tombstones"
+
+    def _write_fenced(df: DataFrame, path: str, *part_cols: str) -> None:
+        # dynamic partition overwrite = the replay fence: a re-run of
+        # the same batch id replaces its own partitions, byte-for-byte
+        # idempotent; other batches' partitions are never touched
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .parquet(path)
+        )
+
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        bands_new = pushdown_fence(minhash_band_table(batch))
-        have_state = os.path.isdir(index_path) and bool(
-            os.listdir(index_path)
-        )
-        if not have_state:
-            labels = connected_components(band_pairs(bands_new))
+        batch_id = int(batch_id)
+        if op_col in batch.columns:
+            deletes = pushdown_fence(
+                batch.where(F.col(op_col) == F.lit("delete")).select("doc_id")
+            )
+            inserts = batch.where(
+                F.coalesce(F.col(op_col) != F.lit("delete"), F.lit(True))
+            ).drop(op_col)
         else:
-            prior = spark.read.parquet(index_path)
-            prior_labels = latest_labels(spark, labels_path)
+            deletes = None
+            inserts = batch
+        bands_new = pushdown_fence(minhash_band_table(inserts))
+        have_state = _has_parquet(index_path)
+        if not have_state:
+            delta = connected_components(band_pairs(bands_new)).select(
+                "node", "component"
+            )
+        else:
+            prior_labels = pushdown_fence(
+                _merged_labels(spark, labels_path, before_batch=batch_id)
+            )
+            members = None
+            recomputed_del = None
+            if deletes is not None:
+                dd = deletes.select(F.col("doc_id").alias("node"))
+                affected = (
+                    prior_labels.join(dd, "node", "left_semi")
+                    .select("component")
+                    .distinct()
+                )
+                members = pushdown_fence(
+                    prior_labels.join(affected, "component", "left_semi")
+                )
+                survivors = members.join(dd, "node", "left_anti").select(
+                    F.col("node").alias("doc_id")
+                )
+                # band rows of surviving members of affected components
+                # only: buckets never span components, so probe-time
+                # anchor ranks inside this slice equal the full
+                # post-deletion ranks (components_after_delete theorem)
+                sub = (
+                    read_band_index(
+                        spark, index_path, tomb_path, before_batch=batch_id
+                    )
+                    .join(deletes, "doc_id", "left_anti")
+                    .join(survivors, "doc_id", "left_semi")
+                )
+                recomputed_del = pushdown_fence(
+                    connected_components(band_pairs(sub)).select(
+                        "node", "component"
+                    )
+                )
+                # current view for the insertion step = prior labels
+                # with affected components replaced by their recompute
+                post_labels = pushdown_fence(
+                    prior_labels.join(
+                        affected, "component", "left_anti"
+                    ).unionByName(recomputed_del)
+                )
+            else:
+                post_labels = prior_labels
+            # insertion probe: partition-pruned to the prefixes this
+            # batch's band hashes can land in (≤ 16**_BAND_PFX_LEN
+            # literals — a bounded metadata collect, not data)
+            pfx = [
+                r.p
+                for r in bands_new.select(_band_pfx().alias("p"))
+                .distinct()
+                .collect()
+            ]
+            prior_idx = read_band_index(
+                spark,
+                index_path,
+                tomb_path,
+                before_batch=batch_id,
+                prefixes=pfx,
+            )
+            if deletes is not None:
+                prior_idx = prior_idx.join(deletes, "doc_id", "left_anti")
             bn = bands_new.select(
                 F.col("doc_id").alias("id_n"), "band_idx", "band_hash"
             )
-            probe_cross = bn.join(
-                cap_band_buckets(prior).select(
-                    F.col("doc_id").alias("id_p"), "band_idx", "band_hash"
-                ),
-                ["band_idx", "band_hash"],
-            ).select(
+            cand = pushdown_fence(
+                bn.join(
+                    cap_band_buckets(prior_idx).select(
+                        F.col("doc_id").alias("id_p"), "band_idx", "band_hash"
+                    ),
+                    ["band_idx", "band_hash"],
+                ).select("id_n", "id_p")
+            )
+            probe_cross = cand.select(
                 F.least("id_n", "id_p").alias("id_a"),
                 F.greatest("id_n", "id_p").alias("id_b"),
             )
@@ -220,40 +420,134 @@ def dedup_graph_maintenance(index_path: str, labels_path: str):
                     F.col("id_n").alias("id_a"), F.col("id_n2").alias("id_b")
                 )
             )
-            stars = prior_labels.where(
-                F.col("node") != F.col("component")
-            ).select(
-                F.col("component").alias("id_a"), F.col("node").alias("id_b")
+            # star edges ONLY for components the probe actually hit:
+            # untouched components keep their existing delta rows, so
+            # re-injecting them would just rewrite identical labels
+            touched = (
+                post_labels.join(
+                    cand.select(F.col("id_p").alias("node")),
+                    "node",
+                    "left_semi",
+                )
+                .select("component")
+                .distinct()
+            )
+            stars = (
+                post_labels.join(touched, "component", "left_semi")
+                .where(F.col("node") != F.col("component"))
+                .select(
+                    F.col("component").alias("id_a"),
+                    F.col("node").alias("id_b"),
+                )
             )
             edges = (
-                probe_cross.unionByName(probe_new).unionByName(stars).distinct()
+                probe_cross.unionByName(probe_new)
+                .unionByName(stars)
+                .distinct()
             )
-            labels = connected_components(edges)
-        # labels are PARTITIONED by batch id so the current-view read
-        # (latest_labels) prunes to one partition instead of scanning
-        # every superseded version; old versions are retention history
-        # (compact by deleting low-__batch_id partitions — never the
-        # index, which is the append-only source of truth)
-        labels.withColumn("__batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).partitionBy("__batch_id").parquet(labels_path)
-        bands_new.write.mode("append").parquet(index_path)
+            ins_cc = pushdown_fence(
+                connected_components(edges).select("node", "component")
+            )
+            resolved = ins_cc
+            if recomputed_del is not None:
+                resolved = ins_cc.unionByName(
+                    recomputed_del.join(
+                        ins_cc.select("node"), "node", "left_anti"
+                    )
+                )
+                resolved = pushdown_fence(resolved)
+                # members of deletion-affected components that ended up
+                # with no label (deleted, or singleton-ized) get a
+                # tombstone row so merge-on-read stops serving them
+                nulls = (
+                    members.select("node")
+                    .join(resolved.select("node"), "node", "left_anti")
+                    .withColumn(
+                        "component",
+                        F.lit(TOMBSTONE_COMPONENT).cast("long"),
+                    )
+                )
+                resolved = resolved.unionByName(nulls)
+            delta = resolved
+        _write_fenced(
+            delta.withColumn("__batch_id", F.lit(batch_id)),
+            labels_path,
+            "__batch_id",
+        )
+        _write_fenced(
+            bands_new.withColumn("band_pfx", _band_pfx()).withColumn(
+                "__batch_id", F.lit(batch_id)
+            ),
+            index_path,
+            "band_pfx",
+            "__batch_id",
+        )
+        if deletes is not None:
+            _write_fenced(
+                deletes.withColumn("__batch_id", F.lit(batch_id)),
+                tomb_path,
+                "__batch_id",
+            )
 
     return apply
 
 
 def latest_labels(spark: SparkSession, labels_path: str) -> DataFrame:
-    """The current component labels: the highest-``__batch_id``
-    PARTITION of the append-only labels table. The max batch id comes
-    from the partition directory names (a metadata listing, no data
-    read), and the literal equality filter partition-prunes the scan to
-    that one version — superseded versions cost nothing to keep."""
-    from pyspark.sql import functions as F
+    """The current component labels, served by MERGE-ON-READ over the
+    label delta store: newest ``__batch_id`` row per node, tombstoned
+    nodes dropped. Each delta holds only the nodes its batch touched,
+    so the scan is Σ delta sizes — ``compact_labels`` folds history
+    into one base partition to bound it."""
+    return _merged_labels(spark, labels_path)
 
-    all_labels = spark.read.parquet(labels_path)
-    last = all_labels.select("__batch_id").distinct().agg(
-        F.max("__batch_id").alias("m")
-    ).first().m
-    return all_labels.where(F.col("__batch_id") == F.lit(last)).select(
-        "node", "component"
+
+def compact_labels(
+    spark: SparkSession, labels_path: str, keep_last: int = 1
+) -> int:
+    """Retention compaction for the label delta store: fold every delta
+    partition except the newest ``keep_last`` into ONE base partition
+    (the merge-on-read result materialized at the highest folded batch
+    id), then delete the superseded partition directories. Returns the
+    number of partitions removed.
+
+    ``latest_labels`` is IDENTICAL before and after (test-pinned): the
+    base holds the latest row per node over the folded prefix —
+    including tombstone rows, which must survive so a node deleted in
+    the folded range stays dead even if the fold and the directory
+    deletes are torn by a crash (the base supersedes older rows
+    node-wise, so any crash point leaves the merged view unchanged).
+    On a local filesystem the per-partition overwrite is Spark's
+    commit-protocol rename; a production deployment runs this against
+    a transactional table format where DROP PARTITION is atomic.
+    """
+    import shutil
+
+    part_ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(labels_path)
+        if d.startswith("__batch_id=")
     )
+    fold = part_ids[:-keep_last] if keep_last > 0 else part_ids
+    if len(fold) <= 1:
+        return 0
+    base_id = fold[-1]
+    folded = spark.read.parquet(labels_path).where(
+        F.col("__batch_id") <= F.lit(base_id)
+    )
+    base = (
+        folded.groupBy("node")
+        .agg(F.max(F.struct("__batch_id", "component")).alias("s"))
+        .select("node", F.col("s.component").alias("component"))
+    )
+    (
+        base.withColumn("__batch_id", F.lit(base_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(labels_path)
+    )
+    for pid in fold[:-1]:
+        shutil.rmtree(
+            os.path.join(labels_path, f"__batch_id={pid}"), ignore_errors=True
+        )
+    return len(fold) - 1
