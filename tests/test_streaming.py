@@ -1062,3 +1062,49 @@ def test_compact_labels_preserves_view_and_bounds_partitions(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_compact_rollup_state_preserves_merged_view(spark, sf_dir, tmp_path):
+    """Rollup-store compaction (the rollup twin of compact_labels):
+    folding per-batch partial slices to one partial per key and
+    re-distincting the key store leaves merged_rollup bit-identical,
+    while bounding partials rows at the key count; maintenance keeps
+    appending correctly afterwards."""
+    from wikidatabots_spark.plans.events import rollup_partials
+    from wikidatabots_spark.sources.tables import load_table
+    from wikidatabots_spark.streaming.events_stream import (
+        compact_rollup_state,
+        merged_rollup,
+        rollup_maintenance,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        p.where(F.col("event_id") % 3 == i) for i, p in
+        [(0, ev), (1, ev), (2, ev)]
+    ]
+    partials_path = str(tmp_path / "partials")
+    keys_path = str(tmp_path / "keys")
+    sink = rollup_maintenance(partials_path, keys_path)
+    sink(parts[0], 0)
+    sink(parts[1], 1)
+
+    def view():
+        return {
+            (r.hour_start, r.event_type): (r.n_events, r.n_users, r.sum_value)
+            for r in merged_rollup(spark, partials_path, keys_path).collect()
+        }
+
+    before = view()
+    n_keys = rollup_partials(parts[0].unionByName(parts[1])).count()
+    n_rows = compact_rollup_state(spark, partials_path, keys_path)
+    assert n_rows == n_keys  # one partial per key, not per key×batch
+    assert view() == before
+
+    sink(parts[2], 2)  # maintenance continues against the compacted store
+    got = view()
+    want = {
+        (r.hour_start, r.event_type): (r.n_events, r.n_users, r.sum_value)
+        for r in ev_hourly_rollup(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0

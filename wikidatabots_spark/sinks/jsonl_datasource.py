@@ -25,6 +25,7 @@ import contextlib
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -40,6 +41,49 @@ from pyspark.sql.types import StructType
 class JsonlCommitMessage(WriterCommitMessage):
     filename: str
     n_rows: int
+
+
+# Publisher mutual exclusion (ADVICE r9 / VERDICT r9 #4): without it,
+# job B's pre-commit orphan sweep can delete job A's freshly renamed
+# parts in the window between A's renames and A's manifest swap —
+# silently dropping committed data. commit() is rename + one small
+# manifest write, so holding an exclusive lock for its duration costs
+# microseconds; a lock left by a crashed committer is broken after
+# _LOCK_STALE_S (commit never legitimately takes that long).
+_LOCK_NAME = "_COMMIT.lock"
+_LOCK_STALE_S = 60.0
+_LOCK_TIMEOUT_S = 300.0
+_LOCK_POLL_S = 0.02
+
+
+def _acquire_commit_lock(path: str) -> str:
+    lock = os.path.join(path, _LOCK_NAME)
+    deadline = time.monotonic() + _LOCK_TIMEOUT_S
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, str(os.getpid()).encode())
+            finally:
+                os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except OSError:
+                continue  # holder just released; retry immediately
+            if age > _LOCK_STALE_S:
+                # crashed committer: break the lock (best-effort — if a
+                # racer removes it first, the next loop re-contends)
+                with contextlib.suppress(OSError):
+                    os.remove(lock)
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"jsonl_commit: could not acquire {lock} within "
+                    f"{_LOCK_TIMEOUT_S}s (held {age:.1f}s)"
+                )
+            time.sleep(_LOCK_POLL_S)
 
 
 class JsonlWriter(DataSourceWriter):
@@ -62,26 +106,40 @@ class JsonlWriter(DataSourceWriter):
         return JsonlCommitMessage(filename=name, n_rows=n)
 
     def commit(self, messages) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        lock = _acquire_commit_lock(self.path)
+        try:
+            self._commit_locked(messages)
+        finally:
+            with contextlib.suppress(OSError):
+                os.remove(lock)
+
+    def _commit_locked(self, messages) -> None:
         # Self-heal orphans FIRST (ADVICE r7): parts on disk that the
         # current manifest does not list are debris from a crash between
         # a previous commit's manifest swap and its deletion loop (or
         # from an aborted glob-visible write). They are unreachable via
         # the manifest contract but double-count for glob readers, and
         # nothing else ever removes them. New part names are uuid-fresh,
-        # so sweeping before publish cannot touch this job's files.
+        # so sweeping before publish cannot touch this job's files; the
+        # commit lock guarantees no OTHER job is between its renames and
+        # its manifest swap, so nothing live can be swept either. The
+        # sweep also runs when no manifest exists yet (ADVICE r9): a
+        # manifest-less directory has no committed parts, so any
+        # glob-visible part there is debris from an aborted first write.
         prior_path = os.path.join(self.path, "_MANIFEST.json")
         prior_files: dict[str, int] = {}
         if os.path.exists(prior_path):
             with open(prior_path) as f:
                 prior_files = json.load(f)["files"]
-            for name in os.listdir(self.path):
-                if (
-                    name.startswith("part-")
-                    and name.endswith(".jsonl")
-                    and name not in prior_files
-                ):
-                    with contextlib.suppress(OSError):
-                        os.remove(os.path.join(self.path, name))
+        for name in os.listdir(self.path):
+            if (
+                name.startswith("part-")
+                and name.endswith(".jsonl")
+                and name not in prior_files
+            ):
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(self.path, name))
         parts = {}
         for m in messages:
             if m is None:

@@ -316,6 +316,69 @@ def merged_rollup(
     return merge_rollup(partials, keys)
 
 
+def compact_rollup_state(
+    spark: SparkSession, partials_path: str, user_keys_path: str
+) -> int:
+    """Retention compaction for the rollup maintenance stores: fold the
+    accumulated per-batch partial slices into ONE partial per
+    (hour_start, event_type) — replay-dedup'd per batch id first, the
+    same rule ``merged_rollup`` applies at read time — and re-distinct
+    the user-key store. ``merged_rollup`` is bit-identical before and
+    after (test-pinned): partial + partial == full is the store's
+    defining monoid, so pre-merging slices cannot change the served
+    view; it only bounds the row count at keys (not keys × batches).
+
+    Both rewrites publish via the atomic directory swap protocol
+    (``sinks.compaction``): readers see the old store or the new one,
+    never a mix. Returns the compacted partials row count.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    def _swap_rewrite(df: DataFrame, path: str) -> None:
+        tmp = tempfile.mkdtemp(
+            prefix="rollup_compact_",
+            dir=os.path.dirname(os.path.abspath(path)),
+        )
+        staged = os.path.join(tmp, "staged")
+        df.write.mode("overwrite").parquet(staged)
+        old = path + ".old"
+        os.rename(path, old)
+        os.rename(staged, path)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    raw = spark.read.parquet(partials_path)
+    top = raw.agg(F.max("__batch_id").alias("m")).first().m
+    folded = (
+        raw.groupBy("hour_start", "event_type", "__batch_id")
+        .agg(
+            F.max("p_events").alias("p_events"),
+            F.max("p_sum").alias("p_sum"),
+        )
+        .groupBy("hour_start", "event_type")
+        .agg(
+            F.sum("p_events").cast("bigint").alias("p_events"),
+            # decimal sums are exact; cast back to the store's width so
+            # compaction is schema-stable under repeated application
+            F.sum("p_sum").cast("decimal(24,4)").alias("p_sum"),
+        )
+        .withColumn(
+            # keep the store's exact physical type: a lit() that lands
+            # as int32 next to existing int64 files (or vice versa)
+            # breaks later mixed-file scans
+            "__batch_id",
+            F.lit(top).cast(raw.schema["__batch_id"].dataType),
+        )
+    )
+    _swap_rewrite(folded, partials_path)
+    _swap_rewrite(
+        spark.read.parquet(user_keys_path).distinct(), user_keys_path
+    )
+    return spark.read.parquet(partials_path).count()
+
+
 def quantile_hist_stream(events: DataFrame) -> DataFrame:
     """Streaming twin of ``sketch_quantile_hist``'s state: the log2
     histogram is a pure additive-counter aggregate, so the streaming
