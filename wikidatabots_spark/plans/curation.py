@@ -387,7 +387,10 @@ FROM final f JOIN bucket ON bucket.doc_id = f.doc_id
 
 
 def _v3_gated(
-    spark: SparkSession, sf_dir: str, classifier: str = "standin"
+    spark: SparkSession,
+    sf_dir: str,
+    classifier: str = "standin",
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """The shared v3 gate stack → (doc_id, source): exact dedup →
     fenced winnow pairs → connected components → quality + language +
@@ -398,7 +401,10 @@ def _v3_gated(
     quality≥0.5 label, score via the broadcast model) — the v7
     pipeline's single difference from v6. The stand-in's gate is
     cls_score ≥ 0; the trained gate is the model's ``keep`` verdict —
-    same plan family, learned weights.
+    same plan family, learned weights. Pass a precomputed fenced
+    ``occ`` ((doc_id, bucket, cnt), the ``bucket_occurrences`` shape)
+    to share the hashed-occurrence text pass with other consumers —
+    the v8 flagship feeds one table to this gate AND its DSIR gate.
     """
     from wikidatabots_spark.operators.dedup import (
         connected_components,
@@ -441,7 +447,8 @@ def _v3_gated(
         )
     )
     if classifier == "trained":
-        occ = pushdown_fence(bucket_occurrences(d))
+        if occ is None:
+            occ = pushdown_fence(bucket_occurrences(d))
         labels = scored.select(
             "doc_id", (F.col("quality") >= 0.5).alias("label")
         )

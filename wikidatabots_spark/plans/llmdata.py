@@ -905,18 +905,19 @@ FROM keyed ORDER BY gk, doc_id LIMIT {_DSIR_K}
 """
 
 
-def dsir_occ_and_model(d: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """The DSIR training pieces, shared by the batch selector and the
-    streaming scoring twin: the fenced per-doc hashed-bucket occurrence
-    table over ``d`` (doc_id, source, text) and the ≤1024-row
-    (bucket, lr_ppm) importance model — floored integer-ppm log-ratios
-    of target-vs-raw bucket rates (see ``corpus_dsir_select``)."""
-    from wikidatabots_spark.functions.scale import pushdown_fence
+def dsir_occurrences(d: DataFrame) -> DataFrame:
+    """The per-doc hashed-bucket occurrence table (doc_id, source,
+    bucket, cnt) over ``d`` (doc_id, source, text) — the ONE text pass
+    every hashed-feature consumer here prices. ``bucket`` is
+    ``textstats._token_bucket``, the same feature space the trained NB
+    classifier uses, so a single fenced instance of this table can feed
+    BOTH the classifier gate (project source away) and DSIR
+    training/scoring (the v8 flagship does exactly that)."""
     from wikidatabots_spark.operators.dedup import ensure_parallelism
     from wikidatabots_spark.operators.textstats import _token_bucket, words
 
     d = ensure_parallelism(d, "doc_id")
-    occ = pushdown_fence(
+    return (
         d.select(
             "doc_id", "source", F.explode(words(F.col("text"))).alias("__w")
         )
@@ -926,6 +927,22 @@ def dsir_occ_and_model(d: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy("doc_id", "source", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def dsir_occ_and_model(
+    d: DataFrame, occ: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The DSIR training pieces, shared by the batch selector and the
+    streaming scoring twin: the fenced per-doc hashed-bucket occurrence
+    table over ``d`` (doc_id, source, text) and the ≤1024-row
+    (bucket, lr_ppm) importance model — floored integer-ppm log-ratios
+    of target-vs-raw bucket rates (see ``corpus_dsir_select``). Pass a
+    precomputed (already fenced) ``occ`` to share the text pass with
+    other hashed-feature consumers."""
+    from wikidatabots_spark.functions.scale import pushdown_fence
+
+    if occ is None:
+        occ = pushdown_fence(dsir_occurrences(d))
     tgt = F.col("source") == _DSIR_TARGET
     cls = occ.groupBy("bucket").agg(
         F.sum(F.when(tgt, F.col("cnt")).otherwise(F.lit(0))).alias("c_t"),
@@ -948,13 +965,14 @@ def dsir_occ_and_model(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     return occ, model
 
 
-def dsir_scores(d: DataFrame) -> DataFrame:
+def dsir_scores(d: DataFrame, occ: DataFrame | None = None) -> DataFrame:
     """Per-raw-doc DSIR importance scores (doc_id, source, imp_ppm,
     n_tok): the occurrence table joined to the broadcast model, summed
     per doc — exact integers (the Spark twin of the ``dsir_sc`` +
     ``dsir_ntok`` oracle CTEs). Shared by the Gumbel selector and the
-    v8 flagship's per-token domain gate."""
-    occ, model = dsir_occ_and_model(d)
+    v8 flagship's per-token domain gate. Pass a precomputed fenced
+    ``occ`` (``dsir_occurrences``) to share the text pass."""
+    occ, model = dsir_occ_and_model(d, occ=occ)
     return (
         occ.where(F.col("source") != _DSIR_TARGET)
         .join(F.broadcast(model), "bucket")

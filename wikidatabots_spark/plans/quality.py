@@ -3104,20 +3104,25 @@ def curate_corpus_v8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     DSIR CTEs and one anti-membership spliced in (both asserted
     single-site), so the whole composition stays hash-verified.
 
-    Scale: adds one hashed-occurrence pass over the corpus (the same
-    (id, bucket, cnt) shape the trained classifier already prices), a
-    ≤1024-row broadcast model, a 1-row broadcast stats aggregate, and
-    one anti-join — nothing unbounded. A production deployment would
-    share the occurrence table with the classifier gate's
-    (``bucket_occurrences``); here they price separately so each gate's
-    cost stays attributable.
+    Scale: ONE hashed-occurrence pass over the corpus feeds BOTH the
+    trained-classifier gate and this DSIR gate — the (doc_id, source,
+    bucket, cnt) table is fenced once and the NB path projects source
+    away (same ``_token_bucket`` feature space, so the shared table is
+    row-identical to each gate's private one; VERDICT r9 next #5 —
+    previously they priced separately). On top of that: a ≤1024-row
+    broadcast model, a 1-row broadcast stats aggregate, and one
+    anti-join — nothing unbounded.
     """
     from wikidatabots_spark.functions.scale import pushdown_fence
     from wikidatabots_spark.operators.lm import with_lm_score
     from wikidatabots_spark.operators.mixture import mix_temperature
     from wikidatabots_spark.operators.similarity import semdedup_flags
     from wikidatabots_spark.plans.curation import _SPLIT_CUT, _v3_gated
-    from wikidatabots_spark.plans.llmdata import _v5_lmdrop, dsir_scores
+    from wikidatabots_spark.plans.llmdata import (
+        _v5_lmdrop,
+        dsir_occurrences,
+        dsir_scores,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3126,13 +3131,16 @@ def curate_corpus_v8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(~F.col("is_kept"))
         .select(F.col("vec_id").alias("doc_id"))
     )
+    occ = pushdown_fence(
+        dsir_occurrences(d.select("doc_id", "source", "text"))
+    )
     # the cross-multiply stays inside BIGINT at the tested SFs (|imp|
     # ≲ 5e7, pool tokens ≲ 1.5e6 → products ≲ 1e14); at 10^11-doc pools
     # Σn/Σimp outgrow the product headroom — there the gate compares
     # floor-div ppm per-token averages instead (one div per side, still
     # engine-exact), a data change not a shape change
     sc = pushdown_fence(
-        dsir_scores(d.select("doc_id", "source", "text"))
+        dsir_scores(d.select("doc_id", "source", "text"), occ=occ)
     )
     stats = sc.agg(
         F.sum("imp_ppm").cast("long").alias("s_imp"),
@@ -3147,7 +3155,12 @@ def curate_corpus_v8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     gated4 = pushdown_fence(
-        _v3_gated(spark, sf_dir, classifier="trained")
+        _v3_gated(
+            spark,
+            sf_dir,
+            classifier="trained",
+            occ=occ.select("doc_id", "bucket", "cnt"),
+        )
         .join(semdrop, "doc_id", "left_anti")
         .join(dsirdrop, "doc_id", "left_anti")
     )
