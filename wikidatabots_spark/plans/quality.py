@@ -2894,6 +2894,46 @@ def dedup_components_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components_after_delete(stacked, labels, deletes)
 
 
+def _delete_twins_oracle() -> str:
+    from wikidatabots_spark.plans.extensions import _EMB_DELETE_ORACLE
+
+    return f"""
+SELECT 'cc' AS leg, CAST(node AS BIGINT) AS a, CAST(component AS BIGINT) AS b
+FROM ({_cc_delete_oracle()})
+UNION ALL
+SELECT 'emb' AS leg, CAST(id_a AS BIGINT) AS a, CAST(id_b AS BIGINT) AS b
+FROM ({_EMB_DELETE_ORACLE})
+"""
+
+
+@register("dedup_delete_twins", oracle=_delete_twins_oracle())
+def dedup_delete_twins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-window slot carrying BOTH day-2 deletion theorems (the
+    merged-slot pattern, seating the SRP embedding deletion twin in the
+    driver window — VERDICT r8 next #5 / r9 next #6 — without unseating
+    the text-side theorem): the MinHash/CC bounded re-component after a
+    takedown batch (``dedup_components_delete``, (node, component)) and
+    the SRP bucket-local pair repair after the embedding-side takedown
+    (``dedup_embedding_delete``, (id_a, id_b)), union-tagged by ``leg``
+    with both value pairs normalized to BIGINT. Each leg's oracle is
+    its full-recompute-on-survivors program, so the merged hash check
+    pins both bounded-deletion ≡ full-recompute theorems at once. The
+    individual queries stay registered for the local gate."""
+    from wikidatabots_spark.plans.extensions import dedup_embedding_delete_q
+
+    cc = dedup_components_delete_q(spark, sf_dir).select(
+        F.lit("cc").alias("leg"),
+        F.col("node").cast("bigint").alias("a"),
+        F.col("component").cast("bigint").alias("b"),
+    )
+    emb = dedup_embedding_delete_q(spark, sf_dir).select(
+        F.lit("emb").alias("leg"),
+        F.col("id_a").cast("bigint").alias("a"),
+        F.col("id_b").cast("bigint").alias("b"),
+    )
+    return cc.unionByName(emb)
+
+
 # ---------------------------------------------------------------------------
 # curate_corpus_v6 — the flagship pipeline with DATA-DERIVED mixture weights
 # ---------------------------------------------------------------------------

@@ -141,10 +141,14 @@ PRIORITY: list[str] = [
     # directly (VERDICT r4 next #6), complementing curate_corpus_v7's
     # composed check
     "text_classifier_trained",
-    # seated r8 (VERDICT r7 next #2, window seats freed above): the
-    # bounded-deletion ≡ full-recompute theorem gets hard driver
-    # signal, plus the two calibration/monitor queries
-    "dedup_components_delete",
+    # seated r8 (VERDICT r7 next #2, window seats freed above), merged
+    # r10: BOTH bounded-deletion ≡ full-recompute theorems (MinHash/CC
+    # text side + SRP embedding side) share one union-tagged slot —
+    # the r8 simhash merge pattern — seating dedup_embedding_delete
+    # (VERDICT r9 next #6) without a new seat; the individual queries
+    # stay registered for the local gate. Plus the two
+    # calibration/monitor queries.
+    "dedup_delete_twins",
     "dq_key_skew",
     "dedup_band_sweep",
 ]
