@@ -191,9 +191,12 @@ def bucketed_global_rank(
     Cost at 100 TB: one map-side-combined aggregate over the fact table
     + a broadcast hash join, instead of shuffling every row into one
     task. The caller picks bucket granularity (ledger must broadcast:
-    keep it ≤ ~1e6 rows) and must make ``bucket`` non-null (coalesce a
-    nullable key to a sentinel BELOW/ABOVE the real range to match the
-    engine's NULLS FIRST/LAST placement).
+    keep it ≤ ~1e6 rows) and must make ``bucket`` non-null: coalesce a
+    nullable key to an explicit sentinel on BOTH the engine and oracle
+    sides, and pick its value for the placement you want — never lean
+    on engine NULL ordering, because the defaults DIVERGE under ASC
+    (Spark ``asc()`` is NULLS FIRST; DuckDB defaults NULLS LAST), a
+    silent engine/oracle split; under DESC both default NULLS LAST.
 
     ``order`` must be a total order (include a unique tiebreak column)
     for the result to be deterministic, same as any exact-rank window.
@@ -210,9 +213,12 @@ def bucketed_global_rank(
             F.raise_error(
                 F.lit(
                     "bucketed_global_rank: NULL bucket value — coalesce the "
-                    "bucket expression to a sentinel that sorts where the "
-                    "engine places NULLs (below the range for NULLS LAST "
-                    "under DESC, above it for NULLS LAST under ASC)"
+                    "bucket expression to an explicit sentinel (in the "
+                    "oracle SQL too) whose VALUE sorts where you want the "
+                    "NULL rows; do not rely on engine NULL placement: "
+                    "Spark asc() is NULLS FIRST but DuckDB defaults NULLS "
+                    "LAST, so ASC callers diverge silently (DESC: both "
+                    "default NULLS LAST)"
                 )
             )
         ),
