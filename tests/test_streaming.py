@@ -1108,3 +1108,80 @@ def test_compact_rollup_state_preserves_merged_view(spark, sf_dir, tmp_path):
         for r in ev_hourly_rollup(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_dsir_model_maintenance_matches_batch_retrain(spark, sf_dir, tmp_path):
+    """Streaming maintenance of the DSIR importance model: documents
+    arrive in 3 micro-batches, each appending only its per-bucket class
+    counts; the merged model must equal batch retraining on the full
+    corpus BIT-FOR-BIT (additive integer counters + the shared
+    deterministic log-ratio expression). A replayed batch id leaves the
+    model unchanged (dynamic-partition-overwrite fence)."""
+    from wikidatabots_spark.plans.llmdata import dsir_occ_and_model
+    from wikidatabots_spark.sources.tables import load_table
+    from wikidatabots_spark.streaming.docs_stream import (
+        dsir_model_maintenance,
+        merged_dsir_model,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    partials_path = str(tmp_path / "dsir_partials")
+    sink = dsir_model_maintenance(partials_path)
+    parts = [d.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, p in enumerate(parts):
+        sink(p, i)
+
+    got = {
+        r.bucket: r.lr_ppm
+        for r in merged_dsir_model(spark, partials_path).collect()
+    }
+    _, model = dsir_occ_and_model(d)
+    want = {r.bucket: r.lr_ppm for r in model.collect()}
+    assert got == want and 0 < len(want) <= 1024
+
+    sink(parts[1], 1)  # replay of batch 1
+    again = {
+        r.bucket: r.lr_ppm
+        for r in merged_dsir_model(spark, partials_path).collect()
+    }
+    assert again == want
+
+
+def test_dedup_graph_auto_compaction_bounds_partitions(spark, tmp_path):
+    """compact_every wires retention into the maintenance loop: across
+    5 batches with compact_every=2 the label store ends with a bounded
+    partition count and the served view still equals the full
+    recompute."""
+    import os as _os
+
+    from wikidatabots_spark.streaming.docs_stream import (
+        dedup_graph_maintenance,
+        latest_labels,
+    )
+
+    index_path = str(tmp_path / "idx")
+    labels_path = str(tmp_path / "lbl")
+    apply = dedup_graph_maintenance(index_path, labels_path, compact_every=2)
+    batches = [
+        [(1, "A"), (2, "A")],
+        [(3, "B"), (4, "B")],
+        [(5, "C"), (6, "C")],
+        [(7, "A")],
+        [(8, "Q"), (9, "Q")],
+    ]
+    all_rows = []
+    for i, rows in enumerate(batches):
+        apply(_docs(spark, *rows), i)
+        all_rows.extend(rows)
+
+    n_parts = len(
+        [d for d in _os.listdir(labels_path) if d.startswith("__batch_id=")]
+    )
+    assert n_parts <= 3  # base + at most compact_every fresh deltas
+    got = {
+        (r.node, r.component)
+        for r in latest_labels(spark, labels_path).collect()
+    }
+    assert got == _full_recompute(_docs(spark, *all_rows))

@@ -929,6 +929,42 @@ def dsir_occurrences(d: DataFrame) -> DataFrame:
     )
 
 
+def dsir_class_counts(occ: DataFrame) -> DataFrame:
+    """Per-bucket class-conditional token counts (bucket, c_t, c_r)
+    from an occurrence table — PURE ADDITIVE COUNTERS, so counts over
+    any partition of the corpus (yesterday/today, micro-batches) sum
+    back to the full-corpus counts exactly. This mergeability is what
+    makes the model maintainable incrementally
+    (``streaming.docs_stream.dsir_model_maintenance``)."""
+    tgt = F.col("source") == _DSIR_TARGET
+    return occ.groupBy("bucket").agg(
+        F.sum(F.when(tgt, F.col("cnt")).otherwise(F.lit(0))).alias("c_t"),
+        F.sum(F.when(~tgt, F.col("cnt")).otherwise(F.lit(0))).alias("c_r"),
+    )
+
+
+def dsir_model_from_counts(cls: DataFrame) -> DataFrame:
+    """The DSIR importance model (bucket, lr_ppm) from per-bucket class
+    counts: floored integer-ppm log-ratio of smoothed target-vs-raw
+    bucket rates. One deterministic expression over exact integers —
+    identical counts produce identical models bit-for-bit, whichever
+    path (batch or merged streaming partials) produced the counts."""
+    tot = cls.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r"))
+    b = F.lit(float(_DSIR_B))
+    return cls.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            F.log(
+                ((F.col("c_t") + F.lit(1.0)) / (F.col("n_t") + b))
+                / ((F.col("c_r") + F.lit(1.0)) / (F.col("n_r") + b))
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("lr_ppm"),
+    )
+
+
 def dsir_occ_and_model(
     d: DataFrame, occ: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
@@ -943,25 +979,7 @@ def dsir_occ_and_model(
 
     if occ is None:
         occ = pushdown_fence(dsir_occurrences(d))
-    tgt = F.col("source") == _DSIR_TARGET
-    cls = occ.groupBy("bucket").agg(
-        F.sum(F.when(tgt, F.col("cnt")).otherwise(F.lit(0))).alias("c_t"),
-        F.sum(F.when(~tgt, F.col("cnt")).otherwise(F.lit(0))).alias("c_r"),
-    )
-    tot = cls.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r"))
-    b = F.lit(float(_DSIR_B))
-    model = cls.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.floor(
-            F.log(
-                ((F.col("c_t") + F.lit(1.0)) / (F.col("n_t") + b))
-                / ((F.col("c_r") + F.lit(1.0)) / (F.col("n_r") + b))
-            )
-            * F.lit(1000000.0)
-        )
-        .cast("long")
-        .alias("lr_ppm"),
-    )
+    model = dsir_model_from_counts(dsir_class_counts(occ))
     return occ, model
 
 

@@ -246,11 +246,74 @@ def _merged_labels(
     return cur.where(F.col("component") != F.lit(TOMBSTONE_COMPONENT))
 
 
+def dsir_model_maintenance(partials_path: str):
+    """foreachBatch sink maintaining the DSIR importance model AS THE
+    CORPUS GROWS: each micro-batch appends only its per-bucket class
+    counts (``dsir_class_counts`` over the batch's occurrences — pure
+    additive counters, ≤1024 rows per batch), and ``merged_dsir_model``
+    serves the current model by summing partials and applying the same
+    deterministic log-ratio expression as the batch trainer. Because
+    the counts are exact integers and the formula is shared code
+    (``dsir_model_from_counts``), the streamed model is BIT-IDENTICAL
+    to retraining from scratch on everything seen so far
+    (parity-tested) — the production shape for domain-targeted ingest:
+    the scorer (``dsir_score_stream``) periodically reloads a model
+    that tracks the corpus with per-batch work proportional to the
+    batch, never the history.
+
+    Replay fence: partials carry ``__batch_id`` as a partition column
+    written with dynamic partition overwrite (the
+    ``dedup_graph_maintenance`` rule, strictly stronger than
+    ``rollup_maintenance``'s merge-time dedup), so an at-least-once
+    replay overwrites its own partition and the merged read needs no
+    dedup at all (double-invocation-tested).
+
+    State: ≤1024 rows per batch partition; ``compact`` folding is the
+    plain ``compact_rollup_state`` pattern if batch count ever matters
+    (at 1024 buckets it rarely does).
+    """
+    from wikidatabots_spark.plans.llmdata import (
+        dsir_class_counts,
+        dsir_occurrences,
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        cls = dsir_class_counts(
+            dsir_occurrences(batch.select("doc_id", "source", "text"))
+        )
+        (
+            cls.withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(partials_path)
+        )
+
+    return apply
+
+
+def merged_dsir_model(spark: SparkSession, partials_path: str) -> DataFrame:
+    """The current DSIR model from the maintenance store: sum the
+    per-batch class-count partials per bucket (exact integer merge —
+    the counters' defining property) and apply the shared
+    ``dsir_model_from_counts`` expression. Bit-identical to batch
+    retraining on the full corpus seen so far."""
+    from wikidatabots_spark.plans.llmdata import dsir_model_from_counts
+
+    cls = (
+        spark.read.parquet(partials_path)
+        .groupBy("bucket")
+        .agg(F.sum("c_t").alias("c_t"), F.sum("c_r").alias("c_r"))
+    )
+    return dsir_model_from_counts(cls)
+
+
 def dedup_graph_maintenance(
     index_path: str,
     labels_path: str,
     tombstones_path: str | None = None,
     op_col: str = "__op",
+    compact_every: int | None = None,
 ):
     """foreachBatch sink maintaining the dedup graph EXACTLY as document
     micro-batches land — the streaming wiring of
@@ -488,6 +551,14 @@ def dedup_graph_maintenance(
                 tomb_path,
                 "__batch_id",
             )
+        # self-bounding retention: every `compact_every` batches, fold
+        # the label delta history into one base partition so the
+        # merge-on-read scan stays O(compact_every) partitions on an
+        # unbounded stream. Safe under replay: compaction preserves the
+        # merged view exactly, so a replayed batch reads the same prior
+        # state whether or not the fold already happened.
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            compact_labels(spark, labels_path, keep_last=1)
 
     return apply
 
