@@ -2934,6 +2934,42 @@ def dedup_delete_twins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.unionByName(emb)
 
 
+@register("dedup_graph_stream", oracle=_cc_incremental_oracle())
+def dedup_graph_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING dedup-graph maintenance sink, driver-hash-checked:
+    documents are replayed through ``dedup_graph_maintenance`` as three
+    micro-batches (doc_id mod 3) against a fresh state directory —
+    fenced delta-label writes, partition-pruned index probes, and a
+    mid-run retention compaction (``compact_every=2``) — and the served
+    ``latest_labels`` view is returned. The oracle is the FULL-corpus
+    recursive-CTE min-label CC: hash-equality is the multi-batch
+    induction of ``dedup_components_incremental``'s theorem, now
+    pinned by the driver on the REAL streaming wiring (state stores,
+    replay fences, merge-on-read) rather than only by pytest.
+
+    Scale: identical shape to the streaming sink in production — per
+    batch, batch-sized signatures + a pruned probe + CC over touched
+    components; the query's only extra cost is that it runs three such
+    batches at the gate SF. A fresh temp state dir per invocation
+    keeps repeated runs (engine + oracle sides) independent."""
+    import os
+    import tempfile
+
+    from wikidatabots_spark.streaming.docs_stream import (
+        dedup_graph_maintenance,
+        latest_labels,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="wdb_graph_stream_")
+    index_path = os.path.join(root, "idx")
+    labels_path = os.path.join(root, "lbl")
+    sink = dedup_graph_maintenance(index_path, labels_path, compact_every=2)
+    for i in range(3):
+        sink(d.where(F.col("doc_id") % 3 == i), i)
+    return latest_labels(spark, labels_path)
+
+
 # ---------------------------------------------------------------------------
 # curate_corpus_v6 — the flagship pipeline with DATA-DERIVED mixture weights
 # ---------------------------------------------------------------------------

@@ -146,11 +146,17 @@ PRIORITY: list[str] = [
     # text side + SRP embedding side) share one union-tagged slot —
     # the r8 simhash merge pattern — seating dedup_embedding_delete
     # (VERDICT r9 next #6) without a new seat; the individual queries
-    # stay registered for the local gate. Plus the two
-    # calibration/monitor queries.
+    # stay registered for the local gate.
     "dedup_delete_twins",
-    "dq_key_skew",
-    "dedup_band_sweep",
+    # merged r10: the two calibration/monitor queries share one
+    # union-tagged slot (metrics normalized to BIGINT m1-m4), freeing
+    # the seat for the STREAMED dedup-graph maintenance query — the
+    # replay-fenced delta-label/pruned-probe sink driven over three
+    # micro-batches with a mid-run compaction, hash-checked against
+    # the full-corpus CC program (the r10 streaming rework's
+    # correctness, pinned by the driver rather than only pytest).
+    "dq_monitor_suite",
+    "dedup_graph_stream",
 ]
 
 

@@ -944,3 +944,50 @@ def dedup_band_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_ppm",
         )
     )
+
+
+def _monitor_suite_oracle() -> str:
+    from wikidatabots_spark.plans.quality import _KEY_SKEW_ORACLE
+
+    return f"""
+SELECT 'skew' AS leg, key_family AS label,
+       n_rows AS m1, n_keys AS m2, max_key_rows AS m3,
+       skew_factor_milli AS m4
+FROM ({_KEY_SKEW_ORACLE})
+UNION ALL
+SELECT 'sweep' AS leg, CAST(bands AS VARCHAR) AS label,
+       CAST(rows_per_band AS BIGINT) AS m1, n_candidates AS m2,
+       n_sim AS m3, precision_ppm AS m4
+FROM ({_band_sweep_oracle()})
+"""
+
+
+@register("dq_monitor_suite", oracle=_monitor_suite_oracle())
+def dq_monitor_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-window slot carrying BOTH operational monitors (the
+    merged-slot pattern, freeing a seat for the streamed dedup-graph
+    query): the join-key skew diagnosis (``dq_key_skew``) and the LSH
+    banding S-curve (``dedup_band_sweep``), union-tagged by ``leg``
+    with each monitor's four metrics normalized to BIGINT columns
+    m1-m4 (skew: rows / keys / hottest-key rows / skew-milli; sweep:
+    rows-per-band / candidates / verified near-dups / precision-ppm).
+    The individual queries stay registered for the local gate."""
+    from wikidatabots_spark.plans.quality import dq_key_skew_q
+
+    skew = dq_key_skew_q(spark, sf_dir).select(
+        F.lit("skew").alias("leg"),
+        F.col("key_family").alias("label"),
+        F.col("n_rows").alias("m1"),
+        F.col("n_keys").alias("m2"),
+        F.col("max_key_rows").alias("m3"),
+        F.col("skew_factor_milli").alias("m4"),
+    )
+    sweep = dedup_band_sweep_q(spark, sf_dir).select(
+        F.lit("sweep").alias("leg"),
+        F.col("bands").cast("string").alias("label"),
+        F.col("rows_per_band").cast("bigint").alias("m1"),
+        F.col("n_candidates").alias("m2"),
+        F.col("n_sim").alias("m3"),
+        F.col("precision_ppm").alias("m4"),
+    )
+    return skew.unionByName(sweep)
