@@ -49,8 +49,11 @@ def test_registry_priority_window():
         # simhash exact + near merged into one union-tagged slot r8
         "dedup_simhash_pairs", "dedup_embedding_cosine",
         "dedup_embedding_cosine_lsh",
-        # seated r8 (VERDICT r7 next #2)
-        "dedup_components_delete", "dq_key_skew", "dedup_band_sweep",
+        # seated r8 (VERDICT r7 next #2); merged r10 — the deletion
+        # theorems share one union-tagged slot (seating the embedding
+        # twin), the two monitors share another (freeing the seat for
+        # the streamed dedup-graph maintenance query)
+        "dedup_delete_twins", "dq_monitor_suite", "dedup_graph_stream",
         "mm_media_meta", "mm_sample_frames", "mm_extract_features",
         "text_profile", "knn_cosine_topk",
         # promoted composed pipelines / extensions (VERDICT r2 next #2,
