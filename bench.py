@@ -200,6 +200,10 @@ HEADLINERS = [
     "corpus_dsir_select",
     # round-8 wave 5: the flagship with the DSIR domain-affinity gate
     "curate_corpus_v8",
+    # round-10: the streamed dedup-graph maintenance sink (fenced
+    # delta labels + pruned probes + mid-run compaction over three
+    # staged micro-batches) priced end to end
+    "dedup_graph_stream",
 ]
 
 # The multi-GB-shuffle composed pipelines: scheduled LAST within every
@@ -213,6 +217,7 @@ HEAVY_LAST = [
     "curate_corpus_v7",
     "curate_corpus_v8",
     "corpus_dedup_funnel",
+    "dedup_graph_stream",
 ]
 
 # Queries the judge grades against hard wall-clock bars: these get two

@@ -335,7 +335,11 @@ def dedup_graph_maintenance(
     prior components only, (e) one min-label CC over that bounded edge
     set, (f) write the batch's label DELTA — only nodes of touched /
     affected components, with ``TOMBSTONE_COMPONENT`` rows for nodes
-    that lost their label — never a full snapshot.
+    that lost their label — never a full snapshot. Contract: a doc_id
+    must not appear as both an insert and a delete in the SAME batch
+    (a delete tombstones the id's index rows going forward, so the
+    same-batch insert would be born dead) — split such ops across
+    batches, delete first.
 
     Replay fence (foreachBatch is at-least-once): every store write is
     idempotent — labels, index, and tombstones all carry ``__batch_id``
