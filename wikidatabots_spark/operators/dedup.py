@@ -1006,7 +1006,7 @@ def connected_components(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)  # materialized by the probe below
+        .localCheckpoint(eager=False)  # materialized by round 0's action
     )
     # Convergence probe: per-node labels are monotonically non-increasing
     # (each round takes min(own, neighbors')), so sum(label) strictly
@@ -1015,9 +1015,13 @@ def connected_components(
     # iteration exactly ONE Spark job (the eager-checkpoint + separate
     # changed-count form was two). Decimal sum: exact at any node count,
     # no bigint-overflow edge at cluster-scale id ranges.
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).first()["s"]
+    # prev_sum starts None (not the initial labeling's sum): round 0
+    # always lowers some label when any edge exists, so probing the
+    # trivial labeling is a wasted job — the init checkpoint instead
+    # materializes inside round 0's action (r10: ~0.7 s saved per call;
+    # CC runs 15+ times across the headline suite). The empty-edge case
+    # still exits on round 0 (None == None).
+    prev_sum = None
     for _ in range(max_iter):
         nbr = sym.join(
             labels.withColumnRenamed("node", "v"), on="v"
