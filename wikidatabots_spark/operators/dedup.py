@@ -1000,7 +1000,11 @@ def connected_components(
     sym = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition(F.col("v"))
-        .localCheckpoint()
+        # lazy: round 0's single action materializes the edge RDD once
+        # (both its consumers — the labels init and the neighbor join —
+        # share the RDD inside that job) and pins it for later rounds;
+        # an eager checkpoint here was a whole extra job per call
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("u").alias("node"))
