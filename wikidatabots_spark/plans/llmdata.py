@@ -1243,10 +1243,14 @@ def graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (tiny) edge list once: all three join legs read it,
     # and without the checkpoint the whole fingerprint/pair pipeline is
     # replicated per leg in the plan (same pattern as
-    # connected_components' edge materialization)
+    # connected_components' edge materialization). Lazy: the query has
+    # exactly one action, which computes the edge RDD once and shares
+    # it across the legs — an eager checkpoint here was an extra job.
     e = winnow_pairs(
         winnow_fingerprints(d, k=3, window=4), d, min_shared=3, max_df=0.2
-    ).select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).localCheckpoint()
+    ).select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).localCheckpoint(
+        eager=False
+    )
     ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))

@@ -1733,7 +1733,9 @@ def graph_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             winnow_fingerprints(d, k=3, window=4), d, min_shared=3, max_df=0.2
         )
         .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .localCheckpoint()
+        # lazy: one final action computes the edge RDD once for all
+        # four consumer legs; eager was an extra job per query run
+        .localCheckpoint(eager=False)
     )
 
     def degrees(edges: DataFrame) -> DataFrame:
