@@ -578,3 +578,105 @@ def test_cap_band_buckets_properties(spark, rows, cap):
         mins[(b, h)] = min(mins.get((b, h), i), i)
     for bh, m in mins.items():
         assert m in per_bucket.get(bh, []), (bh, m)
+
+
+# --- streaming dedup-graph maintenance: randomized multi-batch parity ---
+
+_GRAPH_TEXTS = [
+    "alpha beta gamma delta epsilon zeta eta theta",
+    "one two three four five six seven eight",
+    "red orange yellow green blue indigo violet umber",
+    "north south east west zenith nadir port starboard",
+]
+
+
+@given(
+    assignment=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # text key
+            st.integers(min_value=0, max_value=2),  # insert batch
+        ),
+        min_size=4,
+        max_size=12,
+    ),
+    delete_mask=st.lists(st.booleans(), min_size=12, max_size=12),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dedup_graph_maintenance_random_batches_match_recompute(
+    spark, tmp_path_factory, assignment, delete_mask
+):
+    """Property: for ANY assignment of docs to 3 insert batches and ANY
+    deletion subset applied mid-stream (between batches 1 and 2), the
+    served labels equal the full min-label CC recompute over the
+    surviving documents — the multi-batch induction of the insertion +
+    bounded-deletion theorems under arbitrary interleavings."""
+    from wikidatabots_spark.operators.dedup import (
+        band_pairs,
+        connected_components,
+        minhash_band_table,
+    )
+    from wikidatabots_spark.streaming.docs_stream import (
+        dedup_graph_maintenance,
+        latest_labels,
+    )
+
+    docs = [
+        (i, _GRAPH_TEXTS[key], batch)
+        for i, (key, batch) in enumerate(assignment)
+    ]
+    # deletions: a subset of docs inserted in batches 0-1 (visible
+    # before the mid-stream tombstone batch)
+    deleted = [
+        i
+        for i, (_, batch) in enumerate(assignment)
+        if batch <= 1 and delete_mask[i]
+    ]
+
+    root = tmp_path_factory.mktemp("graph_prop")
+    index_path = str(root / "idx")
+    labels_path = str(root / "lbl")
+    sink = dedup_graph_maintenance(index_path, labels_path)
+
+    def batch_df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, __op string"
+        )
+
+    bid = 0
+    for b in (0, 1):
+        rows = [(i, t, "insert") for i, t, bb in docs if bb == b]
+        if rows:
+            sink(batch_df(rows), bid)
+            bid += 1
+    if deleted:
+        sink(batch_df([(i, None, "delete") for i in deleted]), bid)
+        bid += 1
+    rows = [(i, t, "insert") for i, t, bb in docs if bb == 2]
+    if rows:
+        sink(batch_df(rows), bid)
+        bid += 1
+    if bid == 0:
+        return  # hypothesis drew an empty run; nothing to assert
+
+    survivors = [
+        (i, t) for i, t, _ in docs if i not in set(deleted)
+    ]
+    got = {
+        (r.node, r.component)
+        for r in latest_labels(spark, labels_path).collect()
+    }
+    want = {
+        (r.node, r.component)
+        for r in connected_components(
+            band_pairs(
+                minhash_band_table(
+                    spark.createDataFrame(survivors, "doc_id long, text string")
+                )
+            )
+        ).collect()
+    }
+    assert got == want
