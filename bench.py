@@ -26,8 +26,9 @@ Measurement protocol (VERDICT r5 next #3):
   0.6%-margin variance events because every bar pass shared the
   session with the curate/funnel family's GC tail; the first block
   makes the bar measurement a protocol property, recorded in its own
-  `bar_first_block` section of the detail JSON (5 passes total per
-  bar query).
+  `bar_first_block` section of the detail JSON (5 recorded passes per
+  bar query; HARD_BARS queries get two more unconditional isolated
+  passes — 7 total — the same count hit or miss, see HARD_BARS).
 - The heavy curate/funnel family is scheduled LAST within every pass,
   so its multi-GB shuffle + GC tail cannot leak into the light
   bar-carrying queries that follow it in suite order.
