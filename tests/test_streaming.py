@@ -1185,3 +1185,43 @@ def test_dedup_graph_auto_compaction_bounds_partitions(spark, tmp_path):
         for r in latest_labels(spark, labels_path).collect()
     }
     assert got == _full_recompute(_docs(spark, *all_rows))
+
+
+def test_decontamination_gate_matches_batch_sweep(spark, sf_dir, tmp_path):
+    """In-flight decontamination parity: training docs streamed as 3
+    micro-batches through the gate produce, in union, EXACTLY the batch
+    ngram_collisions over the full training corpus vs the same static
+    benchmark — per-doc collision counts included (a doc's verdict
+    depends only on its own text and the benchmark, the zero-state
+    property). A replayed batch id changes nothing."""
+    from wikidatabots_spark.operators.textstats import ngram_collisions
+    from wikidatabots_spark.sources.tables import load_table
+    from wikidatabots_spark.streaming.docs_stream import (
+        decontamination_gate,
+        flagged_documents,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    train = d.where(F.col("doc_id") % 7 != 0)
+    flagged_path = str(tmp_path / "flagged")
+    gate = decontamination_gate(bench, flagged_path, n=5)
+    parts = [train.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, p in enumerate(parts):
+        gate(p, i)
+
+    def view():
+        return {
+            r.train_id: (r.n_collided_grams, r.n_bench_docs)
+            for r in flagged_documents(spark, flagged_path).collect()
+        }
+
+    got = view()
+    want = {
+        r.train_id: (r.n_collided_grams, r.n_bench_docs)
+        for r in ngram_collisions(train, bench, n=5).collect()
+    }
+    assert got == want and len(want) > 0
+
+    gate(parts[1], 1)  # replay
+    assert view() == got

@@ -225,12 +225,34 @@ def vocab_topk(
     )
 
 
-def ngram_collisions(
-    train: DataFrame,
-    bench: DataFrame,
+def gram_table(
+    d: DataFrame,
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """Distinct word-n-gram hashes per document → (out_id, gram_hash).
+    The reduced form both sides of ``ngram_collisions`` consume; expose
+    it so a STATIC benchmark's gram table can be computed once, fenced,
+    and probed by many arriving batches (``decontamination_gate``)."""
+    d2 = d.withColumn("__w", words(F.col(text_col))).withColumn(
+        "__nw", F.size(F.col("__w"))
+    )
+    g = _ngram_array(F.col("__w"), F.col("__nw"), n)
+    return d2.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.array_distinct(g)).alias("__g"),
+    ).select(out_id, F.md5(F.col("__g")).alias("gram_hash"))
+
+
+def ngram_collisions(
+    train: DataFrame,
+    bench: DataFrame | None,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: word n-gram collisions between a
     training corpus and an evaluation set (the GPT-3/PaLM-style 13-gram
@@ -243,19 +265,16 @@ def ngram_collisions(
     the text column never travels. The benchmark side is small by
     definition (an eval set), so it broadcasts and the training side
     never shuffles; the per-doc count_distinct is the only wide op.
+    Pass a precomputed (fenced) ``bench_grams`` — ``gram_table`` with
+    out_id='bench_id' — to amortize the benchmark pass across many
+    probes (the streaming gate's shape); ``bench`` is ignored then.
     """
-    def grams(d: DataFrame, out_id: str) -> DataFrame:
-        d2 = d.withColumn("__w", words(F.col(text_col))).withColumn(
-            "__nw", F.size(F.col("__w"))
-        )
-        g = _ngram_array(F.col("__w"), F.col("__nw"), n)
-        return d2.select(
-            F.col(id_col).alias(out_id),
-            F.explode(F.array_distinct(g)).alias("__g"),
-        ).select(out_id, F.md5(F.col("__g")).alias("gram_hash"))
-
-    tg = grams(train, "train_id")
-    bg = grams(bench, "bench_id")
+    tg = gram_table(train, n, id_col, text_col, out_id="train_id")
+    bg = (
+        bench_grams
+        if bench_grams is not None
+        else gram_table(bench, n, id_col, text_col, out_id="bench_id")
+    )
     return (
         tg.join(F.broadcast(bg), "gram_hash")
         .groupBy("train_id")

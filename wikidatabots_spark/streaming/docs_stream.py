@@ -308,6 +308,63 @@ def merged_dsir_model(spark: SparkSession, partials_path: str) -> DataFrame:
     return dsir_model_from_counts(cls)
 
 
+def decontamination_gate(bench: DataFrame, flagged_path: str, n: int = 5):
+    """foreachBatch sink flagging arriving documents that share any
+    word n-gram with a STATIC benchmark/eval set BEFORE they land —
+    in-flight decontamination, the production complement of the batch
+    ``text_contamination`` sweep (scan the delivery, not the corpus).
+
+    The benchmark gram table is computed ONCE (fenced) when the gate is
+    built; each micro-batch reduces to its own distinct (id, gram) rows
+    and probes it with the identical ``ngram_collisions`` join. Zero
+    cross-batch state: a document's collisions depend only on its own
+    text and the static benchmark, so the union of per-batch outputs
+    IS the full-corpus decontamination — parity-tested against the
+    batch operator over the same documents.
+
+    Replay fence: flagged rows are partitioned by ``__batch_id`` and
+    written with dynamic partition overwrite (the
+    ``dedup_graph_maintenance`` rule), so at-least-once replays are
+    no-ops.
+
+    Scale: per batch, batch-sized gram reduction + one broadcast join
+    against the (eval-set-sized, tiny by definition) benchmark grams;
+    the benchmark text is never re-read after the gate is built.
+    """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.textstats import (
+        gram_table,
+        ngram_collisions,
+    )
+
+    bg = pushdown_fence(gram_table(bench, n, out_id="bench_id"))
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        flagged = ngram_collisions(batch, None, n=n, bench_grams=bg)
+        (
+            flagged.withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(flagged_path)
+        )
+
+    return apply
+
+
+def flagged_documents(spark: SparkSession, flagged_path: str) -> DataFrame:
+    """The accumulated decontamination verdicts: one row per flagged
+    document across all batches (documents arrive once, so no
+    merge-on-read is needed — the union IS the current view)."""
+    if not _has_parquet(flagged_path):
+        return spark.createDataFrame(
+            [], "train_id long, n_collided_grams long, n_bench_docs long"
+        )
+    return spark.read.parquet(flagged_path).select(
+        "train_id", "n_collided_grams", "n_bench_docs"
+    )
+
+
 def dedup_graph_maintenance(
     index_path: str,
     labels_path: str,
