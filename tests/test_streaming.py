@@ -1007,6 +1007,56 @@ def test_dedup_graph_delete_replay_idempotent(spark, tmp_path):
     assert 1 not in set(once[2])
 
 
+def test_dedup_graph_reinsert_after_delete(spark, tmp_path):
+    """Re-insert after delete (ADVICE r10 high): a doc deleted in batch
+    N and re-inserted in batch N+1 must be probe-visible again — only
+    tombstones from LATER batches suppress an index row. Before the
+    ordered anti-join fix, the re-inserted doc's new band rows were
+    suppressed by its old tombstone forever and later near-dups could
+    never link to it (latest_labels came back empty instead of
+    {(1,1),(4,1)})."""
+    from wikidatabots_spark.streaming.docs_stream import (
+        dedup_graph_maintenance,
+        latest_labels,
+        read_band_index,
+    )
+
+    index_path = str(tmp_path / "idx")
+    labels_path = str(tmp_path / "lbl")
+    apply = dedup_graph_maintenance(index_path, labels_path)
+
+    # --- sole-copy case: the exact ADVICE repro ---
+    apply(_docs(spark, (1, "A"), (3, "B")), 0)  # doc 1 is a singleton
+    apply(_docs(spark, (1, None, "delete")), 1)
+    apply(_docs(spark, (1, "A")), 2)  # re-insert the deleted doc
+    # the re-inserted doc's batch-2 band rows must be served (its
+    # batch-0 rows stay dead under the batch-1 tombstone)
+    served = read_band_index(
+        spark, index_path, index_path + "_tombstones", before_batch=3
+    )
+    assert 1 in {r.doc_id for r in served.collect()}
+    apply(_docs(spark, (4, "A")), 3)  # near-dup of the re-inserted doc
+    got = {
+        (r.node, r.component)
+        for r in latest_labels(spark, labels_path).collect()
+    }
+    assert got == {(1, 1), (4, 1)}
+
+    # --- component case: re-insert links back to the survivor ---
+    index2 = str(tmp_path / "idx2")
+    labels2 = str(tmp_path / "lbl2")
+    apply2 = dedup_graph_maintenance(index2, labels2)
+    apply2(_docs(spark, (1, "A"), (2, "A")), 0)
+    apply2(_docs(spark, (1, None, "delete")), 1)
+    apply2(_docs(spark, (1, "A")), 2)  # probes and re-pairs with doc 2
+    got2 = {
+        (r.node, r.component)
+        for r in latest_labels(spark, labels2).collect()
+    }
+    assert got2 == _full_recompute(_docs(spark, (1, "A"), (2, "A")))
+    assert got2 == {(1, 1), (2, 1)}
+
+
 def test_compact_labels_preserves_view_and_bounds_partitions(spark, tmp_path):
     """Retention compaction (VERDICT r9 next #8): folding all but the
     newest delta partition into one base partition preserves

@@ -203,6 +203,15 @@ def read_band_index(
     (``minhash_band_index_delete``'s rule); the anti-join runs BEFORE
     any probe-time bucket cap so tombstoned members neither consume
     cap slots nor serve as anchors.
+
+    The anti-join is ORDERED by batch id: an index row is suppressed
+    only by a tombstone written in a LATER batch (``tomb.__batch_id >
+    idx.__batch_id``). A doc deleted in batch N and re-inserted in
+    batch N+1 (the docstring's recommended delete-first split) keeps
+    its N+1 band rows probe-visible — a doc_id-only anti-join would
+    suppress them forever and later near-dups could never link to the
+    re-inserted doc. Both batch-id columns are partition columns, so
+    the ordering predicate adds no data-column cost.
     """
     if not _has_parquet(index_path):
         return spark.createDataFrame(
@@ -213,13 +222,22 @@ def read_band_index(
         idx = idx.where(F.col("__batch_id") < F.lit(int(before_batch)))
     if prefixes is not None:
         idx = idx.where(F.col("band_pfx").isin(list(prefixes)))
-    idx = idx.select("doc_id", "band_idx", "band_hash")
+    idx = idx.select("doc_id", "band_idx", "band_hash", "__batch_id")
     if tombstones_path and _has_parquet(tombstones_path):
         tomb = spark.read.parquet(tombstones_path)
         if before_batch is not None:
             tomb = tomb.where(F.col("__batch_id") < F.lit(int(before_batch)))
-        idx = idx.join(tomb.select("doc_id"), "doc_id", "left_anti")
-    return idx
+        tomb = tomb.select(
+            F.col("doc_id").alias("__t_doc"),
+            F.col("__batch_id").alias("__t_batch"),
+        )
+        idx = idx.join(
+            tomb,
+            (F.col("doc_id") == F.col("__t_doc"))
+            & (F.col("__t_batch") > F.col("__batch_id")),
+            "left_anti",
+        )
+    return idx.select("doc_id", "band_idx", "band_hash")
 
 
 def _merged_labels(
