@@ -128,7 +128,7 @@ def test_jsonl_datasource_writer_two_phase_commit(spark, sf_dir, tmp_path):
     manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
     assert manifest["n_rows"] == docs.count()
     assert manifest["n_files"] >= 1
-    assert not os.path.isdir(os.path.join(out, "_staging"))
+    assert not [x for x in os.listdir(out) if x.startswith("_staging")]
     from pyspark.sql.types import StructType
 
     back = read_jsonl_documents(
@@ -327,11 +327,14 @@ def test_jsonl_concurrent_commit_does_not_sweep_in_flight_parts(tmp_path):
 
     d = tmp_path / "tbl"
     d.mkdir()
-    # writer A, mid-commit: part renamed into the table, lock held,
+    # writer A, mid-commit: part renamed into the table, flock held,
     # manifest swap still pending
     (d / "part-inflight-a.jsonl").write_text('{"id": 7}\n')
+    import fcntl
+
     lock = d / "_COMMIT.lock"
-    lock.write_text("writer-a")
+    fd_a = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd_a, fcntl.LOCK_EX)
 
     w, msgs = _staged_writer(d, overwrite=False)
     done = threading.Event()
@@ -347,13 +350,15 @@ def test_jsonl_concurrent_commit_does_not_sweep_in_flight_parts(tmp_path):
     assert not done.is_set()
     assert (d / "part-inflight-a.jsonl").exists()
 
-    # A publishes and releases
+    # A publishes and releases (unlink-before-close, the holder's
+    # release protocol: waiters re-contend on a fresh inode)
     (d / "_MANIFEST.json").write_text(
         json.dumps(
             {"n_rows": 1, "n_files": 1, "files": {"part-inflight-a.jsonl": 1}}
         )
     )
-    os.remove(lock)
+    os.unlink(lock)
+    os.close(fd_a)
     t.join(timeout=60)
     assert done.is_set()
 
@@ -384,10 +389,13 @@ def test_jsonl_first_commit_sweeps_orphans(tmp_path):
     assert set(m["files"]) == {msg.filename for msg in msgs}
 
 
-def test_jsonl_stale_commit_lock_is_broken(tmp_path):
-    """A lock abandoned by a crashed committer does not wedge the table:
-    once older than the staleness bound it is broken and the commit
-    proceeds."""
+def test_jsonl_crashed_committer_lock_does_not_wedge(tmp_path):
+    """A lock FILE abandoned by a crashed committer does not wedge the
+    table: the kernel dropped the crashed process's flock with the
+    process, so the leftover file holds no lock at all and the next
+    commit acquires immediately — no staleness heuristic, hence no
+    stat→remove TOCTOU where a breaker could delete a FRESH lock and
+    admit two concurrent committers (ADVICE r10 medium)."""
     import json
     import os
     import time
@@ -395,12 +403,85 @@ def test_jsonl_stale_commit_lock_is_broken(tmp_path):
     d = tmp_path / "tbl"
     d.mkdir()
     lock = d / "_COMMIT.lock"
-    lock.write_text("crashed-writer")
+    lock.write_text("crashed-writer")  # file exists, flock NOT held
     old = time.time() - 3600
     os.utime(lock, (old, old))
 
     w, msgs = _staged_writer(d, overwrite=False)
+    start = time.monotonic()
     w.commit(msgs)
+    assert time.monotonic() - start < 30  # no stale-wait
     m = json.load(open(d / "_MANIFEST.json"))
     assert set(m["files"]) == {msg.filename for msg in msgs}
     assert not lock.exists()
+
+
+def test_jsonl_lock_unlink_race_never_two_holders(tmp_path):
+    """The unlink-safe flock pattern: a waiter that flocked an inode
+    the releasing holder already unlinked must detect the dead inode
+    and re-contend on the fresh file, never treat the dead flock as
+    the table lock. Driven directly against _acquire_commit_lock with
+    a holder thread that releases (unlink-before-close) mid-wait."""
+    import os
+    import threading
+
+    from wikidatabots_spark.sinks.jsonl_datasource import (
+        _acquire_commit_lock,
+        _release_commit_lock,
+    )
+
+    d = str(tmp_path / "tbl")
+    os.makedirs(d)
+    fd1, lock1 = _acquire_commit_lock(d)
+
+    got = {}
+
+    def waiter():
+        got["fdlock"] = _acquire_commit_lock(d)
+
+    t = threading.Thread(target=waiter, daemon=True)
+    t.start()
+    _release_commit_lock(fd1, lock1)
+    t.join(timeout=60)
+    assert "fdlock" in got
+    fd2, lock2 = got["fdlock"]
+    # the acquired lock is on the LIVE inode at the path
+    assert os.fstat(fd2).st_ino == os.stat(lock2).st_ino
+    _release_commit_lock(fd2, lock2)
+    assert not os.path.exists(lock2)
+
+
+def test_jsonl_per_job_staging_dirs_compose(tmp_path):
+    """Concurrent publishers stage independently (ADVICE r10 low): with
+    the old SHARED _staging dir, job A's commit rmtree'd job B's
+    still-staged parts and B's os.replace raised FileNotFoundError.
+    Staging dirs are now per-job (uuid chosen in __init__), so A's
+    commit leaves B's staged parts intact and both commits compose."""
+    import json
+    import os
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    wa, msgs_a = _staged_writer(d, overwrite=False)
+    wb, msgs_b = _staged_writer(d, overwrite=False)
+    assert wa.staging != wb.staging
+    # B renames one part name out of A's namespace so the two jobs'
+    # part files do not collide in the table dir
+    bname = "part-jobB.jsonl"
+    os.rename(
+        os.path.join(wb.staging, msgs_b[0].filename),
+        os.path.join(wb.staging, bname),
+    )
+    msgs_b[0].filename = bname
+    msgs_b = msgs_b[:1]
+
+    wa.commit(msgs_a)
+    # A's commit must not have touched B's staging
+    assert os.path.exists(os.path.join(wb.staging, bname))
+    wb.commit(msgs_b)
+    m = json.load(open(d / "_MANIFEST.json"))
+    assert {msg.filename for msg in msgs_a} <= set(m["files"])
+    assert bname in m["files"]
+    assert m["n_rows"] == sum(msg.n_rows for msg in msgs_a) + msgs_b[0].n_rows
+    # no staging debris
+    assert not [x for x in os.listdir(d) if x.startswith("_staging")]

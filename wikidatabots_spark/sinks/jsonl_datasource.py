@@ -46,51 +46,84 @@ class JsonlCommitMessage(WriterCommitMessage):
 # Publisher mutual exclusion (ADVICE r9 / VERDICT r9 #4): without it,
 # job B's pre-commit orphan sweep can delete job A's freshly renamed
 # parts in the window between A's renames and A's manifest swap —
-# silently dropping committed data. commit() is rename + one small
-# manifest write, so holding an exclusive lock for its duration costs
-# microseconds; a lock left by a crashed committer is broken after
-# _LOCK_STALE_S (commit never legitimately takes that long).
+# silently dropping committed data.
+#
+# The lock is a kernel flock (ADVICE r10), not a create-exclusively +
+# staleness-heuristic file. The r10 design stat'd the lock's mtime and
+# os.remove'd it when older than 60 s, which had two real failure
+# modes: (a) a stat→remove TOCTOU — between B observing "stale" and B
+# removing, a racer could break the lock AND a new committer could
+# acquire a fresh one, which B then removed, admitting two concurrent
+# committers (the exact orphan-sweep data-loss race the lock exists to
+# prevent); and (b) a live committer doing many per-part renames on a
+# slow filesystem could exceed the bound and be "broken" while alive.
+# flock has neither: the kernel releases a crashed holder's lock
+# automatically (no staleness guess), and acquisition is an atomic
+# kernel operation (no TOCTOU). Scope: advisory flock serializes
+# committers on ONE host — exactly the local[*] deployment this sink
+# targets; a multi-host production deployment publishes via an object
+# store's manifest-pointer swap (the VersionedTable pattern) instead.
 _LOCK_NAME = "_COMMIT.lock"
-_LOCK_STALE_S = 60.0
 _LOCK_TIMEOUT_S = 300.0
 _LOCK_POLL_S = 0.02
 
 
-def _acquire_commit_lock(path: str) -> str:
+def _acquire_commit_lock(path: str) -> tuple[int, str]:
+    """Exclusive commit lock: returns (fd, lock_path); release with
+    `_release_commit_lock`. The open→flock→inode-revalidate loop is the
+    standard unlink-safe lockfile pattern: if the file we flocked was
+    unlinked (by a releasing holder) while we waited, our lock is on a
+    dead inode — any later committer would open the NEW file at the
+    path and lock it concurrently — so re-open and retry."""
+    import fcntl
+
     lock = os.path.join(path, _LOCK_NAME)
     deadline = time.monotonic() + _LOCK_TIMEOUT_S
     while True:
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            try:
-                os.write(fd, str(os.getpid()).encode())
-            finally:
-                os.close(fd)
-            return lock
-        except FileExistsError:
-            try:
-                age = time.time() - os.stat(lock).st_mtime
-            except OSError:
-                continue  # holder just released; retry immediately
-            if age > _LOCK_STALE_S:
-                # crashed committer: break the lock (best-effort — if a
-                # racer removes it first, the next loop re-contends)
-                with contextlib.suppress(OSError):
-                    os.remove(lock)
-                continue
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
+            os.close(fd)
             if time.monotonic() > deadline:
                 raise TimeoutError(
                     f"jsonl_commit: could not acquire {lock} within "
-                    f"{_LOCK_TIMEOUT_S}s (held {age:.1f}s)"
+                    f"{_LOCK_TIMEOUT_S}s"
                 )
             time.sleep(_LOCK_POLL_S)
+            continue
+        try:
+            same = os.fstat(fd).st_ino == os.stat(lock).st_ino
+        except OSError:
+            same = False  # unlinked while we raced; retry
+        if same:
+            return fd, lock
+        os.close(fd)
+
+
+def _release_commit_lock(fd: int, lock: str) -> None:
+    """Unlink BEFORE closing (which drops the flock): waiters blocked on
+    the old inode detect the unlink via the inode revalidation and
+    re-contend on the fresh file — never two holders."""
+    with contextlib.suppress(OSError):
+        os.unlink(lock)
+    os.close(fd)
 
 
 class JsonlWriter(DataSourceWriter):
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         self.field_names = [f.name for f in schema.fields]
         self.path = options["path"]
-        self.staging = os.path.join(self.path, "_staging")
+        # Per-JOB staging dir (ADVICE r10): the writer is constructed
+        # once on the driver and pickled to every task, so the uuid is
+        # shared job-wide but distinct across jobs. With a SHARED
+        # staging dir, concurrent job A's commit() rmtree'd job B's
+        # still-staged parts and B's os.replace later raised
+        # FileNotFoundError — loud, but concurrent publishers could
+        # never compose. commit/abort now remove only their own dir.
+        self.staging = os.path.join(
+            self.path, f"_staging-{uuid.uuid4().hex}"
+        )
         self.overwrite = overwrite
 
     def write(self, iterator) -> JsonlCommitMessage:
@@ -107,12 +140,11 @@ class JsonlWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         os.makedirs(self.path, exist_ok=True)
-        lock = _acquire_commit_lock(self.path)
+        fd, lock = _acquire_commit_lock(self.path)
         try:
             self._commit_locked(messages)
         finally:
-            with contextlib.suppress(OSError):
-                os.remove(lock)
+            _release_commit_lock(fd, lock)
 
     def _commit_locked(self, messages) -> None:
         # Self-heal orphans FIRST (ADVICE r7): parts on disk that the
