@@ -27,8 +27,99 @@ import math
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import Column, SparkSession
+
+# ---------------------------------------------------------------------------
+# Atomic directory publish (pointer swap)
+#
+# The r10 swap protocol renamed the live dir aside and the staged dir in
+# (two renames). ADVICE r10: between the two renames the store does not
+# exist — a concurrent reader throws and a crash strands the data at
+# `path + ".old"`, which then wedges the NEXT compaction's rename with
+# ENOTEMPTY. The fixed protocol keeps the table path as a SYMLINK to an
+# immutable sibling version directory (`path.v-<uuid>`): publishing is
+# one os.rename of a fresh symlink over the old one — atomic on POSIX,
+# so readers holding the path always resolve to a complete store and a
+# crash at ANY step leaves the previous version current (the staged
+# version dir is unreferenced garbage, swept by the next publish).
+# Writers are oblivious: reads, appends, and Spark's dynamic partition
+# overwrite all resolve through the symlink. This is the local-FS
+# realization of the VersionedTable manifest-pointer pattern; on an
+# object store the symlink becomes the manifest pointer.
+#
+# Concurrency scope: one publisher at a time (foreachBatch maintenance
+# and offline compaction are both single-threaded by contract); an
+# in-flight reader that resolved the pointer BEFORE a publish may race
+# the version sweep — production retains N versions via a real table
+# format, and `_sweep_versions` here keeps only the current one.
+# ---------------------------------------------------------------------------
+
+
+def ensure_linked_store(path: str) -> None:
+    """Create an empty store published behind a symlink pointer, so
+    every later `publish_dir_swap` is a single atomic rename with no
+    migration window. No-op if ``path`` already exists (symlink or
+    legacy real directory)."""
+    if os.path.islink(path) or os.path.exists(path):
+        return
+    version = path + ".v-" + uuid.uuid4().hex
+    os.makedirs(version)
+    _point(path, version)
+
+
+def _point(path: str, version: str) -> None:
+    """Atomically (re)target ``path`` at ``version`` (a sibling dir):
+    create a fresh RELATIVE symlink under a temp name, rename it over
+    the path. rename(2) replaces an existing symlink atomically."""
+    tmp = path + ".ptr-" + uuid.uuid4().hex
+    os.symlink(os.path.basename(version), tmp)
+    os.rename(tmp, path)
+
+
+def publish_dir_swap(staged: str, path: str) -> None:
+    """Atomically publish the ``staged`` directory as the new contents
+    of ``path``. Readers see the old complete store or the new complete
+    store at every instant; a crash at any step leaves the old store
+    current and at worst an unreferenced version dir (swept on the next
+    publish). A legacy real-directory store is migrated behind the
+    pointer on its first publish (the one protocol step with a
+    non-atomic window — avoided entirely by creating stores via
+    `ensure_linked_store`)."""
+    version = path + ".v-" + uuid.uuid4().hex
+    os.rename(staged, version)
+    if os.path.lexists(path) and not os.path.islink(path):
+        # one-time migration of a pre-pointer store: rename it aside so
+        # the pointer can take the path. Window: `path` is absent
+        # between these two renames (legacy stores only).
+        os.rename(path, path + ".v-legacy-" + uuid.uuid4().hex)
+    _point(path, version)
+    _sweep_versions(path)
+
+
+def _sweep_versions(path: str) -> None:
+    """Garbage-collect superseded version dirs, crashed pointer temps,
+    and pre-pointer `.old` leftovers. Safe to crash mid-sweep: every
+    target is unreferenced by the current pointer."""
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    base = os.path.basename(path)
+    cur = os.readlink(path) if os.path.islink(path) else None
+    for name in os.listdir(parent):
+        full = os.path.join(parent, name)
+        if name.startswith(base + ".v-") and name != cur:
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith(base + ".ptr-"):
+            with _suppress_oserror():
+                os.remove(full)
+        elif name == base + ".old":
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def _suppress_oserror():
+    import contextlib
+
+    return contextlib.suppress(OSError)
 
 
 def compact_parquet_dir(
@@ -58,9 +149,6 @@ def compact_parquet_dir(
     )
     staged = os.path.join(tmp, "staged")
     df.write.mode("overwrite").parquet(staged)
-    old = table_dir + ".old"
-    os.rename(table_dir, old)
-    os.rename(staged, table_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    publish_dir_swap(staged, table_dir)
     shutil.rmtree(tmp, ignore_errors=True)
     return sum(1 for f in os.listdir(table_dir) if f.endswith(".parquet"))

@@ -281,8 +281,14 @@ def rollup_maintenance(
     so replays are naturally absorbed at merge time.
     """
     from wikidatabots_spark.plans.events import rollup_partials, rollup_user_keys
+    from wikidatabots_spark.sinks.compaction import ensure_linked_store
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # stores live behind a symlink pointer from birth so the
+        # compaction rewrite (`compact_rollup_state`) publishes with one
+        # atomic rename — no migration window, ever (ADVICE r10 low)
+        ensure_linked_store(partials_path)
+        ensure_linked_store(user_keys_path)
         (
             rollup_partials(batch_df)
             .withColumn("__batch_id", F.lit(batch_id))
@@ -328,13 +334,19 @@ def compact_rollup_state(
     defining monoid, so pre-merging slices cannot change the served
     view; it only bounds the row count at keys (not keys × batches).
 
-    Both rewrites publish via the atomic directory swap protocol
-    (``sinks.compaction``): readers see the old store or the new one,
-    never a mix. Returns the compacted partials row count.
+    Both rewrites publish via ``sinks.compaction.publish_dir_swap``:
+    the store path is a symlink pointer retargeted by ONE atomic
+    rename, so readers see the old complete store or the new complete
+    store at every instant — no window where the path is absent, no
+    ``.old`` leftovers to wedge the next compaction (ADVICE r10 low;
+    the old two-rename protocol had both). Returns the compacted
+    partials row count.
     """
     import os
     import shutil
     import tempfile
+
+    from wikidatabots_spark.sinks.compaction import publish_dir_swap
 
     def _swap_rewrite(df: DataFrame, path: str) -> None:
         tmp = tempfile.mkdtemp(
@@ -343,10 +355,7 @@ def compact_rollup_state(
         )
         staged = os.path.join(tmp, "staged")
         df.write.mode("overwrite").parquet(staged)
-        old = path + ".old"
-        os.rename(path, old)
-        os.rename(staged, path)
-        shutil.rmtree(old, ignore_errors=True)
+        publish_dir_swap(staged, path)
         shutil.rmtree(tmp, ignore_errors=True)
 
     raw = spark.read.parquet(partials_path)
