@@ -23,6 +23,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _l2sq(vec, cent: list[float]):
+    """Squared L2 distance between an array column and a literal center
+    (sequential left-to-right fold, index order — the oracle's
+    generate_series sum replays the same arithmetic)."""
+    lit = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(
+            vec, lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -32,53 +46,78 @@ def knn_ivf(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF-Flat approximate top-k: (query_id, neighbor_id, rank)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    """IVF-Flat approximate top-k: (query_id, neighbor_id, rank).
 
+    ``centroids``: optional driver-held coarse centers (KB-sized — the
+    same bounded-literal pattern as the PQ codebooks). When given, the
+    quantizer is a pure argmin-L2 NARROW MAP against the literal
+    centers — zero shuffle for assignment AND probing, deterministic
+    end to end, which is what lets the registry hash-check the full
+    IVF pipeline. When None, centers come from MLlib KMeans
+    (seed-reproducible but RNG-internal — the library-parity path,
+    pytest-covered)."""
     from wikidatabots_spark.operators.similarity import cosine
 
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    km = KMeans(k=n_cells, seed=seed, maxIter=10)
-    model = km.fit(c.select("features"))
-    assigned = model.transform(c).withColumnRenamed("prediction", "cell")
-
-    centroids = model.clusterCenters()
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    # nprobe nearest centroids per query, via a tiny broadcast centroid table
-    spark = queries.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c_]) for i, c_ in enumerate(centroids)],
-        "cell int, centroid array<double>",
-    )
-    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
-        "dist",
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("q_vec"),
-                    F.col("centroid"),
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        cf = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+                "features"
+            ),
+        )
+        km = KMeans(k=n_cells, seed=seed, maxIter=10)
+        model = km.fit(cf.select("features"))
+        centroids = [[float(x) for x in c_] for c_ in model.clusterCenters()]
+        assigned = (
+            model.transform(cf)
+            .withColumnRenamed("prediction", "cell")
+            .select("neighbor_id", "c_vec", "cell")
+        )
+    else:
+        # argmin over literal centers; array_position takes the FIRST
+        # (= lowest-cell) occurrence of the min, the deterministic
+        # tie-break the oracle mirrors with ORDER BY d2, cell
+        dists = F.array(*[_l2sq(F.col("c_vec"), ct) for ct in centroids])
+        assigned = c.select(
+            "neighbor_id",
+            "c_vec",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+    # nprobe nearest centers per query: sort a 16-element (d2, cell)
+    # struct array and slice — narrow, no shuffle, no centroid join
+    qd = F.array(
+        *[
+            F.struct(
+                _l2sq(F.col("q_vec"), ct).alias("d"),
+                F.lit(i).cast("int").alias("cell"),
             )
-        ),
+            for i, ct in enumerate(centroids)
+        ]
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("cell"))
-    probed = (
-        qc.withColumn("cell_rank", F.row_number().over(wq))
-        .where(F.col("cell_rank") <= nprobe)
-        .select("query_id", "q_vec", "cell")
+    probed = q.select(
+        "query_id",
+        "q_vec",
+        F.explode(
+            F.transform(
+                F.slice(F.sort_array(qd), 1, nprobe), lambda s: s["cell"]
+            )
+        ).alias("cell"),
     )
-    cand = probed.join(assigned.select("neighbor_id", "c_vec", "cell"), on="cell")
+    cand = probed.join(assigned, on="cell")
     cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
     w = Window.partitionBy("query_id").orderBy(

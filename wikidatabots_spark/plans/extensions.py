@@ -979,24 +979,178 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(near)
 
 
-@register("knn_ivf_topk")  # rows-only: KMeans-seeded, approximate by design
+def _knn_ivf_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """DuckDB replication of the md5-seeded IVF-Flat pipeline: the
+    coarse centers are the ``n_cells`` corpus vectors ranked first by
+    (md5(vec_id), vec_id) — derivable in SQL, no RNG — so assignment
+    (argmin L2, ties to the lowest cell), nprobe probing, and the exact
+    cosine re-rank are all rebuilt and hash-compared end to end."""
+    return f"""
+WITH ordered AS (
+    SELECT vec_id, embedding,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS rn
+    FROM embeddings
+),
+cents AS (
+    SELECT CAST(rn - 1 AS INT) AS cell, embedding AS cvec
+    FROM ordered WHERE rn <= {n_cells}
+),
+d2 AS (
+    SELECT e.vec_id, c.cell,
+           SUM((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+             * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))
+               AS d2
+    FROM embeddings e, cents c, generate_series(1, 64) t(i)
+    GROUP BY e.vec_id, c.cell
+),
+assigned AS (
+    SELECT vec_id AS neighbor_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d2) WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d2 WHERE vec_id < 20) WHERE rn <= {nprobe}
+),
+cand AS (
+    SELECT p.query_id, a.neighbor_id
+    FROM probes p JOIN assigned a USING (cell)
+    WHERE a.neighbor_id != p.query_id
+),
+norms AS (
+    SELECT vec_id,
+           sqrt(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+               AS nrm
+    FROM embeddings, generate_series(1, 64) t(i)
+    GROUP BY vec_id
+),
+dots AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           SUM(CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE))
+               AS dot
+    FROM cand cd
+    JOIN embeddings eq ON eq.vec_id = cd.query_id
+    JOIN embeddings ec ON ec.vec_id = cd.neighbor_id,
+    generate_series(1, 64) t(i)
+    GROUP BY cd.query_id, cd.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot / (nq.nrm * nc.nrm) DESC,
+                                       neighbor_id) AS rank
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("knn_ivf_topk", oracle=_knn_ivf_oracle())
 def knn_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN (MLlib KMeans cells + nprobe search) — the scale path
-    alternative to SRP bucketing."""
+    """IVF-Flat ANN (16 cells, nprobe=4, exact cosine re-rank) — the
+    scale-path alternative to SRP bucketing, HASH-CHECKED since r11
+    (closes the r10 rows-only carryover): the coarse centers are the 16
+    corpus vectors ranked first by (md5(vec_id), vec_id) — a
+    deterministic, SQL-derivable seeding, the same closure move as
+    knn_lsh_topk's embedded SRP planes — so the whole pipeline
+    (assignment, probing, re-rank) is rebuilt by the oracle. The
+    MLlib-KMeans-quantizer variant stays pytest-covered
+    (tests/test_operators.py::test_knn_ivf_overlaps_brute); its RNG
+    lives inside the library and cannot be replayed in SQL.
+
+    Scale: the centers are a KB-sized driver literal (the PQ-codebook
+    pattern), so assignment AND probing are zero-shuffle narrow maps;
+    candidates are one cell-keyed equi-join; the only corpus exchange
+    is the final per-query top-k window."""
     from wikidatabots_spark.operators.similarity_ml import knn_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_ivf(emb.where(F.col("vec_id") < 20), emb, k=5)
+    seeds = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
+        .limit(16)
+        .collect()
+    )
+    cents = [[float(x) for x in r.embedding] for r in seeds]
+    return knn_ivf(
+        emb.where(F.col("vec_id") < 20), emb, k=5, nprobe=4, centroids=cents
+    )
 
 
-@register("dedup_minhash_ml")  # rows-only: MLlib MinHashLSH is RNG-seeded
+_MINHASH_ML_ORACLE = """
+WITH w AS (
+    SELECT doc_id,
+           list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x != '')) AS ws
+    FROM documents
+),
+p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.ws, b.ws)) AS inter,
+           len(list_distinct(list_concat(a.ws, b.ws))) AS uni
+    FROM w a JOIN w b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
+FROM p WHERE inter * 10 >= uni * 9
+"""
+
+
+@register("dedup_minhash_ml", oracle=_MINHASH_ML_ORACLE)
 def dedup_minhash_ml_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib HashingTF → MinHashLSH approxSimilarityJoin (the SURVEY §7
-    Phase-5 pipeline verbatim); the deterministic string-MinHash variant
-    carries the oracle, this carries the library-API parity."""
+    Phase-5 pipeline verbatim) as the CANDIDATE GENERATOR, verified to
+    exact unigram-set Jaccard ≥ 0.9 — HASH-CHECKED since r11 (closes
+    the r10 rows-only carryover). The contract the oracle checks is
+    real: the all-pairs SQL lists every pair with token-Jaccard ≥ 0.9,
+    so the Spark result matches iff MLlib's 8-table LSH recalled every
+    true near-dup pair (per-pair miss probability ≤ (1-0.9)^8 = 1e-8 —
+    a collision in ANY of the 8 minhash tables makes a candidate, and
+    the loose 0.5 distance pre-filter cannot drop a 0.9-similar pair).
+    A genuine MLlib recall regression therefore surfaces as a driver
+    hash MISMATCH instead of hiding behind a rows-only check.
+
+    Scale: LSH candidates + exact verify is the production dedup shape
+    (candidates are hash-bucket joins, never all pairs); the O(n²)
+    side lives only in the ORACLE, as ground truth must."""
     from wikidatabots_spark.operators.similarity_ml import minhash_lsh_ml
 
-    return minhash_lsh_ml(load_table(spark, sf_dir, "documents"), jaccard_distance_threshold=0.1)
+    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_ml(
+        d, jaccard_distance_threshold=0.5, num_hash_tables=8
+    ).select("id_a", "id_b")
+    words = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+            )
+        ).alias("ws"),
+    )
+    return (
+        cand.join(
+            words.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa")),
+            "id_a",
+        )
+        .join(
+            words.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("wb")),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("wa", "wb")))
+        .withColumn("uni", F.size(F.array_union("wa", "wb")))
+        .where(F.col("inter") * 10 >= F.col("uni") * 9)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / F.col("uni")).alias("jaccard"),
+        )
+    )
 
 
 def _cms_oracle(depth: int = 4, width: int = 256) -> str:
