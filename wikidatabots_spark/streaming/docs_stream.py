@@ -406,9 +406,14 @@ def dedup_graph_maintenance(
     bounded at the affected components), (c) probe the accumulated
     index (partition-pruned via ``read_band_index``, bucket-capped at
     probe time — stored uncapped, as the deletion twin requires),
-    (d) within-batch capped pairs plus star edges for the TOUCHED
-    prior components only, (e) one min-label CC over that bounded edge
-    set, (f) write the batch's label DELTA — only nodes of touched /
+    (d) CONTRACT each probe hit's prior endpoint to its component hub
+    (the component min — always a real node), so within-batch capped
+    pairs plus hub edges are all CC ever sees: prior members never
+    enter the iteration and are relabeled by ONE post-CC equi-join on
+    their old component id (r11, VERDICT r10 next #3; the r10 shape
+    injected star edges per touched member, paying CC rounds and
+    shuffle proportional to member count), (e) one min-label CC over
+    that contracted edge set, (f) write the batch's label DELTA — only nodes of touched /
     affected components, with ``TOMBSTONE_COMPONENT`` rows for nodes
     that lost their label — never a full snapshot. Contract: a doc_id
     must not appear as both an insert and a delete in the SAME batch
@@ -545,17 +550,46 @@ def dedup_graph_maintenance(
             bn = bands_new.select(
                 F.col("doc_id").alias("id_n"), "band_idx", "band_hash"
             )
+            # CONTRACTION (r11, VERDICT r10 next #3): a probe hit's prior
+            # endpoint is replaced by its component HUB (the component
+            # min — always a real node) before CC runs, so the CC graph
+            # holds only batch nodes + touched hubs + probed prior
+            # singletons, never whole prior components. Prior members
+            # are relabeled AFTER CC by one equi-join on their old
+            # component id. Exactness: members of a prior component are
+            # already known connected, so contracting them to their hub
+            # preserves the component structure (the standard
+            # contraction step of incremental CC); the r10 shape instead
+            # injected star edges for every touched member, paying CC
+            # rounds and shuffle volume proportional to member count.
             cand = pushdown_fence(
                 bn.join(
                     cap_band_buckets(prior_idx).select(
                         F.col("doc_id").alias("id_p"), "band_idx", "band_hash"
                     ),
                     ["band_idx", "band_hash"],
-                ).select("id_n", "id_p")
+                )
+                .select("id_n", "id_p")
+                .join(
+                    post_labels.select(
+                        F.col("node").alias("id_p"),
+                        F.col("component").alias("p_comp"),
+                    ),
+                    "id_p",
+                    "left",
+                )
+                .select(
+                    "id_n",
+                    "id_p",
+                    # unlabeled prior docs are singletons: their hub is
+                    # themselves
+                    F.coalesce("p_comp", F.col("id_p")).alias("p_hub"),
+                    "p_comp",
+                )
             )
             probe_cross = cand.select(
-                F.least("id_n", "id_p").alias("id_a"),
-                F.greatest("id_n", "id_p").alias("id_b"),
+                F.least("id_n", "p_hub").alias("id_a"),
+                F.greatest("id_n", "p_hub").alias("id_b"),
             )
             bn2 = bn.select(
                 F.col("id_n").alias("id_n2"), "band_idx", "band_hash"
@@ -568,39 +602,35 @@ def dedup_graph_maintenance(
                     F.col("id_n").alias("id_a"), F.col("id_n2").alias("id_b")
                 )
             )
-            # star edges ONLY for components the probe actually hit:
-            # untouched components keep their existing delta rows, so
-            # re-injecting them would just rewrite identical labels
-            touched = (
-                post_labels.join(
-                    cand.select(F.col("id_p").alias("node")),
-                    "node",
-                    "left_semi",
-                )
-                .select("component")
-                .distinct()
-            )
-            stars = (
-                post_labels.join(touched, "component", "left_semi")
-                .where(F.col("node") != F.col("component"))
-                .select(
-                    F.col("component").alias("id_a"),
-                    F.col("node").alias("id_b"),
-                )
-            )
-            edges = (
-                probe_cross.unionByName(probe_new)
-                .unionByName(stars)
-                .distinct()
-            )
+            edges = probe_cross.unionByName(probe_new).distinct()
             ins_cc = pushdown_fence(
                 connected_components(edges).select("node", "component")
             )
-            resolved = ins_cc
+            # expand the contraction: members of touched components take
+            # their hub's new label (hubs themselves are in ins_cc)
+            touched = (
+                cand.where(F.col("p_comp").isNotNull())
+                .select(F.col("p_comp").alias("component"))
+                .distinct()
+            )
+            relabeled = (
+                post_labels.join(touched, "component", "left_semi")
+                .where(F.col("node") != F.col("component"))
+                .join(
+                    ins_cc.select(
+                        F.col("node").alias("component"),
+                        F.col("component").alias("__newc"),
+                    ),
+                    "component",
+                )
+                .select("node", F.col("__newc").alias("component"))
+            )
+            resolved = ins_cc.unionByName(relabeled)
             if recomputed_del is not None:
-                resolved = ins_cc.unionByName(
+                resolved = pushdown_fence(resolved)
+                resolved = resolved.unionByName(
                     recomputed_del.join(
-                        ins_cc.select("node"), "node", "left_anti"
+                        resolved.select("node"), "node", "left_anti"
                     )
                 )
                 resolved = pushdown_fence(resolved)
