@@ -205,6 +205,11 @@ HEADLINERS = [
     # delta labels + pruned probes + mid-run compaction over three
     # staged micro-batches) priced end to end
     "dedup_graph_stream",
+    # round-11: the composed streaming ingest path (decontamination
+    # gate → dedup-graph maintenance → streamed DSIR model + scoring
+    # over the same staged micro-batches) priced end to end — the
+    # heaviest headliner by construction, priced rather than hidden
+    "ingest_pipeline_stream",
 ]
 
 # The multi-GB-shuffle composed pipelines: scheduled LAST within every
@@ -219,6 +224,7 @@ HEAVY_LAST = [
     "curate_corpus_v8",
     "corpus_dedup_funnel",
     "dedup_graph_stream",
+    "ingest_pipeline_stream",
 ]
 
 # Queries the judge grades against hard wall-clock bars: these get two

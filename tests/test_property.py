@@ -600,6 +600,7 @@ _GRAPH_TEXTS = [
         max_size=12,
     ),
     delete_mask=st.lists(st.booleans(), min_size=12, max_size=12),
+    compact_mask=st.lists(st.booleans(), min_size=5, max_size=5),
 )
 @settings(
     max_examples=5,
@@ -607,19 +608,23 @@ _GRAPH_TEXTS = [
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_dedup_graph_maintenance_random_batches_match_recompute(
-    spark, tmp_path_factory, assignment, delete_mask
+    spark, tmp_path_factory, assignment, delete_mask, compact_mask
 ):
-    """Property: for ANY assignment of docs to 3 insert batches and ANY
-    deletion subset applied mid-stream (between batches 1 and 2), the
-    served labels equal the full min-label CC recompute over the
-    surviving documents — the multi-batch induction of the insertion +
-    bounded-deletion theorems under arbitrary interleavings."""
+    """Property: for ANY assignment of docs to 3 insert batches, ANY
+    deletion subset applied mid-stream (between batches 1 and 2), and
+    ``compact_labels`` interleaved at ANY subset of the batch
+    boundaries (VERDICT r10 next #6 — previously compaction was only
+    tested at fixed points), the served labels equal the full min-label
+    CC recompute over the surviving documents — the multi-batch
+    induction of the insertion + bounded-deletion theorems under
+    arbitrary interleavings, with retention folding arbitrary too."""
     from wikidatabots_spark.operators.dedup import (
         band_pairs,
         connected_components,
         minhash_band_table,
     )
     from wikidatabots_spark.streaming.docs_stream import (
+        compact_labels,
         dedup_graph_maintenance,
         latest_labels,
     )
@@ -647,17 +652,27 @@ def test_dedup_graph_maintenance_random_batches_match_recompute(
         )
 
     bid = 0
+
+    def maybe_compact():
+        # hypothesis decides whether a retention fold lands at this
+        # batch boundary; the served view must be invariant to it
+        if compact_mask[bid]:
+            compact_labels(spark, labels_path, keep_last=1)
+
     for b in (0, 1):
         rows = [(i, t, "insert") for i, t, bb in docs if bb == b]
         if rows:
             sink(batch_df(rows), bid)
+            maybe_compact()
             bid += 1
     if deleted:
         sink(batch_df([(i, None, "delete") for i in deleted]), bid)
+        maybe_compact()
         bid += 1
     rows = [(i, t, "insert") for i, t, bb in docs if bb == 2]
     if rows:
         sink(batch_df(rows), bid)
+        maybe_compact()
         bid += 1
     if bid == 0:
         return  # hypothesis drew an empty run; nothing to assert

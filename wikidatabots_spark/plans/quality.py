@@ -2973,6 +2973,197 @@ def dedup_graph_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ingest_pipeline_stream — the full streaming ingest path, ONE seated query
+# ---------------------------------------------------------------------------
+
+
+def _ingest_stream_oracle() -> str:
+    """The batch composition of the full ingest path: decontamination
+    flags (the text_contamination program) → admitted corpus (anti-join)
+    → full-corpus min-label CC over the admitted docs (the
+    dedup_components program re-based on `clean`) → DSIR model trained
+    on the admitted corpus and scores for its raw docs (the dsir_sc
+    program re-based on `clean`). Three UNION ALL legs, tagged."""
+    from wikidatabots_spark.plans.extensions import (
+        _MINHASH_ANCHORS_SQL,
+        _MINHASH_STACKED_SQL,
+        _TOK_SQL,
+    )
+    from wikidatabots_spark.plans.llmdata import _DSIR_SC_CTES
+
+    assert _TOK_SQL.count("FROM documents") == 1, "tok CTE moved"
+    assert _DSIR_SC_CTES.count("FROM documents") == 1, "dsir CTE moved"
+    tok_clean = _TOK_SQL.replace("FROM documents", "FROM clean")
+    dsir_clean = _DSIR_SC_CTES.replace("FROM documents", "FROM clean")
+    return f"""
+WITH RECURSIVE
+w5 AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x != '') AS wl
+    FROM documents
+),
+g5 AS (
+    SELECT doc_id, md5(gr) AS gram_hash FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(wl) - 4, 0)),
+                   i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]
+                        || ' ' || wl[i+3] || ' ' || wl[i+4]))) AS gr
+        FROM w5)
+),
+flagged AS (
+    SELECT t.doc_id AS train_id,
+           CAST(COUNT(DISTINCT t.gram_hash) AS BIGINT) AS n_collided_grams
+    FROM (SELECT * FROM g5 WHERE doc_id % 7 <> 0) t
+    JOIN (SELECT * FROM g5 WHERE doc_id % 7 = 0) b USING (gram_hash)
+    GROUP BY t.doc_id
+),
+clean AS (
+    SELECT doc_id, source, text FROM documents
+    WHERE doc_id % 7 <> 0
+      AND doc_id NOT IN (SELECT train_id FROM flagged)
+),
+{tok_clean},
+{_MINHASH_STACKED_SQL},
+{_MINHASH_ANCHORS_SQL},
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM anchors a
+    JOIN stacked b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+cc_edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+cc_nodes AS (SELECT DISTINCT u AS node FROM cc_edges),
+reach(node, r) AS (
+    SELECT node, node FROM cc_nodes
+    UNION
+    SELECT e.u, reach.r FROM reach JOIN cc_edges e ON e.v = reach.node
+),
+labels AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+{dsir_clean}
+SELECT 'flagged' AS leg, train_id AS doc_id, n_collided_grams AS val
+FROM flagged
+UNION ALL
+SELECT 'component' AS leg, node AS doc_id, CAST(component AS BIGINT) AS val
+FROM labels
+UNION ALL
+SELECT 'dsir' AS leg, doc_id, imp_ppm AS val FROM dsir_sc
+"""
+
+
+@register("ingest_pipeline_stream", oracle=_ingest_stream_oracle())
+def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL streaming ingest path composed into one seated query
+    (VERDICT r10 next #4): the same three staged micro-batches flow
+    through (1) the in-flight decontamination gate, (2) dedup-graph
+    maintenance over the ADMITTED docs only, and (3) streaming DSIR
+    model maintenance over the admitted docs — three independent state
+    stores fed by one stream — and the query returns the three served
+    artifacts union-tagged: the flagged set, the current component
+    labels, and the admitted raw docs scored by the STREAMED model via
+    the literal-map streaming scorer. The oracle is the batch
+    composition (contamination sweep → anti-join → full-corpus CC →
+    batch-trained DSIR scores), so hash equality proves the pieces
+    compose without cross-contaminating state: the graph never saw a
+    flagged doc, the model was trained on exactly the admitted corpus,
+    and the streamed model is bit-identical to batch retraining.
+
+    Scale: each batch pays the gate's broadcast gram probe, the
+    batch-sized signature + pruned index probe + contracted CC, and a
+    ≤1024-row additive model partial — all batch-sized; the serving
+    reads are merge-on-read over deltas. The only driver-side transfer
+    is the ≤1024-row model collect for the literal-map scorer."""
+    import os
+    import tempfile
+
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.textstats import words
+    from wikidatabots_spark.plans.llmdata import _DSIR_TARGET
+    from wikidatabots_spark.streaming.docs_stream import (
+        decontamination_gate,
+        dedup_graph_maintenance,
+        dsir_model_maintenance,
+        dsir_score_stream,
+        flagged_documents,
+        latest_labels,
+        merged_dsir_model,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    train = d.where(F.col("doc_id") % 7 != 0)
+    root = tempfile.mkdtemp(prefix="wdb_ingest_stream_")
+    flagged_path = os.path.join(root, "flagged")
+    index_path = os.path.join(root, "idx")
+    labels_path = os.path.join(root, "lbl")
+    partials_path = os.path.join(root, "dsir")
+    gate = decontamination_gate(bench, flagged_path, n=5)
+    graph = dedup_graph_maintenance(index_path, labels_path, compact_every=2)
+    dsir = dsir_model_maintenance(partials_path)
+    for i in range(3):
+        b = pushdown_fence(train.where(F.col("doc_id") % 3 == i))
+        gate(b, i)
+        # admit only documents the gate did not flag (a doc's verdict
+        # depends only on its own text, so the full-store anti-join is
+        # exactly this batch's verdicts for this batch's docs)
+        admitted = pushdown_fence(
+            b.join(
+                flagged_documents(spark, flagged_path).select(
+                    F.col("train_id").alias("doc_id")
+                ),
+                "doc_id",
+                "left_anti",
+            )
+        )
+        graph(admitted.select("doc_id", "text"), i)
+        dsir(admitted, i)
+    flags = flagged_documents(spark, flagged_path).select(
+        F.lit("flagged").alias("leg"),
+        F.col("train_id").alias("doc_id"),
+        F.col("n_collided_grams").cast("long").alias("val"),
+    )
+    comps = latest_labels(spark, labels_path).select(
+        F.lit("component").alias("leg"),
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("val"),
+    )
+    # the streamed model (bit-identical to batch retraining on the
+    # admitted corpus) feeds the literal-map streaming scorer
+    model = {
+        int(r.bucket): int(r.lr_ppm)
+        for r in merged_dsir_model(spark, partials_path).collect()
+    }
+    admitted_all = train.join(
+        flagged_documents(spark, flagged_path).select(
+            F.col("train_id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_anti",
+    )
+    scores = dsir_score_stream(
+        admitted_all.where(
+            (F.col("source") != F.lit(_DSIR_TARGET))
+            & (F.size(words(F.col("text"))) > 0)
+        ),
+        model,
+    ).select(
+        F.lit("dsir").alias("leg"),
+        "doc_id",
+        F.col("imp_ppm").cast("long").alias("val"),
+    )
+    return flags.unionByName(comps).unionByName(scores)
+
+
+# ---------------------------------------------------------------------------
 # curate_corpus_v6 — the flagship pipeline with DATA-DERIVED mixture weights
 # ---------------------------------------------------------------------------
 
