@@ -21,12 +21,24 @@ def test_registry_shape():
 
 def test_registry_priority_window():
     """The r1 driver hash-checked exactly the first 50 registry entries —
-    the §2-pinning queries must occupy that window (VERDICT.md r1 #1)."""
-    from wikidatabots_spark.plans.registry import PRIORITY
+    the §2-pinning queries must occupy that window (VERDICT.md r1 #1).
+    Since r11 the window is _CORE (every §2 pin + flagship, permanent)
+    plus ROTATING extension seats (VERDICT r10 next #7): the must_have
+    set below is the permanent contract; the rotating seats only need
+    to be drawn from the documented pool and carry oracles."""
+    from wikidatabots_spark.plans.registry import (
+        _CORE,
+        _EXTENSION_POOL,
+        PRIORITY,
+        ROTATING,
+    )
 
     q = plans.queries()
     window = list(q)[:50]
     assert window == PRIORITY
+    assert PRIORITY == [*_CORE, *ROTATING]
+    assert set(ROTATING) <= set(_EXTENSION_POOL)
+    assert len(set(PRIORITY)) == len(PRIORITY) == 50
     must_have = {
         # §2 micro pins named by the r1 verdict (try_cast/sample live in
         # the merged op_scalar_micro / op_sample slots; A1/A2 unique and
@@ -41,9 +53,10 @@ def test_registry_priority_window():
         # opencritic_add/update demoted r8 — opencritic_main's union
         # oracle pins both legs (disjoint 'wd:'/'wds:' prefixes)
         "opencritic_main",
-        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-        "q6_revenue_forecast", "q10_returned_items",
-        "sql_q1_identical_text", "sql_region_revenue",
+        # q3/q5/q10 and sql_region_revenue demoted to the rotating pool
+        # in r11 (they cycle back through the window; local gate always)
+        "q1_pricing_summary", "q6_revenue_forecast",
+        "sql_q1_identical_text",
         # graded LLM-pipeline components
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
         # simhash exact + near merged into one union-tagged slot r8
@@ -57,9 +70,12 @@ def test_registry_priority_window():
         "mm_media_meta", "mm_sample_frames", "mm_extract_features",
         "text_profile", "knn_cosine_topk",
         # promoted composed pipelines / extensions (VERDICT r2 next #2,
-        # r3 next #5)
-        "curate_corpus", "asof_purchase_signup", "sketch_count_min",
-        "dedup_winnow", "curate_corpus_v3", "corpus_mix_epochs",
+        # r3 next #5); curate_corpus v1/v3 and corpus_mix_epochs rotate
+        # since r11 (v8's oracle strictly supersedes the v-chain)
+        "asof_purchase_signup", "sketch_count_min",
+        "dedup_winnow",
+        # seated r11: the composed streaming ingest path
+        "ingest_pipeline_stream",
         # v7 -> v8 seat upgrade r8: v8's oracle is v7's entire program
         # plus the DSIR-gate splices (asserted single-site), so the
         # driver verifies a strict superset; v7 stays locally gated
