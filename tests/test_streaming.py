@@ -1280,6 +1280,82 @@ def test_compact_rollup_state_preserves_merged_view(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_compact_rollup_state_crash_at_every_step(spark, sf_dir, tmp_path):
+    """Fault injection over the rollup compaction's TWO sequential
+    pointer swaps (partials, then user keys): a crash at ANY filesystem
+    mutation — including between the two swaps, where the partials
+    store is already compacted and the key store is not — must leave
+    merged_rollup byte-identical (the partials fold is view-preserving
+    alone; the key store is a distinct target, so an uncompacted key
+    store merges identically). Recovery compaction then completes and
+    the view still matches."""
+    import os as _os
+    import shutil as _shutil
+
+    from wikidatabots_spark.sources.tables import load_table
+    from wikidatabots_spark.streaming.events_stream import (
+        compact_rollup_state,
+        merged_rollup,
+        rollup_maintenance,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    proto = tmp_path / "proto"
+    proto.mkdir()
+    partials_path = str(proto / "partials")
+    keys_path = str(proto / "keys")
+    sink = rollup_maintenance(partials_path, keys_path)
+    sink(ev.where(F.col("event_id") % 2 == 0), 0)
+    sink(ev.where(F.col("event_id") % 2 == 1), 1)
+
+    def view(pp, kp):
+        return {
+            (r.hour_start, r.event_type): (r.n_events, r.n_users, r.sum_value)
+            for r in merged_rollup(spark, pp, kp).collect()
+        }
+
+    want = view(partials_path, keys_path)
+
+    class Crash(RuntimeError):
+        pass
+
+    real = (_os.rename, _os.symlink, _shutil.rmtree)
+    k = 0
+    while True:
+        case = tmp_path / f"case{k}"
+        _shutil.copytree(proto, case, symlinks=True)
+        pp, kp = str(case / "partials"), str(case / "keys")
+        budget = [k]
+
+        def counted(fn):
+            def w(*a, **kw):
+                if budget[0] <= 0:
+                    raise Crash(f"fault at op {k}")
+                budget[0] -= 1
+                return fn(*a, **kw)
+
+            return w
+
+        _os.rename = counted(real[0])
+        _os.symlink = counted(real[1])
+        _shutil.rmtree = counted(real[2])
+        crashed = False
+        try:
+            compact_rollup_state(spark, pp, kp)
+        except Crash:
+            crashed = True
+        finally:
+            _os.rename, _os.symlink, _shutil.rmtree = real
+
+        assert view(pp, kp) == want, f"view torn at crash point {k}"
+        compact_rollup_state(spark, pp, kp)  # recovery completes
+        assert view(pp, kp) == want
+        if not crashed:
+            break
+        k += 1
+    assert k >= 4  # both swaps contribute distinct fault points
+
+
 def test_dsir_model_maintenance_matches_batch_retrain(spark, sf_dir, tmp_path):
     """Streaming maintenance of the DSIR importance model: documents
     arrive in 3 micro-batches, each appending only its per-bucket class
