@@ -1280,6 +1280,74 @@ def test_compact_rollup_state_preserves_merged_view(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_ingest_pipeline_composed_replay_idempotent(spark, sf_dir, tmp_path):
+    """The composed ingest path (decontamination gate → dedup-graph
+    maintenance → DSIR model maintenance, one stream feeding three
+    state stores) is replay-idempotent AS A WHOLE: re-invoking a batch
+    id on all three sinks (foreachBatch at-least-once, the crash-after-
+    partial-write case) leaves the flagged set, the served labels, and
+    the merged DSIR model byte-identical — the pieces' individual
+    fences compose without cross-contaminating state."""
+    from wikidatabots_spark.streaming.docs_stream import (
+        decontamination_gate,
+        dedup_graph_maintenance,
+        dsir_model_maintenance,
+        flagged_documents,
+        latest_labels,
+        merged_dsir_model,
+    )
+    from wikidatabots_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    train = d.where(F.col("doc_id") % 7 != 0)
+    flagged_path = str(tmp_path / "flagged")
+    index_path = str(tmp_path / "idx")
+    labels_path = str(tmp_path / "lbl")
+    partials_path = str(tmp_path / "dsir")
+    gate = decontamination_gate(bench, flagged_path, n=5)
+    graph = dedup_graph_maintenance(index_path, labels_path)
+    dsir = dsir_model_maintenance(partials_path)
+
+    def run_batch(i):
+        b = train.where(F.col("doc_id") % 2 == i)
+        gate(b, i)
+        admitted = b.join(
+            flagged_documents(spark, flagged_path).select(
+                F.col("train_id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
+        graph(admitted.select("doc_id", "text"), i)
+        dsir(admitted, i)
+
+    run_batch(0)
+    run_batch(1)
+
+    def snapshot():
+        flags = frozenset(
+            (r.train_id, r.n_collided_grams)
+            for r in flagged_documents(spark, flagged_path).collect()
+        )
+        labels = frozenset(
+            (r.node, r.component)
+            for r in latest_labels(spark, labels_path).collect()
+        )
+        model = frozenset(
+            (r.bucket, r.lr_ppm)
+            for r in merged_dsir_model(spark, partials_path).collect()
+        )
+        return flags, labels, model
+
+    once = snapshot()
+    run_batch(1)  # replay the last batch through ALL THREE sinks
+    assert snapshot() == once
+    assert all(len(part) > 0 for part in once)
+
+
 def test_compact_rollup_state_crash_at_every_step(spark, sf_dir, tmp_path):
     """Fault injection over the rollup compaction's TWO sequential
     pointer swaps (partials, then user keys): a crash at ANY filesystem
