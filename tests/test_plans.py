@@ -96,6 +96,20 @@ def test_registry_priority_window():
     # real oracles in r3 — no rows-only rows left in the hard signal)
     o = plans.oracle_sql()
     assert [n for n in window if n not in o] == []
+    # every FUTURE rotation slice is also valid: for any round, the
+    # seated pool entries are registered, oracle-carrying, and never
+    # collide with a core seat — bumping _ROTATION_ROUND can't brick
+    # the driver window
+    n_rot = len(ROTATING)
+    for r in range(len(_EXTENSION_POOL)):
+        slice_r = [
+            _EXTENSION_POOL[(r * n_rot + i) % len(_EXTENSION_POOL)]
+            for i in range(n_rot)
+        ]
+        assert all(n in plans.REGISTRY for n in slice_r)
+        assert all(n in o for n in slice_r)
+        assert not set(slice_r) & set(_CORE)
+        assert len(set(slice_r)) == n_rot
 
 
 def test_entry_smoke(spark, sf_dir):
