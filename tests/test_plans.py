@@ -112,6 +112,34 @@ def test_registry_priority_window():
         assert len(set(slice_r)) == n_rot
 
 
+def test_rotation_round_is_current():
+    """A stale _ROTATION_ROUND silently re-seats the previous rotation
+    slice and extension queries stop accumulating driver-side signal
+    (ADVICE r11). Derive the current round from the newest driver-written
+    CORRECTNESS_r{N}.json at the repo root: the driver commits round
+    N-1's record when round N opens, so during round N the newest file
+    is r(N-1) and _ROTATION_ROUND must equal that + 1. If the driver has
+    already written THIS round's record (end-of-round re-run), equality
+    with N itself is also accepted."""
+    import re
+    from pathlib import Path
+
+    from wikidatabots_spark.plans.registry import _ROTATION_ROUND
+
+    root = Path(__file__).resolve().parents[1]
+    rounds = [
+        int(m.group(1))
+        for p in root.glob("CORRECTNESS_r*.json")
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name))
+    ]
+    assert rounds, "driver correctness records missing from repo root"
+    newest = max(rounds)
+    assert _ROTATION_ROUND in (newest + 1, newest), (
+        f"_ROTATION_ROUND={_ROTATION_ROUND} is stale: newest driver record "
+        f"is CORRECTNESS_r{newest:02d}.json — bump plans/registry.py"
+    )
+
+
 def test_entry_smoke(spark, sf_dir):
     import importlib.util
 

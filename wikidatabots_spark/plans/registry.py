@@ -204,7 +204,12 @@ _EXTENSION_POOL: list[str] = [
     "corpus_mix_epochs",
 ]
 
-_ROTATION_ROUND = 11  # bump once per round
+# Bumped once per round. Guarded by tests/test_plans.py::test_rotation_round_is_current,
+# which derives the current round from the newest driver-written
+# CORRECTNESS_r{N}.json at the repo root (the driver commits round N-1's
+# record when round N opens), so a forgotten bump fails pytest loudly
+# instead of silently re-seating the previous rotation slice (ADVICE r11).
+_ROTATION_ROUND = 12
 _N_ROTATING = 6
 
 _offset = ((_ROTATION_ROUND - 11) * _N_ROTATING) % len(_EXTENSION_POOL)
