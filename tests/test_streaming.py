@@ -1539,3 +1539,32 @@ def test_decontamination_gate_matches_batch_sweep(spark, sf_dir, tmp_path):
 
     gate(parts[1], 1)  # replay
     assert view() == got
+
+
+def test_lazy_latest_labels_survives_compaction_publish(spark, tmp_path):
+    """ADVICE r11 repro: a lazy latest_labels frame built BEFORE a
+    compaction publish must still execute after it. The serving readers
+    pin the store's current version via resolve_store and
+    publish_dir_swap retains the previous version, so the pre-built
+    frame serves its snapshot instead of FILE_NOT_EXIST."""
+    from wikidatabots_spark.streaming.docs_stream import (
+        compact_labels,
+        dedup_graph_maintenance,
+        latest_labels,
+    )
+
+    index_path = str(tmp_path / "idx")
+    labels_path = str(tmp_path / "lbl")
+    apply = dedup_graph_maintenance(index_path, labels_path)
+    apply(_docs(spark, (1, "A"), (2, "A"), (3, "B")), 0)
+    apply(_docs(spark, (10, "Z"), (11, "Z")), 1)
+    apply(_docs(spark, (12, "C"), (13, "C")), 2)
+
+    stale = latest_labels(spark, labels_path)  # built pre-publish
+    assert compact_labels(spark, labels_path, keep_last=1) == 1
+    got = {(r.node, r.component) for r in stale.collect()}
+    fresh = {
+        (r.node, r.component)
+        for r in latest_labels(spark, labels_path).collect()
+    }
+    assert got == fresh  # compaction preserves the view; snapshot serves

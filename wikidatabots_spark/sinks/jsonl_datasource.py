@@ -25,7 +25,6 @@ import contextlib
 import json
 import os
 import shutil
-import time
 import uuid
 from dataclasses import dataclass
 
@@ -70,44 +69,25 @@ _LOCK_POLL_S = 0.02
 
 def _acquire_commit_lock(path: str) -> tuple[int, str]:
     """Exclusive commit lock: returns (fd, lock_path); release with
-    `_release_commit_lock`. The open→flock→inode-revalidate loop is the
-    standard unlink-safe lockfile pattern: if the file we flocked was
-    unlinked (by a releasing holder) while we waited, our lock is on a
-    dead inode — any later committer would open the NEW file at the
-    path and lock it concurrently — so re-open and retry."""
-    import fcntl
+    `_release_commit_lock`. The open→flock→inode-revalidate loop lives
+    in ``sinks.locks`` (shared with the version-store publish lock)."""
+    from wikidatabots_spark.sinks.locks import acquire_flock
 
     lock = os.path.join(path, _LOCK_NAME)
-    deadline = time.monotonic() + _LOCK_TIMEOUT_S
-    while True:
-        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except BlockingIOError:
-            os.close(fd)
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"jsonl_commit: could not acquire {lock} within "
-                    f"{_LOCK_TIMEOUT_S}s"
-                )
-            time.sleep(_LOCK_POLL_S)
-            continue
-        try:
-            same = os.fstat(fd).st_ino == os.stat(lock).st_ino
-        except OSError:
-            same = False  # unlinked while we raced; retry
-        if same:
-            return fd, lock
-        os.close(fd)
+    try:
+        fd = acquire_flock(lock, _LOCK_TIMEOUT_S, _LOCK_POLL_S)
+    except TimeoutError as e:
+        raise TimeoutError(f"jsonl_commit: {e}") from None
+    return fd, lock
 
 
 def _release_commit_lock(fd: int, lock: str) -> None:
     """Unlink BEFORE closing (which drops the flock): waiters blocked on
     the old inode detect the unlink via the inode revalidation and
     re-contend on the fresh file — never two holders."""
-    with contextlib.suppress(OSError):
-        os.unlink(lock)
-    os.close(fd)
+    from wikidatabots_spark.sinks.locks import release_flock
+
+    release_flock(fd, lock)
 
 
 class JsonlWriter(DataSourceWriter):

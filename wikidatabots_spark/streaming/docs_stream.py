@@ -22,6 +22,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from wikidatabots_spark.sinks.compaction import resolve_store
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -217,14 +219,14 @@ def read_band_index(
         return spark.createDataFrame(
             [], "doc_id long, band_idx int, band_hash string"
         )
-    idx = spark.read.parquet(index_path)
+    idx = spark.read.parquet(resolve_store(index_path))
     if before_batch is not None:
         idx = idx.where(F.col("__batch_id") < F.lit(int(before_batch)))
     if prefixes is not None:
         idx = idx.where(F.col("band_pfx").isin(list(prefixes)))
     idx = idx.select("doc_id", "band_idx", "band_hash", "__batch_id")
     if tombstones_path and _has_parquet(tombstones_path):
-        tomb = spark.read.parquet(tombstones_path)
+        tomb = spark.read.parquet(resolve_store(tombstones_path))
         if before_batch is not None:
             tomb = tomb.where(F.col("__batch_id") < F.lit(int(before_batch)))
         tomb = tomb.select(
@@ -251,7 +253,7 @@ def _merged_labels(
     attempt's."""
     if not _has_parquet(labels_path):
         return spark.createDataFrame([], "node long, component long")
-    all_labels = spark.read.parquet(labels_path)
+    all_labels = spark.read.parquet(resolve_store(labels_path))
     if before_batch is not None:
         all_labels = all_labels.where(
             F.col("__batch_id") < F.lit(int(before_batch))
@@ -319,7 +321,7 @@ def merged_dsir_model(spark: SparkSession, partials_path: str) -> DataFrame:
     from wikidatabots_spark.plans.llmdata import dsir_model_from_counts
 
     cls = (
-        spark.read.parquet(partials_path)
+        spark.read.parquet(resolve_store(partials_path))
         .groupBy("bucket")
         .agg(F.sum("c_t").alias("c_t"), F.sum("c_r").alias("c_r"))
     )
@@ -378,7 +380,7 @@ def flagged_documents(spark: SparkSession, flagged_path: str) -> DataFrame:
         return spark.createDataFrame(
             [], "train_id long, n_collided_grams long, n_bench_docs long"
         )
-    return spark.read.parquet(flagged_path).select(
+    return spark.read.parquet(resolve_store(flagged_path)).select(
         "train_id", "n_collided_grams", "n_bench_docs"
     )
 
@@ -729,7 +731,7 @@ def compact_labels(
     if len(fold) <= 1:
         return 0
     base_id = fold[-1]
-    all_labels = spark.read.parquet(labels_path)
+    all_labels = spark.read.parquet(resolve_store(labels_path))
     bid_type = all_labels.schema["__batch_id"].dataType
     base = (
         all_labels.where(F.col("__batch_id") <= F.lit(base_id))

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from wikidatabots_spark.sinks.compaction import resolve_store
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -310,7 +312,7 @@ def merged_rollup(
     from wikidatabots_spark.plans.events import merge_rollup
 
     partials = (
-        spark.read.parquet(partials_path)
+        spark.read.parquet(resolve_store(partials_path))
         .groupBy("hour_start", "event_type", "__batch_id")
         .agg(
             F.max("p_events").alias("p_events"),
@@ -318,7 +320,7 @@ def merged_rollup(
         )
         .drop("__batch_id")
     )
-    keys = spark.read.parquet(user_keys_path)
+    keys = spark.read.parquet(resolve_store(user_keys_path))
     return merge_rollup(partials, keys)
 
 
@@ -358,7 +360,7 @@ def compact_rollup_state(
         publish_dir_swap(staged, path)
         shutil.rmtree(tmp, ignore_errors=True)
 
-    raw = spark.read.parquet(partials_path)
+    raw = spark.read.parquet(resolve_store(partials_path))
     top = raw.agg(F.max("__batch_id").alias("m")).first().m
     folded = (
         raw.groupBy("hour_start", "event_type", "__batch_id")
@@ -383,7 +385,7 @@ def compact_rollup_state(
     )
     _swap_rewrite(folded, partials_path)
     _swap_rewrite(
-        spark.read.parquet(user_keys_path).distinct(), user_keys_path
+        spark.read.parquet(resolve_store(user_keys_path)).distinct(), user_keys_path
     )
     return spark.read.parquet(partials_path).count()
 
