@@ -1568,3 +1568,363 @@ def test_lazy_latest_labels_survives_compaction_publish(spark, tmp_path):
         for r in latest_labels(spark, labels_path).collect()
     }
     assert got == fresh  # compaction preserves the view; snapshot serves
+
+
+def test_compact_index_preserves_probe_candidates(spark, tmp_path):
+    """Band-index + tombstone retention compaction (VERDICT r11 next
+    #1): folding old batch partitions — with tombstone suppression
+    MATERIALIZED at fold time and the folded tombstones dropped — must
+    leave the served index (hence every probe's candidate set)
+    identical, INCLUDING the delete-then-re-insert case whose ordered
+    semantics must survive materialization; partition counts must come
+    out bounded and maintenance must keep composing to the full
+    recompute."""
+    import os as _os
+
+    from wikidatabots_spark.streaming.docs_stream import (
+        _store_batch_ids,
+        compact_index,
+        dedup_graph_maintenance,
+        latest_labels,
+        read_band_index,
+    )
+
+    index_path = str(tmp_path / "idx")
+    labels_path = str(tmp_path / "lbl")
+    tomb_path = index_path + "_tombstones"
+    apply = dedup_graph_maintenance(index_path, labels_path)
+    # doc 1: inserted, deleted, RE-INSERTED — all inside the folded
+    # range; doc 10 stays deleted (its tombstone's suppression must be
+    # materialized, then the tombstone dropped)
+    apply(_docs(spark, (1, "A"), (2, "A"), (3, "B"), (10, "Z"), (11, "Z")), 0)
+    apply(_docs(spark, (1, None, "delete"), (10, None, "delete")), 1)
+    apply(_docs(spark, (1, "A"), (12, "C")), 2)
+    apply(_docs(spark, (13, "C")), 3)
+
+    def served():
+        return frozenset(
+            (r.doc_id, r.band_idx, r.band_hash)
+            for r in read_band_index(
+                spark, index_path, tomb_path, before_batch=99
+            ).collect()
+        )
+
+    want = served()
+    assert any(r[0] == 1 for r in want)  # the re-insert is visible
+    assert not any(r[0] == 10 for r in want)  # the delete holds
+
+    n_folded = compact_index(spark, index_path, tomb_path, keep_last=1)
+    assert n_folded >= 1
+    assert served() == want
+    # history is bounded: base (batch 2) + the kept newest partition
+    assert _store_batch_ids(index_path) == [2, 3]
+    # the folded tombstones are gone (both were <= base)
+    assert _store_batch_ids(tomb_path) == []
+
+    # the replay fence still fences: a re-run of the newest batch reads
+    # exactly the pre-batch state (base + nothing newer than itself)
+    pre3 = frozenset(
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in read_band_index(
+            spark, index_path, tomb_path, before_batch=3
+        ).collect()
+    )
+    assert pre3 == frozenset(r for r in want if r[0] != 13)
+
+    # maintenance composes on the compacted store: doc 14 joins A's
+    # component through the re-inserted doc 1
+    apply(_docs(spark, (14, "A")), 4)
+    got = {
+        (r.node, r.component)
+        for r in latest_labels(spark, labels_path).collect()
+    }
+    assert got == _full_recompute(
+        _docs(
+            spark,
+            (1, "A"), (2, "A"), (3, "B"), (11, "Z"),
+            (12, "C"), (13, "C"), (14, "A"),
+        )
+    )
+
+
+def test_compact_index_crash_at_every_step_preserves_view(
+    spark, tmp_path, monkeypatch
+):
+    """Fault injection over the index/tombstone compaction: kill
+    compact_index at EVERY python-side filesystem mutation (staged
+    renames, pointer symlinks/renames, sweeps — across BOTH publishes).
+    At every crash point the served probe candidates and labels are
+    unchanged (the two publishes commute: materialized base rows plus
+    not-yet-dropped old tombstones cannot double-suppress), a re-run
+    completes the fold, and maintenance keeps composing."""
+    import os as _os
+    import shutil as _shutil
+
+    from wikidatabots_spark.streaming.docs_stream import (
+        _store_batch_ids,
+        compact_index,
+        dedup_graph_maintenance,
+        latest_labels,
+        read_band_index,
+    )
+
+    proto = tmp_path / "proto"
+    proto.mkdir()
+    index_path = str(proto / "idx")
+    labels_path = str(proto / "lbl")
+    apply = dedup_graph_maintenance(index_path, labels_path)
+    apply(_docs(spark, (1, "A"), (2, "A"), (3, "B")), 0)
+    apply(_docs(spark, (1, None, "delete")), 1)
+    apply(_docs(spark, (1, "A"), (10, "Z"), (11, "Z")), 2)
+    apply(_docs(spark, (12, "C"), (13, "C")), 3)
+
+    def view(lbl, idx):
+        labels = frozenset(
+            (r.node, r.component)
+            for r in latest_labels(spark, lbl).collect()
+        )
+        idx_served = frozenset(
+            (r.doc_id, r.band_idx, r.band_hash)
+            for r in read_band_index(
+                spark, idx, idx + "_tombstones", before_batch=99
+            ).collect()
+        )
+        return labels, idx_served
+
+    want_view = view(labels_path, index_path)
+
+    class Crash(RuntimeError):
+        pass
+
+    real_rename, real_symlink, real_rmtree = (
+        _os.rename,
+        _os.symlink,
+        _shutil.rmtree,
+    )
+
+    k = 0
+    while True:
+        case = tmp_path / f"case{k}"
+        _shutil.copytree(proto, case, symlinks=True)
+        lbl = str(case / "lbl")
+        idx = str(case / "idx")
+        budget = [k]
+
+        def counted(fn):
+            def w(*a, **kw):
+                if budget[0] <= 0:
+                    raise Crash(f"injected fault at op budget {k}")
+                budget[0] -= 1
+                return fn(*a, **kw)
+
+            return w
+
+        monkeypatch.setattr(_os, "rename", counted(real_rename))
+        monkeypatch.setattr(_os, "symlink", counted(real_symlink))
+        monkeypatch.setattr(_shutil, "rmtree", counted(real_rmtree))
+        crashed = False
+        try:
+            compact_index(spark, idx, idx + "_tombstones", keep_last=1)
+        except Crash:
+            crashed = True
+        finally:
+            monkeypatch.setattr(_os, "rename", real_rename)
+            monkeypatch.setattr(_os, "symlink", real_symlink)
+            monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+
+        assert view(lbl, idx) == want_view, f"view torn at crash point {k}"
+        # recovery completes the fold and bounds history
+        compact_index(spark, idx, idx + "_tombstones", keep_last=1)
+        assert view(lbl, idx) == want_view
+        assert _store_batch_ids(idx) == [2, 3]
+        assert _store_batch_ids(idx + "_tombstones") == []
+        # maintenance keeps composing on the recovered store
+        apply_k = dedup_graph_maintenance(idx, lbl)
+        apply_k(_docs(spark, (14, "A")), 4)
+        got = {
+            (r.node, r.component)
+            for r in latest_labels(spark, lbl).collect()
+        }
+        assert got == _full_recompute(
+            _docs(
+                spark,
+                (1, "A"), (2, "A"), (3, "B"), (10, "Z"), (11, "Z"),
+                (12, "C"), (13, "C"), (14, "A"),
+            )
+        )
+        if not crashed:
+            break
+        k += 1
+    assert k >= 3
+
+
+def test_dedup_graph_auto_compaction_bounds_index_and_tombstones(
+    spark, tmp_path
+):
+    """compact_every now folds ALL three graph stores: across 6 batches
+    (including deletions) with compact_every=2, the index ends with a
+    bounded __batch_id partition count, old tombstones are folded away,
+    and the served view still equals the full recompute on the
+    survivors."""
+    from wikidatabots_spark.streaming.docs_stream import (
+        _store_batch_ids,
+        dedup_graph_maintenance,
+        latest_labels,
+        read_band_index,
+    )
+
+    index_path = str(tmp_path / "idx")
+    labels_path = str(tmp_path / "lbl")
+    tomb_path = index_path + "_tombstones"
+    apply = dedup_graph_maintenance(index_path, labels_path, compact_every=2)
+    batches = [
+        [(1, "A"), (2, "A")],
+        [(3, "B"), (4, "B")],
+        [(1, None, "delete")],
+        [(5, "C"), (6, "C")],
+        [(3, None, "delete"), (7, "A")],
+        [(8, "Q"), (9, "Q")],
+    ]
+    for i, rows in enumerate(batches):
+        apply(_docs(spark, *rows), i)
+
+    # base + at most compact_every fresh deltas per store
+    assert len(_store_batch_ids(index_path)) <= 3
+    assert len(_store_batch_ids(labels_path)) <= 3
+    # every tombstone written before the last fold was materialized
+    assert all(t >= 4 for t in _store_batch_ids(tomb_path))
+
+    survivors = [(2, "A"), (4, "B"), (5, "C"), (6, "C"),
+                 (7, "A"), (8, "Q"), (9, "Q")]
+    got = {
+        (r.node, r.component)
+        for r in latest_labels(spark, labels_path).collect()
+    }
+    assert got == _full_recompute(_docs(spark, *survivors))
+    served_ids = {
+        r.doc_id
+        for r in read_band_index(
+            spark, index_path, tomb_path, before_batch=99
+        ).collect()
+    }
+    assert served_ids == {d for d, _ in survivors}
+
+
+def test_compact_dsir_partials_preserves_model(spark, sf_dir, tmp_path):
+    """DSIR partials-store compaction (VERDICT r11 next #6): folding
+    per-batch class-count partials into one summed base partition
+    leaves the merged model BIT-IDENTICAL (additive integer counters),
+    bounds the partition count, and maintenance — including bit-parity
+    with a full batch retrain — keeps composing afterwards."""
+    import os as _os
+
+    from wikidatabots_spark.plans.llmdata import dsir_occ_and_model
+    from wikidatabots_spark.sources.tables import load_table
+    from wikidatabots_spark.streaming.docs_stream import (
+        compact_dsir_partials,
+        dsir_model_maintenance,
+        merged_dsir_model,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    partials_path = str(tmp_path / "partials")
+    sink = dsir_model_maintenance(partials_path)
+    for i in range(3):
+        sink(d.where(F.col("doc_id") % 3 == i), i)
+
+    def model():
+        return {
+            r.bucket: r.lr_ppm
+            for r in merged_dsir_model(spark, partials_path).collect()
+        }
+
+    want = model()
+    n_folded = compact_dsir_partials(spark, partials_path, keep_last=1)
+    assert n_folded == 1  # batches 0,1 -> base at 1; batch 2 kept
+    assert model() == want
+    parts = [
+        p for p in _os.listdir(partials_path) if p.startswith("__batch_id=")
+    ]
+    assert sorted(parts) == ["__batch_id=1", "__batch_id=2"]
+
+    # maintenance composes on the folded store, and the merged model
+    # stays bit-identical to a full batch retrain on everything seen
+    extra = d.limit(0)  # batch 3: empty (counters additive with zero)
+    sink(extra, 3)
+    _occ, batch_model = dsir_occ_and_model(d)
+    want_full = {r.bucket: r.lr_ppm for r in batch_model.collect()}
+    assert model() == want_full
+
+
+def test_dsir_maintenance_compact_every_bounds_partitions(
+    spark, sf_dir, tmp_path
+):
+    """compact_every wired into dsir_model_maintenance keeps the store
+    self-bounding while preserving batch-retrain bit-parity."""
+    import os as _os
+
+    from wikidatabots_spark.plans.llmdata import dsir_occ_and_model
+    from wikidatabots_spark.sources.tables import load_table
+    from wikidatabots_spark.streaming.docs_stream import (
+        dsir_model_maintenance,
+        merged_dsir_model,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    partials_path = str(tmp_path / "partials")
+    sink = dsir_model_maintenance(partials_path, compact_every=2)
+    for i in range(5):
+        sink(d.where(F.col("doc_id") % 5 == i), i)
+    parts = [
+        p for p in _os.listdir(partials_path) if p.startswith("__batch_id=")
+    ]
+    assert len(parts) <= 3
+    _occ, batch_model = dsir_occ_and_model(d)
+    got = {
+        r.bucket: r.lr_ppm
+        for r in merged_dsir_model(spark, partials_path).collect()
+    }
+    assert got == {r.bucket: r.lr_ppm for r in batch_model.collect()}
+
+
+def test_compact_flagged_preserves_view(spark, sf_dir, tmp_path):
+    """Flagged-store retention fold: the served decontamination
+    verdicts are identical after folding old batch partitions, and the
+    partition count is bounded."""
+    import os as _os
+
+    from wikidatabots_spark.sources.tables import load_table
+    from wikidatabots_spark.streaming.docs_stream import (
+        compact_flagged,
+        decontamination_gate,
+        flagged_documents,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    train = d.where(F.col("doc_id") % 7 != 0)
+    flagged_path = str(tmp_path / "flagged")
+    gate = decontamination_gate(bench, flagged_path, n=5)
+    for i in range(3):
+        gate(train.where(F.col("doc_id") % 3 == i), i)
+
+    def view():
+        return {
+            (r.train_id, r.n_collided_grams, r.n_bench_docs)
+            for r in flagged_documents(spark, flagged_path).collect()
+        }
+
+    want = view()
+    assert want  # the gate actually flagged something at this SF
+    assert compact_flagged(spark, flagged_path, keep_last=1) == 1
+    assert view() == want
+    parts = [
+        p for p in _os.listdir(flagged_path) if p.startswith("__batch_id=")
+    ]
+    assert sorted(parts) == ["__batch_id=1", "__batch_id=2"]
