@@ -210,6 +210,11 @@ HEADLINERS = [
     # over the same staged micro-batches) priced end to end — the
     # heaviest headliner by construction, priced rather than hidden
     "ingest_pipeline_stream",
+    # round-12 (VERDICT r11 next #5): the adversarial hot-bucket
+    # cluster (10^4 identical docs through the capped band join + CC)
+    # priced, so the cap's linear-not-quadratic claim is a recorded
+    # wall-clock number, not only a row-bound assertion
+    "dedup_skew_hotbucket",
 ]
 
 # The multi-GB-shuffle composed pipelines: scheduled LAST within every

@@ -1116,6 +1116,21 @@ def dedup_minhash_ml_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     A genuine MLlib recall regression therefore surfaces as a driver
     hash MISMATCH instead of hiding behind a rows-only check.
 
+    FLAKE BOUND (ADVICE r11): the gate is PROBABILISTIC, not exact.
+    Two effects can produce a hash mismatch with no MLlib regression:
+    (a) per-pair LSH miss ~(1-s)^8 — negligible at s ≥ 0.9 but nonzero;
+    (b) HashingTF's 2^16 feature buckets can merge distinct tokens, so
+    the Jaccard MLlib sees (feature sets) can sit slightly BELOW the
+    token-set Jaccard the oracle computes — for a pair right at the
+    0.9 boundary this lowers the per-table collision probability and
+    inflates the miss rate beyond (1-0.9)^8. MinHashLSH's seed is
+    fixed (42), so at a given SF a miss is DETERMINISTIC, not run-to-
+    run noise. The local gate (scripts/check_oracle.py) therefore
+    diagnoses a mismatch on this entry before treating it as a
+    correctness failure: spark-only rows = real bug (false positive /
+    Jaccard math drift); duck-only rows whose jaccard column is at the
+    0.9 boundary = the documented recall flake.
+
     Scale: LSH candidates + exact verify is the production dedup shape
     (candidates are hash-bucket joins, never all pairs); the O(n²)
     side lives only in the ORACLE, as ground truth must."""
@@ -2847,4 +2862,68 @@ def corpus_shard_rendezvous_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "moved", (F.col("shard_old") != F.col("shard_new")).cast("int")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_skew_hotbucket — the adversarial hot-bucket cluster, PRICED
+# ---------------------------------------------------------------------------
+
+_SKEW_N_HOT = 10_000
+
+_SKEW_ORACLE = f"""
+WITH hot AS (
+    SELECT text FROM documents WHERE length(text) > 0
+    ORDER BY n_chars DESC, doc_id LIMIT 1
+)
+SELECT CAST(t.i AS BIGINT) AS node, CAST(0 AS BIGINT) AS component
+FROM generate_series(0, {_SKEW_N_HOT - 1}) t(i), hot
+"""
+
+
+@register("dedup_skew_hotbucket", oracle=_SKEW_ORACLE)
+def dedup_skew_hotbucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adversarial boilerplate-cluster input as a PRICED headliner
+    (VERDICT r11 next #5): 10^4 byte-identical documents — every band
+    bucket maximally hot — pushed through the capped MinHash band join
+    plus min-label CC. The row bound is correctness-pinned by
+    tests/test_dedup_skew.py (capped join emits ≤ cap·f rows, not
+    ~f²/2); this entry records the capped join's COST as a bench
+    number, so a regression that re-introduces the quadratic blowup
+    shows up as a wall-clock cliff (~5·10^7 pair rows at f = 4·10^4),
+    not just a failed row-count assertion.
+
+    The hot text derives from the corpus (the longest document —
+    deterministic ORDER BY n_chars DESC, doc_id), replicated via a
+    zero-shuffle ``spark.range`` crossJoin against the broadcast 1-row
+    text (the scalar-subquery pattern). All replicas share identical
+    signatures BY DEFINITION, so the closure is analytic: every node
+    labels to component 0 — which is exactly what the oracle states;
+    an engine-side bug (empty band table, broken cap transitivity,
+    CC miss) surfaces as missing/mislabeled rows.
+
+    Scale: this is the worst-case input for LSH dedup at corpus scale
+    — a template page mirrored f times. The capped join keeps the
+    pair volume linear in f, AQE splits the still-hot buckets, and CC
+    transitivity through the bucket minimum recovers the cluster."""
+    from wikidatabots_spark.operators.dedup import (
+        band_pairs,
+        connected_components,
+        minhash_band_table,
+    )
+    from wikidatabots_spark.functions.scale import pushdown_fence
+
+    d = load_table(spark, sf_dir, "documents")
+    hot = (
+        d.where(F.length("text") > 0)
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(1)
+        .select("text")
+    )
+    docs = spark.range(_SKEW_N_HOT).select(
+        F.col("id").alias("doc_id")
+    ).crossJoin(F.broadcast(hot))
+    bands = pushdown_fence(minhash_band_table(docs))
+    return connected_components(band_pairs(bands)).select(
+        "node", "component"
     )
