@@ -21,6 +21,43 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# Entries whose oracle equality is PROBABILISTIC (documented flake bound
+# in the query docstring): a mismatch is diagnosed — pair sets compared,
+# boundary recall misses identified — before being treated as a
+# correctness failure (ADVICE r11). dedup_minhash_ml: MLlib 8-table LSH
+# recall vs an exact token-Jaccard>=0.9 oracle; HashingTF's 2^16 buckets
+# can push a boundary pair's feature-set Jaccard below the token-set
+# value, so a duck-only row with jaccard at the 0.9 boundary is the
+# documented miss, while ANY spark-only row is a real bug.
+PROBABILISTIC_RECALL = {"dedup_minhash_ml": ("jaccard", 0.92)}
+
+
+def diagnose_probabilistic(name, entry, scols, sset, dcols, dset):
+    """Return (waived: bool, reason: str) for a mismatch on a
+    probabilistic-recall entry."""
+    jcol, boundary = PROBABILISTIC_RECALL[name]
+    if scols != dcols:
+        return False, "schema mismatch — not a recall flake"
+    sonly = [r for r in sset if r not in set(dset)]
+    donly = [r for r in dset if r not in set(sset)]
+    if sonly:
+        return False, f"{len(sonly)} spark-only rows — a real bug, not recall"
+    try:
+        ji = scols.index(jcol)
+        js = [float(r[ji]) for r in donly]  # canon() stores float repr()
+    except Exception:
+        return False, "could not parse jaccard column for diagnosis"
+    if all(j <= boundary for j in js):
+        return True, (
+            f"{len(donly)} duck-only pair(s), all with {jcol} <= {boundary}"
+            " — LSH recall miss at the 0.9 boundary, within the"
+            " documented flake bound (see dedup_minhash_ml docstring)"
+        )
+    return False, (
+        f"duck-only pair(s) with {jcol} > {boundary} — recall loss beyond"
+        " the boundary flake bound: treat as a real MLlib regression"
+    )
+
 
 def canon(v):
     if isinstance(v, float):
@@ -57,6 +94,25 @@ def main() -> int:
         drows = ddf.to_pylist()
         dset = sorted(tuple(canon(r[c]) for c in dcols) for r in drows)
         ok = scols == dcols and len(sset) == len(dset) and sset == dset
+        if not ok and name in PROBABILISTIC_RECALL:
+            # retry once with a freshly built plan, then diagnose: the
+            # seed is fixed so a true boundary miss is deterministic,
+            # but the retry rules out transient executor trouble
+            sdf = entry.fn(spark, sf_dir)
+            sset = sorted(
+                tuple(canon(r[c]) for c in scols) for r in sdf.collect()
+            )
+            ok = len(sset) == len(dset) and sset == dset
+            if ok:
+                print(f"{name}: OK on retry ({len(sset)} rows)")
+                continue
+            waived, reason = diagnose_probabilistic(
+                name, entry, scols, sset, dcols, dset
+            )
+            if waived:
+                print(f"{name}: WAIVED probabilistic mismatch — {reason}")
+                continue
+            print(f"{name}: MISMATCH beyond flake bound — {reason}")
         if ok:
             print(f"{name}: OK ({len(srows)} rows)")
         else:

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from wikidatabots_spark.operators.dedup import (
@@ -1284,3 +1286,79 @@ def test_jl_distortion_concentrates_at_unity(spark, sf_dir):
     assert all(r.dist_sq_proj >= 0 and r.dist_sq_orig > 0 for r in rows)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "Window" not in plan
+
+
+@pytest.mark.parametrize(
+    "sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_ivf_tie_margin_dwarfs_fp_error(sfd):
+    """Pins the cross-engine FP-determinism ASSUMPTION of the
+    knn_ivf_topk oracle (ADVICE r11): Spark computes center distances
+    as a strict left-to-right fold while DuckDB's SUM over a
+    generate_series join guarantees no summation order, so the two
+    engines' distances may differ by the reassociation error
+    (~64·eps·Σ|term| ≈ 1e-12). The hash check compares rankings, so it
+    is deterministic iff every ranking-relevant GAP — argmin cell
+    (rank 1|2), nprobe boundary (rank 4|5), and the re-rank's k
+    boundary (rank 5|6 by cosine) — exceeds that error. Measured here
+    directly on the gate data at both gate SFs: the minimum nonzero
+    gap must sit orders of magnitude above the bound (exact-zero gaps
+    are allowed only for bit-identical centers, where both engines
+    compute the SAME per-engine value and the shared lowest-cell /
+    lowest-id tie-break decides identically)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sfd}/embeddings.parquet").to_pydict()
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    emb = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"]]
+    )
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )
+    cents = emb[order[:16]]  # the md5-seeded literal centers
+
+    # n x 16 squared L2 distances, float64 like both engines
+    d2 = ((emb[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    s = np.sort(d2, axis=1)
+    FP_BOUND = 1e-12
+    MARGIN = 1e-6  # demanded headroom: 1e6 x the reassociation bound
+
+    def check_gaps(gaps, tied_pairs):
+        nz = gaps[gaps > 0]
+        assert nz.size, "all gaps zero — degenerate data"
+        assert nz.min() > MARGIN, f"min gap {nz.min():.3e} too close to FP"
+        for a, b in tied_pairs:  # exact ties only from identical centers
+            assert np.array_equal(cents[a], cents[b])
+
+    # assignment boundary (every corpus vector) and nprobe boundary
+    # (query vectors, vec_id < 20 — the seated query's probe set)
+    for k, rows in ((1, np.arange(len(ids))), (4, np.where(ids < 20)[0])):
+        gaps = s[rows, k] - s[rows, k - 1]
+        tied = []
+        for r in rows[np.where(gaps == 0)[0]] if (gaps == 0).any() else []:
+            cells = np.argsort(d2[r], kind="stable")
+            tied.append((cells[k - 1], cells[k]))
+        check_gaps(gaps, tied)
+
+    # re-rank boundary: cosine rank 5|6 within each query's candidate
+    # set (corpus members of the nprobe probed cells, self excluded)
+    assign = np.argmin(d2, axis=1)
+    norms = np.linalg.norm(emb, axis=1)
+    for r in np.where(ids < 20)[0]:
+        probe_cells = np.argsort(d2[r], kind="stable")[:4]
+        cand = np.where(np.isin(assign, probe_cells) & (ids != ids[r]))[0]
+        if cand.size <= 5:
+            continue
+        sims = (emb[cand] @ emb[r]) / (norms[cand] * norms[r])
+        ss = np.sort(sims)[::-1]
+        gap = ss[4] - ss[5]
+        if gap == 0:
+            a, b = cand[np.argsort(-sims, kind="stable")[4:6]]
+            assert np.array_equal(emb[a], emb[b])
+        else:
+            assert gap > MARGIN, f"cosine k-boundary gap {gap:.3e}"

@@ -25,8 +25,22 @@ from pyspark.sql import functions as F
 
 def _l2sq(vec, cent: list[float]):
     """Squared L2 distance between an array column and a literal center
-    (sequential left-to-right fold, index order — the oracle's
-    generate_series sum replays the same arithmetic)."""
+    (a strict left-to-right fold over 64 double terms).
+
+    Cross-engine determinism assumption (ADVICE r11): DuckDB's oracle
+    computes the same distance as a SUM over a generate_series join,
+    which carries NO per-group ordering guarantee — the two engines may
+    associate the 64-term sum differently, so the values can differ by
+    the FP reassociation error (≤ ~64·eps·Σ|term| ≈ 1e-13 for unit-
+    scale embeddings). The hash check compares RANKINGS (argmin cell,
+    nprobe order), never the raw distances, so equality only requires
+    every ranking-relevant distance GAP to exceed that error. This is
+    an empirical property of the data, not a theorem — pinned by
+    tests/test_similarity.py::test_ivf_tie_margin_dwarfs_fp_error,
+    which measures the minimum gap at the assignment and nprobe
+    boundaries (≥ ~1e-3 on the synthetic embeddings, ten orders above
+    the reassociation bound). Near-equidistant centers on OTHER data
+    would need an integer-exact or epsilon-quantized assignment."""
     lit = F.array(*[F.lit(float(x)) for x in cent])
     return F.aggregate(
         F.zip_with(
