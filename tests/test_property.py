@@ -612,9 +612,10 @@ def test_dedup_graph_maintenance_random_batches_match_recompute(
 ):
     """Property: for ANY assignment of docs to 3 insert batches, ANY
     deletion subset applied mid-stream (between batches 1 and 2), and
-    ``compact_labels`` interleaved at ANY subset of the batch
-    boundaries (VERDICT r10 next #6 — previously compaction was only
-    tested at fixed points), the served labels equal the full min-label
+    ``compact_labels`` + ``compact_index`` interleaved at ANY subset of
+    the batch boundaries (VERDICT r10 next #6 / r11 next #1 —
+    previously compaction was only tested at fixed points), the served
+    labels equal the full min-label
     CC recompute over the surviving documents — the multi-batch
     induction of the insertion + bounded-deletion theorems under
     arbitrary interleavings, with retention folding arbitrary too."""
@@ -624,6 +625,7 @@ def test_dedup_graph_maintenance_random_batches_match_recompute(
         minhash_band_table,
     )
     from wikidatabots_spark.streaming.docs_stream import (
+        compact_index,
         compact_labels,
         dedup_graph_maintenance,
         latest_labels,
@@ -657,7 +659,12 @@ def test_dedup_graph_maintenance_random_batches_match_recompute(
         # hypothesis decides whether a retention fold lands at this
         # batch boundary; the served view must be invariant to it
         if compact_mask[bid]:
+            # fold BOTH store families, as compact_every does: labels,
+            # and the band index + tombstones (r12 — the index fold
+            # materializes ordered tombstone suppression, so landing it
+            # right after the deletion batch is the adversarial case)
             compact_labels(spark, labels_path, keep_last=1)
+            compact_index(spark, index_path, keep_last=1)
 
     for b in (0, 1):
         rows = [(i, t, "insert") for i, t, bb in docs if bb == b]

@@ -1928,3 +1928,100 @@ def test_compact_flagged_preserves_view(spark, sf_dir, tmp_path):
         p for p in _os.listdir(flagged_path) if p.startswith("__batch_id=")
     ]
     assert sorted(parts) == ["__batch_id=1", "__batch_id=2"]
+
+
+def test_run_staged_foreach_batch_delivers_engine_batches(spark, tmp_path):
+    """The seated streaming queries' hash checks are valid under ANY
+    batching, so they cannot distinguish three engine micro-batches
+    from one big one — this pins the wiring itself: one staged file
+    per input frame, maxFilesPerTrigger=1, AvailableNow => the ENGINE
+    invokes the sink once per file with consecutive batch ids."""
+    from wikidatabots_spark.streaming.docs_stream import (
+        run_staged_foreach_batch,
+    )
+
+    seen = []
+
+    def probe(batch, batch_id):
+        seen.append((int(batch_id), batch.count()))
+
+    frames = [
+        spark.createDataFrame([(i, f"t{i}")], "doc_id long, text string")
+        for i in range(3)
+    ]
+    run_staged_foreach_batch(frames, probe, str(tmp_path))
+    assert sorted(b for b, _ in seen) == [0, 1, 2]
+    assert all(n == 1 for _, n in seen)
+
+
+def test_run_staged_foreach_batch_propagates_sink_error(spark, tmp_path):
+    """A sink exception must surface to the caller (the registered
+    query), not vanish into the streaming thread."""
+    import pytest
+
+    from wikidatabots_spark.streaming.docs_stream import (
+        run_staged_foreach_batch,
+    )
+
+    def boom(batch, batch_id):
+        raise ValueError("sink exploded")
+
+    frames = [spark.createDataFrame([(1, "t")], "doc_id long, text string")]
+    with pytest.raises(Exception, match="sink exploded"):
+        run_staged_foreach_batch(frames, boom, str(tmp_path))
+
+
+def test_real_stream_with_folds_and_deletes_matches_recompute(
+    spark, tmp_path
+):
+    """Retention folds firing UNDER the real streaming engine: six
+    one-file micro-batches (including two deletion batches) drive
+    dedup_graph_maintenance(compact_every=2) through an actual
+    readStream -> foreachBatch query, so compact_labels/compact_index
+    run inside engine triggers, between engine-committed batches. The
+    final served view must equal the full recompute on survivors and
+    every store must come out bounded."""
+    from wikidatabots_spark.streaming.docs_stream import (
+        _store_batch_ids,
+        dedup_graph_maintenance,
+        latest_labels,
+        read_band_index,
+        run_staged_foreach_batch,
+    )
+
+    index_path = str(tmp_path / "idx")
+    labels_path = str(tmp_path / "lbl")
+    tomb_path = index_path + "_tombstones"
+    batches = [
+        [(1, "A"), (2, "A")],
+        [(3, "B"), (4, "B")],
+        [(1, None, "delete")],
+        [(5, "C"), (6, "C"), (1, "A")],  # re-insert after delete
+        [(3, None, "delete"), (7, "A")],
+        [(8, "Q"), (9, "Q")],
+    ]
+    run_staged_foreach_batch(
+        [_docs(spark, *rows) for rows in batches],
+        dedup_graph_maintenance(index_path, labels_path, compact_every=2),
+        str(tmp_path),
+        timeout_s=900,
+    )
+
+    assert len(_store_batch_ids(index_path)) <= 3
+    assert len(_store_batch_ids(labels_path)) <= 3
+    assert all(t >= 4 for t in _store_batch_ids(tomb_path))
+
+    survivors = [(1, "A"), (2, "A"), (4, "B"), (5, "C"), (6, "C"),
+                 (7, "A"), (8, "Q"), (9, "Q")]
+    got = {
+        (r.node, r.component)
+        for r in latest_labels(spark, labels_path).collect()
+    }
+    assert got == _full_recompute(_docs(spark, *survivors))
+    served_ids = {
+        r.doc_id
+        for r in read_band_index(
+            spark, index_path, tomb_path, before_batch=99
+        ).collect()
+    }
+    assert served_ids == {d for d, _ in survivors}

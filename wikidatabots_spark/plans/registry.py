@@ -202,6 +202,8 @@ _EXTENSION_POOL: list[str] = [
     "curate_corpus",
     "curate_corpus_v3",
     "corpus_mix_epochs",
+    # r12 additions (appended so earlier rounds' slices are unchanged)
+    "dedup_skew_hotbucket",
 ]
 
 # Bumped once per round. Guarded by tests/test_plans.py::test_rotation_round_is_current,

@@ -913,17 +913,34 @@ def run_staged_foreach_batch(
     drive; seated queries call it so the driver hash signal attaches to
     the real engine path.
 
-    Determinism note: the file source orders files deterministically
-    for a static drop-zone, but the seated queries do NOT rely on it —
-    every sink they drive is batching-independent by theorem (labels ≡
-    full recompute, per-doc verdicts, additive model partials), so the
-    served result is identical under ANY batch assignment.
+    Determinism: the file source processes oldest-mtime-first with a
+    path tiebreak, so each staged file gets an explicit, strictly
+    increasing mtime AND a sequence-numbered name — batch i is
+    DELIVERED as engine batch i. The seated dedup/ingest queries would
+    hash identically under any assignment anyway (their sinks are
+    batching-independent by theorem), but ordered delivery is a
+    CONTRACT for callers staging deletion batches, where a tombstone
+    must follow the insert it suppresses.
     """
+    import shutil
+
     spark = batches[0].sparkSession
     stage = os.path.join(root, "stage")
+    os.makedirs(stage, exist_ok=True)
     schema = batches[0].schema
-    for b in batches:
-        b.coalesce(1).write.mode("append").parquet(stage)
+    for i, b in enumerate(batches):
+        tmp = os.path.join(root, f"stage_tmp_{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        if len(parts) != 1:
+            raise ValueError(
+                f"staged batch {i} produced {len(parts)} files (empty "
+                "input frame?) — one file per batch is the contract"
+            )
+        dst = os.path.join(stage, f"batch-{i:05d}.parquet")
+        os.replace(os.path.join(tmp, parts[0]), dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
