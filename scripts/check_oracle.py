@@ -32,7 +32,7 @@ TABLES = (
 PROBABILISTIC_RECALL = {"dedup_minhash_ml": ("jaccard", 0.92)}
 
 
-def diagnose_probabilistic(name, entry, scols, sset, dcols, dset):
+def diagnose_probabilistic(name, scols, sset, dcols, dset):
     """Return (waived: bool, reason: str) for a mismatch on a
     probabilistic-recall entry."""
     jcol, boundary = PROBABILISTIC_RECALL[name]
@@ -107,7 +107,7 @@ def main() -> int:
                 print(f"{name}: OK on retry ({len(sset)} rows)")
                 continue
             waived, reason = diagnose_probabilistic(
-                name, entry, scols, sset, dcols, dset
+                name, scols, sset, dcols, dset
             )
             if waived:
                 print(f"{name}: WAIVED probabilistic mismatch — {reason}")
