@@ -32,16 +32,41 @@ TABLES = (
 PROBABILISTIC_RECALL = {"dedup_minhash_ml": ("jaccard", 0.92)}
 
 
+# A genuine boundary-recall flake loses at most a couple of pairs (the
+# fixed-seed HashingTF collision has to hit a pair sitting exactly at the
+# 0.9 Jaccard boundary); a SYSTEMIC recall regression loses many. Cap the
+# waivable miss count so the latter fails loudly (ADVICE r12: an
+# unbounded waiver would silently absorb a regression confined to the
+# [0.9, boundary] band).
+_MAX_WAIVED_MISSES = 2
+
+
 def diagnose_probabilistic(name, scols, sset, dcols, dset):
     """Return (waived: bool, reason: str) for a mismatch on a
     probabilistic-recall entry."""
     jcol, boundary = PROBABILISTIC_RECALL[name]
     if scols != dcols:
         return False, "schema mismatch — not a recall flake"
-    sonly = [r for r in sset if r not in set(dset)]
-    donly = [r for r in dset if r not in set(sset)]
+    dset_set = set(dset)
+    sset_set = set(sset)
+    sonly = [r for r in sset if r not in dset_set]
+    donly = [r for r in dset if r not in sset_set]
     if sonly:
         return False, f"{len(sonly)} spark-only rows — a real bug, not recall"
+    if not donly:
+        # Same row SETS but the sorted multisets differ: a duplicate-row
+        # bug, which a recall waiver must never absorb (ADVICE r12 — the
+        # old all([]) path waived this vacuously).
+        return False, (
+            "row multisets differ but row sets are identical — a row-"
+            "multiplicity bug (duplicated/dropped copies), not recall"
+        )
+    if len(donly) > _MAX_WAIVED_MISSES:
+        return False, (
+            f"{len(donly)} duck-only pair(s) > waiver cap"
+            f" {_MAX_WAIVED_MISSES} — systemic recall loss, not a"
+            " boundary flake: treat as a real MLlib regression"
+        )
     try:
         ji = scols.index(jcol)
         js = [float(r[ji]) for r in donly]  # canon() stores float repr()
@@ -119,8 +144,10 @@ def main() -> int:
             print(f"{name}: MISMATCH spark_rows={len(sset)} duck_rows={len(dset)}")
             print(f"  spark cols: {scols}")
             print(f"  duck  cols: {dcols}")
-            sonly = [r for r in sset if r not in set(dset)][:3]
-            donly = [r for r in dset if r not in set(sset)][:3]
+            dset_set = set(dset)
+            sset_set = set(sset)
+            sonly = [r for r in sset if r not in dset_set][:3]
+            donly = [r for r in dset if r not in sset_set][:3]
             print(f"  spark-only sample: {sonly}")
             print(f"  duck-only  sample: {donly}")
             failures.append(name)

@@ -1940,18 +1940,21 @@ def test_run_staged_foreach_batch_delivers_engine_batches(spark, tmp_path):
         run_staged_foreach_batch,
     )
 
-    seen = []
+    seen = {}
 
     def probe(batch, batch_id):
-        seen.append((int(batch_id), batch.count()))
+        seen[int(batch_id)] = {r.doc_id for r in batch.collect()}
 
     frames = [
         spark.createDataFrame([(i, f"t{i}")], "doc_id long, text string")
         for i in range(3)
     ]
     run_staged_foreach_batch(frames, probe, str(tmp_path))
-    assert sorted(b for b, _ in seen) == [0, 1, 2]
-    assert all(n == 1 for _, n in seen)
+    # ORDERED delivery is part of the contract (deletion batches must
+    # arrive after the inserts they delete — ADVICE r12): engine batch i
+    # must carry exactly staged frame i's rows, not merely three
+    # size-one batches in some order.
+    assert seen == {0: {0}, 1: {1}, 2: {2}}
 
 
 def test_run_staged_foreach_batch_propagates_sink_error(spark, tmp_path):

@@ -828,3 +828,63 @@ def ev_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overlap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_pivot_user_activity — wide per-user activity matrix via pivot
+# ---------------------------------------------------------------------------
+
+# The five event types are a closed enum in this dataset; pivoting with an
+# EXPLICIT value list is also the 100 TB-correct form — Spark otherwise
+# prepends a whole extra distinct-scan of the fact table just to discover
+# the column set, and the output schema becomes data-dependent (a new
+# value appearing mid-backfill would silently change the table shape).
+_EV_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_EV_PIVOT_ORACLE = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       COUNT(*) AS n_total
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("ev_pivot_user_activity", oracle=_EV_PIVOT_ORACLE)
+def ev_pivot_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity matrix: ``groupBy(user).pivot(event_type,
+    <explicit values>).count()`` — the long→wide reshape every
+    feature-engineering pipeline runs before model training, and the one
+    relational surface (``RelationalGroupedData.pivot``) not yet pinned
+    by any registered query.
+
+    Catalyst rewrites an explicit-values pivot into a SINGLE hash
+    aggregate whose projection emits one partial-count per listed value
+    (no per-value scan, no distinct pre-pass), so the plan is exactly
+    one shuffle on ``user_id`` with map-side partials — the same shape
+    as a plain groupBy, however many columns come out. Spark's pivot
+    leaves null where a (user, type) combo never occurred while the
+    oracle's conditional COUNT yields 0, so the pivoted columns are
+    coalesced to 0 — also the contract a downstream trainer wants.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EV_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    n_total = sum(
+        (F.coalesce(F.col(t), F.lit(0)) for t in _EV_TYPES), F.lit(0)
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _EV_TYPES
+        ],
+        n_total.cast("bigint").alias("n_total"),
+    )

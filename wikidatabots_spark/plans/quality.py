@@ -46,6 +46,40 @@ from pyspark.sql import functions as F
 from wikidatabots_spark.plans.registry import register
 from wikidatabots_spark.sources.tables import load_table
 
+# Temp state roots for the seated streaming queries, one live root per
+# query prefix. The returned frames are lazy (merge-on-read over the
+# state stores), so the CURRENT root must outlive its query function —
+# but by the time the same query is invoked again its previous frame has
+# been consumed (check_oracle/bench/driver all collect each query before
+# building the next), so the previous root is removed EAGERLY here and a
+# long-lived process holds at most one root per query instead of one per
+# invocation, with one atexit sweep as the final backstop (ADVICE r12:
+# per-invocation atexit.register both leaked roots until exit and grew
+# the atexit table without bound).
+_STREAM_ROOTS: dict[str, str] = {}
+
+
+def _sweep_stream_roots() -> None:
+    import shutil
+
+    for p in _STREAM_ROOTS.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _fresh_stream_root(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _STREAM_ROOTS:
+        atexit.register(_sweep_stream_roots)
+    prev = _STREAM_ROOTS.pop(prefix, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix=prefix)
+    _STREAM_ROOTS[prefix] = root
+    return root
+
 # ---------------------------------------------------------------------------
 # ev_gapfill_hourly — densified hourly rollup (explicit zero rows for gaps)
 # ---------------------------------------------------------------------------
@@ -2957,13 +2991,10 @@ def dedup_graph_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, batch-sized signatures + a pruned probe + CC over touched
     components; the query's only extra cost is that it runs three such
     batches at the gate SF. A fresh temp state dir per invocation
-    keeps repeated runs (engine + oracle sides) independent; the dir is
-    registered for atexit removal (ADVICE r11: repeated bench passes
-    otherwise accumulate parquet debris in $TMPDIR)."""
-    import atexit
+    keeps repeated runs (engine + oracle sides) independent; the
+    PREVIOUS invocation's dir is removed eagerly and the last one at
+    exit (``_fresh_stream_root``, ADVICE r11/r12)."""
     import os
-    import shutil
-    import tempfile
 
     from wikidatabots_spark.streaming.docs_stream import (
         dedup_graph_maintenance,
@@ -2972,8 +3003,7 @@ def dedup_graph_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="wdb_graph_stream_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    root = _fresh_stream_root("wdb_graph_stream_")
     index_path = os.path.join(root, "idx")
     labels_path = os.path.join(root, "lbl")
     sink = dedup_graph_maintenance(index_path, labels_path, compact_every=2)
@@ -3098,12 +3128,10 @@ def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a streaming checkpoint — and every state store self-bounds via its
     retention fold (``compact_every=2``: labels + band index +
     tombstones, DSIR partials, flagged verdicts), so the driver hash
-    additionally pins fold-under-the-engine. The state root is
-    registered for atexit removal (ADVICE r11)."""
-    import atexit
+    additionally pins fold-under-the-engine. The previous invocation's
+    state root is removed eagerly, the last one at exit
+    (``_fresh_stream_root``, ADVICE r11/r12)."""
     import os
-    import shutil
-    import tempfile
 
     from wikidatabots_spark.functions.scale import pushdown_fence
     from wikidatabots_spark.operators.textstats import words
@@ -3124,8 +3152,7 @@ def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = d.where(F.col("doc_id") % 7 == 0)
     train = d.where(F.col("doc_id") % 7 != 0)
-    root = tempfile.mkdtemp(prefix="wdb_ingest_stream_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    root = _fresh_stream_root("wdb_ingest_stream_")
     flagged_path = os.path.join(root, "flagged")
     index_path = os.path.join(root, "idx")
     labels_path = os.path.join(root, "lbl")

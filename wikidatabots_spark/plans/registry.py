@@ -204,6 +204,8 @@ _EXTENSION_POOL: list[str] = [
     "corpus_mix_epochs",
     # r12 additions (appended so earlier rounds' slices are unchanged)
     "dedup_skew_hotbucket",
+    # r13 additions
+    "ev_pivot_user_activity",
 ]
 
 # Bumped once per round. Guarded by tests/test_plans.py::test_rotation_round_is_current,
@@ -211,7 +213,7 @@ _EXTENSION_POOL: list[str] = [
 # CORRECTNESS_r{N}.json at the repo root (the driver commits round N-1's
 # record when round N opens), so a forgotten bump fails pytest loudly
 # instead of silently re-seating the previous rotation slice (ADVICE r11).
-_ROTATION_ROUND = 12
+_ROTATION_ROUND = 13
 _N_ROTATING = 6
 
 _offset = ((_ROTATION_ROUND - 11) * _N_ROTATING) % len(_EXTENSION_POOL)

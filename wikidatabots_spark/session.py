@@ -49,6 +49,10 @@ def get_spark(
         # long which sources.tables converts to a µs timestamp explicitly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # console progress bars interleave carriage-return frames with
+        # stdout, corrupting redirected reports (ADVICE r12: PLANS.md
+        # captured '[Stage 0:>...]' fragments into committed table rows)
+        .config("spark.ui.showConsoleProgress", "false")
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get(
