@@ -2028,3 +2028,46 @@ def test_real_stream_with_folds_and_deletes_matches_recompute(
         ).collect()
     }
     assert served_ids == {d for d, _ in survivors}
+
+
+def test_store_writes_are_file_bounded(spark, tmp_path):
+    """Small-files regression pin (r13): every dynamic-partitioned store
+    write repartitions on its partition columns first, so a batch write
+    lands ONE AQE-sized file per touched partition dir — not one file
+    per shuffle task per dir (the pre-fix band index minted
+    tasks x prefixes = 512 files per batch; 1024 after two batches)."""
+    import os as _os
+
+    from wikidatabots_spark.streaming.docs_stream import (
+        dedup_graph_maintenance,
+        latest_labels,
+    )
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text body "), (F.col("id") % 40).cast("string")).alias(
+            "text"
+        ),
+    )
+    index_path = str(tmp_path / "idx")
+    labels_path = str(tmp_path / "lbl")
+    sink = dedup_graph_maintenance(index_path, labels_path)
+    for i in range(3):
+        sink(docs.where(F.col("doc_id") % 3 == i), i)
+
+    def nfiles(path):
+        return sum(
+            1
+            for _r, _d, fs in _os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    n_prefixes = 16  # 16**_BAND_PFX_LEN partition dirs per batch, max
+    n_batches = 3
+    # one file per touched (band_pfx, __batch_id) dir; "*2" leaves room
+    # for AQE choosing an extra output partition, never for per-task
+    # fan-out (32 tasks would blow straight past it)
+    assert nfiles(index_path) <= 2 * n_prefixes * n_batches
+    assert nfiles(labels_path) <= 2 * n_batches
+    assert latest_labels(spark, labels_path).count() > 0

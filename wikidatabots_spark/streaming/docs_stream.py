@@ -307,7 +307,12 @@ def dsir_model_maintenance(partials_path: str, compact_every: int | None = None)
             dsir_occurrences(batch.select("doc_id", "source", "text"))
         )
         (
+            # repartition before the partitioned write (r13): without it
+            # every shuffle task emits its own file into the batch dir
+            # (32 files for a ~1k-row counter delta); AQE sizes the
+            # exchange, so the tiny delta lands as one file
             cls.withColumn("__batch_id", F.lit(batch_id))
+            .repartition(F.col("__batch_id"), F.col("bucket"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch_id")
@@ -375,6 +380,7 @@ def compact_dsir_partials(
     staged = os.path.join(tmp, "data")
     (
         base.unionByName(kept)
+        .repartition(F.col("__batch_id"), F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("__batch_id")
         .parquet(staged)
@@ -443,7 +449,10 @@ def decontamination_gate(
         ensure_linked_store(flagged_path)
         flagged = ngram_collisions(batch, None, n=n, bench_grams=bg)
         (
+            # repartition before the partitioned write (r13): bounds the
+            # verdict delta to AQE-sized files instead of one per task
             flagged.withColumn("__batch_id", F.lit(batch_id))
+            .repartition(F.col("__batch_id"), F.col("train_id"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch_id")
@@ -497,6 +506,7 @@ def compact_flagged(
     staged = os.path.join(tmp, "data")
     (
         base.unionByName(kept)
+        .repartition(F.col("__batch_id"), F.col("train_id"))
         .write.mode("overwrite")
         .partitionBy("__batch_id")
         .parquet(staged)
@@ -585,18 +595,36 @@ def dedup_graph_maintenance(
 
     tomb_path = tombstones_path or index_path.rstrip("/") + "_tombstones"
 
-    def _write_fenced(df: DataFrame, path: str, *part_cols: str) -> None:
+    def _write_fenced(
+        df: DataFrame, path: str, *part_cols: str, spread: str | None = None
+    ) -> None:
         # dynamic partition overwrite = the replay fence: a re-run of
         # the same batch id replaces its own partitions, byte-for-byte
         # idempotent; other batches' partitions are never touched. The
         # store lives behind a symlink pointer from birth so
         # compact_labels publishes with ONE atomic rename (no window
         # where the store is absent, VERDICT r10 next #1).
+        #
+        # Repartition on the partition columns before the write (r13):
+        # without it EVERY write task that holds rows for a partition
+        # value emits its own file there — measured 512 files per batch
+        # (32 tasks × 16 band prefixes) for a ~3k-row index delta, and
+        # every later probe/fold pays the per-file listing+open cost; at
+        # cluster scale that is tasks×prefixes files per batch, the
+        # classic small-files failure. ``spread`` adds one high-card
+        # column so a large batch still writes in parallel; no explicit
+        # partition count is given, so AQE sizes the exchange (tiny
+        # delta → one file per touched partition dir, huge delta →
+        # proportional).
         from wikidatabots_spark.sinks.compaction import ensure_linked_store
 
+        keys = [F.col(c) for c in part_cols]
+        if spread is not None:
+            keys.append(F.col(spread))
         ensure_linked_store(path)
         (
-            df.write.mode("overwrite")
+            df.repartition(*keys)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*part_cols)
             .parquet(path)
@@ -787,6 +815,7 @@ def dedup_graph_maintenance(
             delta.withColumn("__batch_id", F.lit(batch_id)),
             labels_path,
             "__batch_id",
+            spread="node",
         )
         _write_fenced(
             bands_new.withColumn("band_pfx", _band_pfx()).withColumn(
@@ -795,12 +824,14 @@ def dedup_graph_maintenance(
             index_path,
             "band_pfx",
             "__batch_id",
+            spread="band_hash",
         )
         if deletes is not None:
             _write_fenced(
                 deletes.withColumn("__batch_id", F.lit(batch_id)),
                 tomb_path,
                 "__batch_id",
+                spread="doc_id",
             )
         # self-bounding retention: every `compact_every` batches, fold
         # the label delta history into one base partition and the
@@ -888,6 +919,7 @@ def compact_labels(
     staged = os.path.join(tmp, "data")
     (
         base.unionByName(kept)
+        .repartition(F.col("__batch_id"), F.col("node"))
         .write.mode("overwrite")
         .partitionBy("__batch_id")
         .parquet(staged)
@@ -1085,7 +1117,13 @@ def compact_index(
     )
     staged = os.path.join(tmp, "data")
     (
+        # repartition on the partition cols (+ band_hash for spread,
+        # AQE-sized) so the fold writes one file per partition dir, not
+        # one per task per dir (r13 small-files fix)
         base.unionByName(kept)
+        .repartition(
+            F.col("band_pfx"), F.col("__batch_id"), F.col("band_hash")
+        )
         .write.mode("overwrite")
         .partitionBy("band_pfx", "__batch_id")
         .parquet(staged)
@@ -1104,7 +1142,8 @@ def compact_index(
         )
         tstaged = os.path.join(ttmp, "data")
         (
-            tkept.write.mode("overwrite")
+            tkept.repartition(F.col("__batch_id"), F.col("doc_id"))
+            .write.mode("overwrite")
             .partitionBy("__batch_id")
             .parquet(tstaged)
         )
