@@ -862,14 +862,17 @@ def ev_pivot_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational surface (``RelationalGroupedData.pivot``) not yet pinned
     by any registered query.
 
-    Catalyst rewrites an explicit-values pivot into a SINGLE hash
-    aggregate whose projection emits one partial-count per listed value
-    (no per-value scan, no distinct pre-pass), so the plan is exactly
-    one shuffle on ``user_id`` with map-side partials — the same shape
-    as a plain groupBy, however many columns come out. Spark's pivot
-    leaves null where a (user, type) combo never occurred while the
-    oracle's conditional COUNT yields 0, so the pivoted columns are
-    coalesced to 0 — also the contract a downstream trainer wants.
+    Catalyst compiles an explicit-values pivot as two-phase
+    aggregation (audited in PLANS.md): a hash aggregate on
+    ``(user_id, event_type)`` with map-side partials — the only
+    exchange that sees fact-table row counts — then a ``PivotFirst``
+    regroup on ``user_id`` whose input is already collapsed to
+    |users|×|types| rows, so the second exchange is group-sized, not
+    data-sized. No per-value scan and, because the values are
+    explicit, no distinct pre-pass. Spark's pivot leaves null where a
+    (user, type) combo never occurred while the oracle's conditional
+    COUNT yields 0, so the pivoted columns are coalesced to 0 — also
+    the contract a downstream trainer wants.
     """
     ev = load_table(spark, sf_dir, "events")
     pivoted = (
@@ -887,4 +890,97 @@ def ev_pivot_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _EV_TYPES
         ],
         n_total.cast("bigint").alias("n_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_unpivot_measures — wide→long melt via DataFrame.unpivot
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+)
+"""
+
+
+@register("op_unpivot_measures", oracle=_UNPIVOT_ORACLE)
+def op_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the four lineitem measures via
+    ``DataFrame.unpivot`` — the inverse reshape of
+    ``ev_pivot_user_activity`` and the one remaining relational-surface
+    API (`unpivot`/`melt`) no registered query pinned (the `stack()`
+    SQL form is exercised inside dq_expectations, but on a pre-
+    aggregated single row; this pins the DataFrame API on a fact
+    table).
+
+    Scale: unpivot is a zero-shuffle narrow map — each input row
+    expands to len(values) output rows in place (Catalyst rewrites it
+    to Expand), so the plan is scan → expand with no exchange; output
+    row count is exactly 4× the scan. The long form is what a metrics
+    store or anomaly detector ingests.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_map_ops — map-typed column construction and lookup
+# ---------------------------------------------------------------------------
+
+_MAP_OPS_ORACLE = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+       + COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_browse,
+       COUNT(DISTINCT event_type) AS n_kinds
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("op_map_ops", oracle=_MAP_OPS_ORACLE)
+def op_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per-user event-type counts built into a
+    ``map<string,bigint>`` (``map_from_entries`` over collected
+    structs), then consumed with ``element_at`` (null-safe lookup),
+    arithmetic over lookups, and ``map_keys`` cardinality. The final
+    projection is all BIGINT so the driver hash never sees the map
+    itself (map column order is unspecified — unsafe to hash), but a
+    wrong map construction or lookup changes the scalars.
+
+    Scale: one shuffle on (user_id, event_type) with map-side partial
+    counts, then a per-user ``collect_list`` of at most
+    |event_type| = 5 entries — the map is bounded by the enum's
+    cardinality, never by event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("counts")
+    )
+    def look(k):
+        return F.coalesce(F.element_at(F.col("counts"), k), F.lit(0))
+    return m.select(
+        "user_id",
+        look("purchase").cast("bigint").alias("n_purchase"),
+        (look("click") + look("view")).cast("bigint").alias("n_browse"),
+        F.size(F.map_keys(F.col("counts"))).cast("bigint").alias("n_kinds"),
     )

@@ -206,6 +206,8 @@ _EXTENSION_POOL: list[str] = [
     "dedup_skew_hotbucket",
     # r13 additions
     "ev_pivot_user_activity",
+    "op_unpivot_measures",
+    "op_map_ops",
 ]
 
 # Bumped once per round. Guarded by tests/test_plans.py::test_rotation_round_is_current,
