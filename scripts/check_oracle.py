@@ -67,6 +67,18 @@ def diagnose_probabilistic(name, scols, sset, dcols, dset):
             f" {_MAX_WAIVED_MISSES} — systemic recall loss, not a"
             " boundary flake: treat as a real MLlib regression"
         )
+    if len(sset) + len(donly) != len(dset):
+        # The spark multiset must be EXACTLY the duck multiset minus the
+        # missed pairs. Set-membership alone would waive a duplicate-row
+        # (multiplicity) bug on the SHARED rows whenever it co-occurs
+        # with a <=cap boundary miss, since the multiplicity diagnosis
+        # above only fires when donly is empty (ADVICE r13).
+        return False, (
+            f"multiset size inconsistent with a pure recall miss:"
+            f" spark {len(sset)} + missed {len(donly)} != duck"
+            f" {len(dset)} — a row-multiplicity bug co-occurring with"
+            " the miss, not waivable"
+        )
     try:
         ji = scols.index(jcol)
         js = [float(r[ji]) for r in donly]  # canon() stores float repr()

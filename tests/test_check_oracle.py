@@ -57,6 +57,33 @@ def test_rejects_systemic_recall_loss_over_cap():
     assert "cap" in reason
 
 
+def test_rejects_multiplicity_bug_hidden_behind_boundary_miss():
+    # A duplicate of a SHARED row co-occurring with a single waivable
+    # boundary miss: set membership alone sees no spark-only rows and a
+    # <=cap donly, so the old waiver let it through. The multiset-size
+    # consistency check (spark + missed == duck) must reject it
+    # (ADVICE r13).
+    shared = row(1, 2, 0.95)
+    sset = sorted([shared, shared])  # duplicated shared row
+    dset = sorted([shared, row(3, 4, 0.905)])
+    waived, reason = diagnose_probabilistic(NAME, COLS, sset, COLS, dset)
+    assert not waived
+    assert "multiplicity" in reason
+
+
+def test_rejects_dropped_shared_copy_behind_boundary_miss():
+    # The mirror case: duck has a shared row TWICE, spark dropped one
+    # copy and also missed a boundary pair. donly (set-based) contains
+    # only the missed pair, so only the size consistency check catches
+    # the dropped copy.
+    shared = row(1, 2, 0.95)
+    sset = sorted([shared])
+    dset = sorted([shared, shared, row(3, 4, 0.905)])
+    waived, reason = diagnose_probabilistic(NAME, COLS, sset, COLS, dset)
+    assert not waived
+    assert "multiplicity" in reason
+
+
 def test_rejects_miss_above_boundary():
     sset = sorted([row(1, 2, 0.95)])
     dset = sorted([row(1, 2, 0.95), row(3, 4, 0.97)])

@@ -2071,3 +2071,58 @@ def test_store_writes_are_file_bounded(spark, tmp_path):
     assert nfiles(index_path) <= 2 * n_prefixes * n_batches
     assert nfiles(labels_path) <= 2 * n_batches
     assert latest_labels(spark, labels_path).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r13: _fresh_stream_root's eager cleanup must never strand a
+# still-unconsumed frame from the previous invocation — seated queries
+# return _decoupled (localCheckpoint'ed) frames, safe by construction.
+# ---------------------------------------------------------------------------
+
+
+def test_decoupled_frame_survives_root_removal(spark):
+    """Mechanism pin: a _decoupled frame built over a _fresh_stream_root
+    store keeps answering after the NEXT _fresh_stream_root call for the
+    same prefix rmtree's the store out from under it."""
+    import os as _os
+
+    from wikidatabots_spark.plans.quality import (
+        _decoupled,
+        _fresh_stream_root,
+    )
+
+    root1 = _fresh_stream_root("wdb_test_decouple_")
+    p = _os.path.join(root1, "t.parquet")
+    spark.range(0, 7).withColumnRenamed("id", "v").write.parquet(p)
+    lazy = spark.read.parquet(p)
+    safe = _decoupled(spark.read.parquet(p))
+
+    root2 = _fresh_stream_root("wdb_test_decouple_")  # rmtree's root1
+    assert not _os.path.exists(root1) and _os.path.exists(root2)
+    # the decoupled frame still answers; the raw lazy one is now broken
+    assert sorted(r.v for r in safe.collect()) == list(range(7))
+    try:
+        lazy.collect()
+        raw_readable = True
+    except Exception:
+        raw_readable = False
+    assert not raw_readable, (
+        "raw lazy frame unexpectedly survived root removal — the"
+        " decoupling guard is untestable on this FS"
+    )
+    _fresh_stream_root("wdb_test_decouple_")  # drop root2 content too
+
+
+def test_graph_stream_frame_survives_reinvocation(spark, sf_dir):
+    """End-to-end pin: invoke the seated streaming query twice,
+    collecting the FIRST frame only after the second invocation has
+    already recycled the state root. Pre-fix this read an absent store
+    (empty/erroring); now both frames must agree exactly."""
+    from wikidatabots_spark.plans.quality import dedup_graph_stream_q
+
+    first = dedup_graph_stream_q(spark, sf_dir)
+    second = dedup_graph_stream_q(spark, sf_dir)
+    rows1 = sorted(map(tuple, first.collect()))
+    rows2 = sorted(map(tuple, second.collect()))
+    assert rows1 == rows2
+    assert len(rows1) > 0

@@ -47,15 +47,16 @@ from wikidatabots_spark.plans.registry import register
 from wikidatabots_spark.sources.tables import load_table
 
 # Temp state roots for the seated streaming queries, one live root per
-# query prefix. The returned frames are lazy (merge-on-read over the
-# state stores), so the CURRENT root must outlive its query function —
-# but by the time the same query is invoked again its previous frame has
-# been consumed (check_oracle/bench/driver all collect each query before
-# building the next), so the previous root is removed EAGERLY here and a
-# long-lived process holds at most one root per query instead of one per
-# invocation, with one atexit sweep as the final backstop (ADVICE r12:
-# per-invocation atexit.register both leaked roots until exit and grew
-# the atexit table without bound).
+# query prefix. Each query routes its return through ``_decoupled``
+# (eager localCheckpoint), so the returned frame never depends on the
+# root after the query function exits; the previous root is therefore
+# safe to remove EAGERLY here regardless of when (or whether) the
+# previous frame is consumed (ADVICE r13 closed the old
+# consume-before-reinvoke assumption). A long-lived process holds at
+# most one root per query instead of one per invocation, with one
+# atexit sweep as the final backstop (ADVICE r12: per-invocation
+# atexit.register both leaked roots until exit and grew the atexit
+# table without bound).
 _STREAM_ROOTS: dict[str, str] = {}
 
 
@@ -79,6 +80,24 @@ def _fresh_stream_root(prefix: str) -> str:
     root = tempfile.mkdtemp(prefix=prefix)
     _STREAM_ROOTS[prefix] = root
     return root
+
+
+def _decoupled(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` off its source files via
+    ``localCheckpoint`` so the returned frame no longer depends on the
+    temp state root it was built over.
+
+    ADVICE r13: ``_fresh_stream_root`` rmtree's the PREVIOUS
+    invocation's root, which would silently turn any still-unconsumed
+    lazy frame from that invocation into a read over an absent store.
+    Every seated streaming query must route its return through this
+    helper, making the eager cleanup safe by construction instead of by
+    a consume-before-reinvoke calling convention. The frames involved
+    are gate-SF label/flag/score views (thousands of rows), so the
+    eager block materialization is cheap; lineage truncation is
+    irrelevant here because the source files are temp state slated for
+    deletion anyway."""
+    return df.localCheckpoint(eager=True)
 
 # ---------------------------------------------------------------------------
 # ev_gapfill_hourly — densified hourly rollup (explicit zero rows for gaps)
@@ -2992,8 +3011,10 @@ def dedup_graph_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     components; the query's only extra cost is that it runs three such
     batches at the gate SF. A fresh temp state dir per invocation
     keeps repeated runs (engine + oracle sides) independent; the
-    PREVIOUS invocation's dir is removed eagerly and the last one at
-    exit (``_fresh_stream_root``, ADVICE r11/r12)."""
+    returned frame is decoupled from the root (``_decoupled``, eager
+    localCheckpoint), so the PREVIOUS invocation's dir is removed
+    eagerly and the last one at exit without any consume-order
+    assumption (``_fresh_stream_root``, ADVICE r11/r12/r13)."""
     import os
 
     from wikidatabots_spark.streaming.docs_stream import (
@@ -3010,7 +3031,7 @@ def dedup_graph_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_staged_foreach_batch(
         [d.where(F.col("doc_id") % 3 == i) for i in range(3)], sink, root
     )
-    return latest_labels(spark, labels_path)
+    return _decoupled(latest_labels(spark, labels_path))
 
 
 # ---------------------------------------------------------------------------
@@ -3128,9 +3149,11 @@ def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a streaming checkpoint — and every state store self-bounds via its
     retention fold (``compact_every=2``: labels + band index +
     tombstones, DSIR partials, flagged verdicts), so the driver hash
-    additionally pins fold-under-the-engine. The previous invocation's
-    state root is removed eagerly, the last one at exit
-    (``_fresh_stream_root``, ADVICE r11/r12)."""
+    additionally pins fold-under-the-engine. The returned frame is
+    decoupled from the state root (``_decoupled``), so the previous
+    invocation's root is removed eagerly, the last one at exit, with
+    no consume-order assumption (``_fresh_stream_root``, ADVICE
+    r11/r12/r13)."""
     import os
 
     from wikidatabots_spark.functions.scale import pushdown_fence
@@ -3218,7 +3241,7 @@ def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("imp_ppm").cast("long").alias("val"),
     )
-    return flags.unionByName(comps).unionByName(scores)
+    return _decoupled(flags.unionByName(comps).unionByName(scores))
 
 
 # ---------------------------------------------------------------------------

@@ -215,7 +215,7 @@ _EXTENSION_POOL: list[str] = [
 # CORRECTNESS_r{N}.json at the repo root (the driver commits round N-1's
 # record when round N opens), so a forgotten bump fails pytest loudly
 # instead of silently re-seating the previous rotation slice (ADVICE r11).
-_ROTATION_ROUND = 13
+_ROTATION_ROUND = 14
 _N_ROTATING = 6
 
 _offset = ((_ROTATION_ROUND - 11) * _N_ROTATING) % len(_EXTENSION_POOL)
