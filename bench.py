@@ -215,6 +215,19 @@ HEADLINERS = [
     # priced, so the cap's linear-not-quadratic claim is a recorded
     # wall-clock number, not only a row-bound assertion
     "dedup_skew_hotbucket",
+    # round-13: the pivot/unpivot reshapes and the map-column surface
+    "ev_pivot_user_activity",
+    "op_unpivot_measures",
+    "op_map_ops",
+    # round-14: exact-distinct bitmap partials, the Expand
+    # multi-distinct, the array-HOF projection, and the bucketed
+    # zero-exchange join (priced END-TO-END including its two bucketed
+    # table writes — the amortized-shuffle claim needs the write cost
+    # on record next to the exchange-free read)
+    "ev_bitmap_distinct",
+    "agg_multi_distinct",
+    "op_higher_order_arrays",
+    "join_bucketed_colocated",
 ]
 
 # The multi-GB-shuffle composed pipelines: scheduled LAST within every

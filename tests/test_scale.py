@@ -278,3 +278,53 @@ def test_rfm_segments_keeps_null_metric_users(spark, tmp_path):
     )
     want_t = sorted(map(tuple, want.collect()))
     assert got_t == want_t
+
+
+def test_seated_bucketed_query_join_has_no_exchange(spark, sf_dir):
+    """Plan pin for the driver-checked join_bucketed_colocated query:
+    rebuild its exact join (same tables, bucket count, merge hint) and
+    assert the JOIN subtree is exchange-free — the query's whole point.
+    The seated query itself only pins values; this pins the plan."""
+    from wikidatabots_spark.functions.scale import decoupled
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(li, "wdb_bj_lineitem", ["l_orderkey"], num_buckets=8)
+    write_bucketed(o, "wdb_bj_orders", ["o_orderkey"], num_buckets=8)
+    j = bucketed(spark, "wdb_bj_lineitem").hint("merge").join(
+        bucketed(spark, "wdb_bj_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    assert j.count() > 0
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_write_bucketed_overwrites_stale_cross_session_location(spark):
+    """write_bucketed must survive a managed-table location left behind
+    by a PREVIOUS JVM (present on disk, absent from this session's
+    in-memory catalog) — the repeated-invocation path of the seated
+    query across driver/check_oracle/bench processes."""
+    import os
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # simulate the cross-session state: location on disk, no catalog row
+    # (DROP TABLE would also remove the location, so plant the orphan
+    # dir directly — exactly what a dead JVM leaves behind)
+    spark.sql("DROP TABLE IF EXISTS wdb_stale_loc_t")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, "wdb_stale_loc_t")
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "orphan.parquet"), "w") as fh:
+        fh.write("stale")
+    write_bucketed(df, "wdb_stale_loc_t", ["k"], num_buckets=2)
+    assert bucketed(spark, "wdb_stale_loc_t").count() == 10
+    spark.sql("DROP TABLE IF EXISTS wdb_stale_loc_t")

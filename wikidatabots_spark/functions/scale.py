@@ -35,7 +35,26 @@ def write_bucketed(
     Sorting within buckets additionally removes the per-task sort from
     future sort-merge joins — the read-side plan is scan→join, nothing
     else.
+
+    Overwrites survive session restarts: a managed table written by a
+    PREVIOUS JVM leaves its location under the warehouse dir while the
+    new session's in-memory catalog has no entry for it, so a bare
+    ``saveAsTable`` fails with LOCATION_ALREADY_EXISTS. Drop any
+    catalog entry, then clear a stale orphan location — but only when
+    it sits under OUR configured warehouse dir (never reach outside
+    it).
     """
+    if mode == "overwrite":
+        import os
+        import shutil
+
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        wh_path = wh.removeprefix("file:")
+        loc = os.path.join(wh_path, table.split(".")[-1].lower())
+        if wh_path and os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *keys)
     if sort:
         w = w.sortBy(*keys)
@@ -294,3 +313,19 @@ def observe_counters(df, name: str, **aggs):
     obs = Observation(name)
     named = [expr.alias(alias) for alias, expr in aggs.items()]
     return df.observe(obs, *named), obs
+
+
+def decoupled(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` off its source storage via
+    ``localCheckpoint`` so the returned frame no longer depends on the
+    files/tables it was built over.
+
+    Queries that build their result over per-invocation scratch state
+    (temp streaming stores, overwritten bucketed tables) must route
+    their return through this, so the NEXT invocation's cleanup or
+    overwrite of that state can never strand a still-unconsumed lazy
+    frame (ADVICE r13). Only for frames whose materialized size is
+    bounded (aggregates, label views) — lineage truncation is the
+    point, not a cost, because the sources are scratch slated for
+    replacement anyway."""
+    return df.localCheckpoint(eager=True)

@@ -984,3 +984,89 @@ def op_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (look("click") + look("view")).cast("bigint").alias("n_browse"),
         F.size(F.map_keys(F.col("counts"))).cast("bigint").alias("n_kinds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_bitmap_distinct — EXACT distinct counts via mergeable bitmap partials
+# ---------------------------------------------------------------------------
+
+_BITMAP_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__all__' AS event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+"""
+
+
+@register("ev_bitmap_distinct", oracle=_BITMAP_DISTINCT_ORACLE)
+def ev_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts from ONE pass of mergeable bitmap
+    partials (``bitmap_construct_agg`` over ``bitmap_bit_position``,
+    bucketed by ``bitmap_bucket_number``) — the exact counterpart of the
+    HLL sketches in ``operators/sketch.py``: same
+    partial-aggregate/merge algebra (``bitmap_or_agg`` is the union),
+    but no approximation error, at the cost of memory proportional to
+    the id range instead of O(1).
+
+    Scale: this is how an exact-distinct rollup cube is built at 100 TB
+    — the fact table collapses to |groups|×|id_range/32768| 4 KB bitmap
+    partials with map-side combine (the ONLY exchange that sees fact
+    rows), and every coarser grouping (here the '__all__' leg; in
+    general any rollup level or later-arriving partition) is computed
+    by OR-merging the same partials instead of rescanning the fact
+    table — COUNT(DISTINCT) itself cannot re-aggregate. ``user_id + 1``
+    because the bitmap functions take 1-based positions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id") + F.lit(1)
+    partials = ev.groupBy(
+        "event_type", F.bitmap_bucket_number(uid).alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(uid)).alias("bm"))
+    per_type = partials.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users")
+    )
+    merged_all = (
+        partials.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users"))
+        .select(F.lit("__all__").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(merged_all)
+
+
+# ---------------------------------------------------------------------------
+# agg_multi_distinct — several COUNT(DISTINCT ...) in one aggregation
+# ---------------------------------------------------------------------------
+
+_MULTI_DISTINCT_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_multi_distinct", oracle=_MULTI_DISTINCT_ORACLE)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two COUNT(DISTINCT) over DIFFERENT columns plus a plain COUNT in
+    one aggregation — the shape Catalyst rewrites through an Expand
+    (one replicated row stream per distinct column, tagged by gid) into
+    a single two-phase aggregate, rather than N self-joined
+    single-distinct aggregates.
+
+    Scale: Expand multiplies the fact rows by the number of distinct
+    columns BEFORE the exchange, so cost grows linearly with the
+    distinct-column count — fine at 2-3 columns; past that, one pass of
+    re-aggregable partials per column (``ev_bitmap_distinct``'s
+    bitmaps, or ``sketch_hll_by_type`` when approximate is acceptable)
+    beats the multiplied shuffle. Pinning the exact form documents that
+    tradeoff under the hard signal.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count_distinct(F.to_date("ts")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -2927,3 +2927,68 @@ def dedup_skew_hotbucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(band_pairs(bands)).select(
         "node", "component"
     )
+
+
+# ---------------------------------------------------------------------------
+# op_higher_order_arrays — the array HOF surface in one narrow projection
+# ---------------------------------------------------------------------------
+
+_HOF_ARRAYS_ORACLE = r"""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x != '') AS wl
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(wl) AS BIGINT) AS n_words,
+       CAST(len(list_filter(wl, x -> length(x) >= 5)) AS BIGINT) AS n_long,
+       CAST(COALESCE(list_aggregate(list_transform(wl, x -> length(x)),
+                                    'sum'), 0) AS BIGINT) AS sum_len,
+       CAST(COALESCE(list_aggregate(list_transform(wl, x -> length(x)),
+                                    'max'), 0) AS BIGINT) AS max_len,
+       len(list_filter(wl, x -> x = 'the')) > 0 AS has_the,
+       len(list_filter(wl, x -> length(x) >= 20)) = 0 AS all_short
+FROM w
+"""
+
+
+@register("op_higher_order_arrays", oracle=_HOF_ARRAYS_ORACLE)
+def op_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole array higher-order-function surface — ``filter``,
+    ``transform``, ``aggregate`` (explicit fold with a typed zero),
+    ``exists``, ``forall``, plus ``array_max`` — in one narrow per-doc
+    projection over the tokenized text, each pinned by a scalar the
+    driver hashes (the oracle re-expresses every lambda as a DuckDB
+    list lambda). ``aggregate`` seeds a BIGINT zero so the fold is
+    overflow-proof; empty token lists hit the ``aggregate`` zero /
+    ``array_max`` null → COALESCE 0 edge on both sides.
+
+    Scale: HOFs run inside whole-stage codegen on the JVM — this is the
+    designed alternative to a Python UDF for per-row array logic: zero
+    shuffle, zero Python, the array never leaves the scan's stage. One
+    caveat pinned elsewhere (``functions.scale.pushdown_fence``): no
+    CSE through lambdas, so the shared ``words()`` array is built once
+    per consuming expression — fine here where the split is the cheap
+    part, a fence when it isn't.
+    """
+    from wikidatabots_spark.operators.textstats import words
+
+    d = load_table(spark, sf_dir, "documents")
+    wl = words(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(wl).cast("bigint").alias("n_words"),
+        F.size(F.filter(wl, lambda x: F.length(x) >= 5))
+        .cast("bigint")
+        .alias("n_long"),
+        F.aggregate(
+            wl, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_len"),
+        F.coalesce(
+            F.array_max(F.transform(wl, lambda x: F.length(x).cast("bigint"))),
+            F.lit(0).cast("bigint"),
+        ).alias("max_len"),
+        F.exists(wl, lambda x: x == F.lit("the")).alias("has_the"),
+        F.forall(wl, lambda x: F.length(x) < F.lit(20)).alias("all_short"),
+    )

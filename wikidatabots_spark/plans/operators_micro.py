@@ -1386,3 +1386,65 @@ def op_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(parts, 1).alias("name_head"),
         F.element_at(parts, -1).alias("name_tail"),
     )
+
+
+# --- scale lever: bucketed tables join with ZERO exchange -------------------
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``functions.scale.write_bucketed`` under the hard correctness
+    signal: lineitem and orders are persisted as managed tables bucketed
+    by orderkey into the same bucket count, then sort-merge-joined
+    (``hint("merge")`` keeps AQE from substituting a broadcast at gate
+    SF, where orders is trivially small) — the co-location must be
+    invisible in the result (row-identical to the plain join, the
+    oracle) while the read-side join plan has ZERO Exchange
+    (plan-pinned in tests/test_scale.py: the one shuffle left in the
+    whole query is the final groupBy on priority).
+
+    Scale: this is the amortize-the-shuffle lever for fact⋈fact joins
+    repeated across many queries — each table is exchanged ONCE at
+    write time; every subsequent join on the bucket key is
+    exchange-free, which at 100 TB turns the dominant cost of every
+    orders⋈lineitem query into a one-time write. Revenue is summed in
+    integer cents so the hash is addition-order independent. The
+    returned frame is decoupled from the scratch tables
+    (``functions.scale.decoupled``) so the next invocation's overwrite
+    cannot strand it (the ADVICE-r13 hazard class).
+    """
+    from wikidatabots_spark.functions.scale import (
+        bucketed,
+        decoupled,
+        write_bucketed,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(li, "wdb_bj_lineitem", ["l_orderkey"], num_buckets=8)
+    write_bucketed(o, "wdb_bj_orders", ["o_orderkey"], num_buckets=8)
+    j = bucketed(spark, "wdb_bj_lineitem").hint("merge").join(
+        bucketed(spark, "wdb_bj_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return decoupled(
+        j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("rev_cents"),
+        )
+    )

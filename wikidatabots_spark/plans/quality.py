@@ -83,21 +83,15 @@ def _fresh_stream_root(prefix: str) -> str:
 
 
 def _decoupled(df: DataFrame) -> DataFrame:
-    """Eagerly materialize ``df`` off its source files via
-    ``localCheckpoint`` so the returned frame no longer depends on the
-    temp state root it was built over.
+    """Eagerly materialize ``df`` off its temp state root (ADVICE r13:
+    ``_fresh_stream_root`` rmtree's the PREVIOUS invocation's root,
+    which would silently turn a still-unconsumed lazy frame from that
+    invocation into a read over an absent store; every seated streaming
+    query routes its return through this, making the eager cleanup safe
+    by construction). See ``functions.scale.decoupled``."""
+    from wikidatabots_spark.functions.scale import decoupled
 
-    ADVICE r13: ``_fresh_stream_root`` rmtree's the PREVIOUS
-    invocation's root, which would silently turn any still-unconsumed
-    lazy frame from that invocation into a read over an absent store.
-    Every seated streaming query must route its return through this
-    helper, making the eager cleanup safe by construction instead of by
-    a consume-before-reinvoke calling convention. The frames involved
-    are gate-SF label/flag/score views (thousands of rows), so the
-    eager block materialization is cheap; lineage truncation is
-    irrelevant here because the source files are temp state slated for
-    deletion anyway."""
-    return df.localCheckpoint(eager=True)
+    return decoupled(df)
 
 # ---------------------------------------------------------------------------
 # ev_gapfill_hourly — densified hourly rollup (explicit zero rows for gaps)

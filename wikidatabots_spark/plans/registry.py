@@ -208,6 +208,11 @@ _EXTENSION_POOL: list[str] = [
     "ev_pivot_user_activity",
     "op_unpivot_measures",
     "op_map_ops",
+    # r14 additions
+    "ev_bitmap_distinct",
+    "agg_multi_distinct",
+    "op_higher_order_arrays",
+    "join_bucketed_colocated",
 ]
 
 # Bumped once per round. Guarded by tests/test_plans.py::test_rotation_round_is_current,
