@@ -228,6 +228,9 @@ HEADLINERS = [
     "agg_multi_distinct",
     "op_higher_order_arrays",
     "join_bucketed_colocated",
+    # round-14 wave 2: the composed IVF-PQ production ANN index,
+    # priced next to its components (knn_ivf_nprobe2, knn_pq_adc)
+    "knn_ivf_pq",
 ]
 
 # The multi-GB-shuffle composed pipelines: scheduled LAST within every

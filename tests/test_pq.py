@@ -98,3 +98,49 @@ def test_recall_eval_bounds(spark, sf_dir):
         assert r["n_exact"] == 3
         assert 0 <= r["n_matched"] <= min(r["n_exact"], max(r["n_ivf"], 0))
         assert abs(r["recall"] - r["n_matched"] / 3.0) < 1e-12
+
+
+def test_adc_with_query_cells_restricts_and_preserves_order(spark):
+    """IVF-PQ composition mechanism: with query_cells, ADC must (a)
+    return ONLY candidates whose cell is in the query's probed list,
+    (b) rank them exactly as the unrestricted search ranks that subset,
+    and (c) keep its narrow shape — the cell filter adds no join and no
+    extra exchange."""
+    from wikidatabots_spark.operators.clustering import with_cluster
+
+    df = _toy(spark)
+    books = pq_fit(df, m=2, subdim=2, k=2, rounds=2)
+    # two hand-planted coarse cells: near-origin vs near-(10,10,10,10)
+    ivf_book = [(0, [0, 0, 0, 0]), (1, [10, 10, 10, 10])]
+    enc = with_cluster(
+        pq_encode(df, books, subdim=2), ivf_book, "v", out_col="cell"
+    )
+    cells = {r["vec_id"]: r["cell"] for r in enc.collect()}
+    queries = [(r["vec_id"], r["v"]) for r in df.where("vec_id < 2").collect()]
+    probes = {0: [0], 1: [1]}  # each query probes ONE cell only
+    out = pq_adc_topk(
+        enc.drop("v"), queries, books, subdim=2, k_top=8,
+        query_cells=probes, cell_col="cell",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    restricted = {
+        (r["query_id"], r["neighbor_id"]): r["rank"] for r in out.collect()
+    }
+    assert restricted, "restricted search returned nothing"
+    for (qid, nid) in restricted:
+        assert cells[nid] in probes[qid]
+    # the unrestricted ranking, filtered to the probed cells and
+    # re-ranked, must agree pair-for-pair
+    full = pq_adc_topk(enc.drop("v"), queries, books, subdim=2, k_top=8)
+    expect = {}
+    for qid in probes:
+        kept = [
+            (r["adc_dist"], r["neighbor_id"])
+            for r in full.collect()
+            if r["query_id"] == qid and cells[r["neighbor_id"]] in probes[qid]
+        ]
+        for i, (_, nid) in enumerate(sorted(kept)):
+            expect[(qid, nid)] = i + 1
+    assert restricted == expect

@@ -152,6 +152,8 @@ def pq_adc_topk(
     k_top: int = 3,
     id_col: str = "vec_id",
     prefix: str = "code",
+    query_cells: dict[int, list[int]] | None = None,
+    cell_col: str = "cell",
 ) -> DataFrame:
     """ADC search: for each (query_id, exact int vector) in
     ``query_rows`` (a driver-held batch — the LUT build is per-query by
@@ -164,6 +166,13 @@ def pq_adc_topk(
     The LUT literal is |queries| * m * k longs; candidates explode over
     the query batch (narrow), so the only exchange is the final
     per-query top-k window.
+
+    With ``query_cells`` (the IVF-PQ composition), each query carries
+    its probed coarse-cell list as one more literal array and only
+    candidates whose ``cell_col`` is in it survive — the candidate
+    filter is a narrow predicate evaluated BEFORE any exchange, so the
+    top-k window sees |probed cells|/|cells| of the corpus instead of
+    all of it; ``encoded`` must then carry ``cell_col``.
     """
     m = len(books)
     k_max = 1 + max((c for book in books for c, _ in book), default=0)
@@ -184,14 +193,25 @@ def pq_adc_topk(
             luts.append(
                 F.array(*[F.lit(d).cast("long") for d in lut]).alias(f"lut{s}")
             )
-        q_structs.append(
-            F.struct(F.lit(int(qid)).cast("bigint").alias("query_id"), *luts)
-        )
+        fields = [F.lit(int(qid)).cast("bigint").alias("query_id"), *luts]
+        if query_cells is not None:
+            fields.append(
+                F.array(
+                    *[F.lit(int(c)) for c in query_cells[int(qid)]]
+                ).alias("cells")
+            )
+        q_structs.append(F.struct(*fields))
+    extra_cols = [cell_col] if query_cells is not None else []
     exploded = encoded.select(
         F.col(id_col).alias("neighbor_id"),
         *[f"{prefix}{s}" for s in range(m)],
+        *extra_cols,
         F.explode(F.array(*q_structs)).alias("__q"),
     ).where(F.col("__q.query_id") != F.col("neighbor_id"))
+    if query_cells is not None:
+        exploded = exploded.where(
+            F.array_contains(F.col("__q.cells"), F.col(cell_col))
+        )
     adc = F.element_at(F.col("__q.lut0"), F.col(f"{prefix}0") + 1)
     for s in range(1, m):
         adc = adc + F.element_at(F.col(f"__q.lut{s}"), F.col(f"{prefix}{s}") + 1)

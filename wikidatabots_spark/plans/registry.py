@@ -213,6 +213,7 @@ _EXTENSION_POOL: list[str] = [
     "agg_multi_distinct",
     "op_higher_order_arrays",
     "join_bucketed_colocated",
+    "knn_ivf_pq",
 ]
 
 # Bumped once per round. Guarded by tests/test_plans.py::test_rotation_round_is_current,

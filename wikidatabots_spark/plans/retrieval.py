@@ -12,6 +12,9 @@ evaluation harness, each oracle-hash-checked.
 - ``knn_pq_recall_eval`` — the same harness for PQ/ADC search: prices
   the code-compression approximation the way knn_recall_eval prices
   the IVF candidate fence
+- ``knn_ivf_pq`` (r14) — the two approximations composed into the
+  FAISS-style production index: IVF cell pruning picks WHICH
+  candidates ADC scores, PQ codes set what each costs
 
 No reference counterpart (north-star extensions, BASELINE.json
 similarity-search family).
@@ -44,18 +47,85 @@ def _pq_oracle(
     k: int = _PQ_K,
     n_queries: int = _PQ_NQ,
     topk: int = _PQ_TOPK,
+    ivf: tuple[int, int] | None = None,
 ) -> str:
     # per-subspace: unrolled 2-round integer k-means (the emb_kmeans
     # oracle shape specialized to the subvector slice), argmin encode
     # against the round-2 centroids, then ADC = query-subvector ->
-    # candidate-centroid squared distance summed across subspaces
+    # candidate-centroid squared distance summed across subspaces.
+    # With ivf=(n_cells, nprobe) the ADC pairs are restricted to the
+    # IVF-PQ candidate set: coarse cells are the n_cells quantized
+    # corpus vectors ranked first by (md5(vec_id), vec_id) (the
+    # knn_ivf_topk seeding, here in the quantized-integer domain so
+    # every distance in the composed index is exact integer math),
+    # assignment/probing are full-width integer-L2 argmins with ties
+    # to the lowest cell, and cand = nprobe-probed (query, neighbor)
+    # pairs.
     parts = [
         f"""q AS (
     SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
 )"""
     ]
+    if ivf is not None:
+        n_cells, nprobe = ivf
+        dim = m * subdim
+        parts.append(
+            f"""ivford AS (
+    SELECT vec_id, v,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS rn
+    FROM q
+),
+ivfc AS (
+    SELECT CAST(rn - 1 AS INT) AS cell, v AS cv
+    FROM ivford WHERE rn <= {n_cells}
+),
+ivfd AS (
+    SELECT e.vec_id, c.cell,
+           list_sum(list_transform(generate_series(1, {dim}),
+               i -> CAST((e.v[i] - c.cv[i]) AS BIGINT)
+                    * CAST((e.v[i] - c.cv[i]) AS BIGINT))) AS d2
+    FROM q e CROSS JOIN ivfc c
+),
+ivfassign AS (
+    SELECT vec_id AS neighbor_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cell) AS rn
+        FROM ivfd) WHERE rn = 1
+),
+ivfprobes AS (
+    SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cell) AS rn
+        FROM ivfd WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}
+),
+cand AS (
+    SELECT p.query_id, a.neighbor_id
+    FROM ivfprobes p JOIN ivfassign a USING (cell)
+    WHERE a.neighbor_id != p.query_id
+)"""
+        )
     for s in range(m):
         lo, hi = s * subdim + 1, (s + 1) * subdim
+        adc_select = f"""list_sum(list_transform(generate_series(1, {subdim}),
+               i -> CAST((qq.vs[i] - cc.cv[i]) AS BIGINT)
+                    * CAST((qq.vs[i] - cc.cv[i]) AS BIGINT))) AS d"""
+        if ivf is None:
+            adc_from = f"""SELECT qq.vec_id AS query_id, cd.vec_id AS neighbor_id,
+           {adc_select}
+    FROM sub{s} qq
+    JOIN code_{s} cd ON qq.vec_id < {n_queries}
+                    AND cd.vec_id != qq.vec_id
+    JOIN c1_{s} cc ON cc.cluster = cd.code"""
+        else:
+            adc_from = f"""SELECT ca.query_id, ca.neighbor_id,
+           {adc_select}
+    FROM cand ca
+    JOIN sub{s} qq ON qq.vec_id = ca.query_id
+    JOIN code_{s} cd ON cd.vec_id = ca.neighbor_id
+    JOIN c1_{s} cc ON cc.cluster = cd.code"""
         parts.append(
             f"""sub{s} AS (
     SELECT vec_id,
@@ -107,14 +177,7 @@ code_{s} AS (
     ) WHERE rn = 1
 ),
 adc{s} AS (
-    SELECT qq.vec_id AS query_id, cd.vec_id AS neighbor_id,
-           list_sum(list_transform(generate_series(1, {subdim}),
-               i -> CAST((qq.vs[i] - cc.cv[i]) AS BIGINT)
-                    * CAST((qq.vs[i] - cc.cv[i]) AS BIGINT))) AS d
-    FROM sub{s} qq
-    JOIN code_{s} cd ON qq.vec_id < {n_queries}
-                    AND cd.vec_id != qq.vec_id
-    JOIN c1_{s} cc ON cc.cluster = cd.code
+    {adc_from}
 )"""
         )
     joins = " ".join(
@@ -991,3 +1054,96 @@ def dq_monitor_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("precision_ppm").alias("m4"),
     )
     return skew.unionByName(sweep)
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_pq — the composed production ANN index (IVF pruning + PQ codes)
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+@register("knn_ivf_pq", oracle=_pq_oracle(ivf=(_IVF_CELLS, _IVF_NPROBE)))
+def knn_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the two approximations composed into the FAISS-style
+    production index (Jégou et al. 2011 §V: an inverted file prunes
+    WHICH candidates are scored, product quantization compresses WHAT
+    each candidate costs), hash-checked through the whole lifecycle:
+    the coarse quantizer is the ``knn_ivf_topk`` md5-seeded center set
+    re-based into the quantized-integer domain (so the composed index
+    is pure integer math end to end), every vector gets a cell by
+    full-width integer-L2 argmin (ties to the lowest cell) PLUS its 4
+    PQ codes, queries probe their ``nprobe=4`` nearest cells, and ADC
+    ranks only candidates inside probed cells (top-3 by
+    ``(adc_dist ASC, neighbor_id ASC)``).
+
+    Scale — why this composition is the billion-vector operating mode
+    and not just the union of its parts: PQ alone still scores EVERY
+    row (narrow, but corpus-sized per query batch); IVF-Flat alone
+    ships full-width vectors into the candidate join. Composed, cell
+    assignment and the probe filter are narrow literal-expression
+    predicates evaluated at the scan (candidates drop to
+    ~nprobe/n_cells of the corpus BEFORE any exchange), each surviving
+    candidate carries 4 small ints instead of a 64-wide vector, and
+    the only shuffle is the final per-query top-k window over the
+    pruned, compressed rows. At production sizes (4096 cells, m=16,
+    k=256) centers + codebooks are still driver-literal KBs.
+    """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+    from wikidatabots_spark.operators.clustering import with_cluster
+    from wikidatabots_spark.operators.pq import (
+        _sq_dist,
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = pushdown_fence(
+        emb.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(
+                    (x.cast("double") + F.lit(1.0)) * F.lit(100.0)
+                ).cast("int"),
+            ).alias("v"),
+        )
+    )
+    books = pq_fit(qv, m=_PQ_M, subdim=_PQ_SUBDIM, k=_PQ_K, rounds=_PQ_ROUNDS)
+    # coarse IVF book: cell i = the i-th quantized corpus vector by
+    # (md5(vec_id), vec_id) — deterministic, SQL-derivable, 16 rows
+    seeds = (
+        qv.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
+        )
+        .limit(_IVF_CELLS)
+        .collect()
+    )
+    ivf_book = [(i, [int(x) for x in r.v]) for i, r in enumerate(seeds)]
+    enc = with_cluster(
+        pq_encode(qv, books, subdim=_PQ_SUBDIM), ivf_book, "v", out_col="cell"
+    ).drop("v")
+    query_rows = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["v"]])
+        for r in qv.where(F.col("vec_id") < _PQ_NQ).collect()
+    )
+    # nprobe nearest cells per query: same integer L2 + lowest-cell
+    # tie-break as the distributed assignment, over 16 driver-held rows
+    probes = {
+        qid: sorted(
+            range(len(ivf_book)),
+            key=lambda c: (_sq_dist(qvec, ivf_book[c][1]), c),
+        )[:_IVF_NPROBE]
+        for qid, qvec in query_rows
+    }
+    return pq_adc_topk(
+        enc,
+        query_rows,
+        books,
+        subdim=_PQ_SUBDIM,
+        k_top=_PQ_TOPK,
+        query_cells=probes,
+        cell_col="cell",
+    )
