@@ -1018,11 +1018,21 @@ def ev_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — COUNT(DISTINCT) itself cannot re-aggregate. ``user_id + 1``
     because the bitmap functions take 1-based positions.
     """
+    from wikidatabots_spark.functions.scale import pushdown_fence
+
     ev = load_table(spark, sf_dir, "events")
     uid = F.col("user_id") + F.lit(1)
-    partials = ev.groupBy(
-        "event_type", F.bitmap_bucket_number(uid).alias("bucket")
-    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(uid)).alias("bm"))
+    # fence the partials: they feed BOTH output legs, and Catalyst does
+    # not reuse the aggregate subplan across a union (plan-audited: the
+    # unfenced form scanned the fact table twice and ran the bitmap
+    # aggregate twice — exactly the rescan this query exists to avoid).
+    # Fenced, the plan is ONE fact scan + ONE partial aggregate, and
+    # the '__all__' leg merges the materialized group-sized partials.
+    partials = pushdown_fence(
+        ev.groupBy(
+            "event_type", F.bitmap_bucket_number(uid).alias("bucket")
+        ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(uid)).alias("bm"))
+    )
     per_type = partials.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users")
     )
