@@ -231,6 +231,14 @@ HEADLINERS = [
     # round-14 wave 2: the composed IVF-PQ production ANN index,
     # priced next to its components (knn_ivf_nprobe2, knn_pq_adc)
     "knn_ivf_pq",
+    # round-14 wave 3: incremental maintenance of a materialized join
+    # (priced END-TO-END including the base-join materialization — the
+    # never-recompute-base claim needs the one-time write cost on
+    # record next to the delta legs), snapshot reconciliation, and the
+    # moment-sum OLS aggregate
+    "join_incremental_delta",
+    "op_snapshot_diff",
+    "stats_regression",
 ]
 
 # The multi-GB-shuffle composed pipelines: scheduled LAST within every

@@ -328,3 +328,36 @@ def test_write_bucketed_overwrites_stale_cross_session_location(spark):
     write_bucketed(df, "wdb_stale_loc_t", ["k"], num_buckets=2)
     assert bucketed(spark, "wdb_stale_loc_t").count() == 10
     spark.sql("DROP TABLE IF EXISTS wdb_stale_loc_t")
+
+
+def test_incremental_delta_legs_are_broadcast_and_shuffle_free(spark, sf_dir):
+    """Plan pin for join_incremental_delta's maintenance legs: each of
+    the three delta legs must be a BroadcastHashJoin with the delta on
+    the build side and ZERO shuffle exchange — the per-increment cost
+    the decomposition exists to bound. (The seated query pins values
+    via its oracle; this pins the leg plans.)"""
+    split = F.lit("2001-01-01").cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    a_old = o.filter(F.col("o_orderdate") < split).drop("o_orderdate")
+    a_new = o.filter(F.col("o_orderdate") >= split).drop("o_orderdate")
+    b_old = li.filter(F.col("l_shipdate") < split).drop("l_shipdate")
+    b_new = li.filter(F.col("l_shipdate") >= split).drop("l_shipdate")
+    on = F.col("l_orderkey") == F.col("o_orderkey")
+    legs = [
+        b_old.join(F.broadcast(a_new), on),
+        F.broadcast(b_new).join(a_old, on),
+        F.broadcast(b_new).join(a_new, on),
+    ]
+    for leg in legs:
+        assert leg.count() > 0
+        plan = leg._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # BroadcastExchange is the legitimate (delta-sized) transfer;
+        # any other Exchange is a shuffle the decomposition forbids
+        assert "Exchange" not in plan.replace("BroadcastExchange", "BX")

@@ -2062,3 +2062,89 @@ def corpus_ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         "lm_score",
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_regression — per-group OLS from exact moment sums
+# ---------------------------------------------------------------------------
+
+_REGR_ORACLE = """
+WITH s AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+           SUM(CAST(l_tax AS DECIMAL(8,2))) AS sy,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+           SUM(CAST(l_tax AS DECIMAL(8,2))
+               * CAST(l_tax AS DECIMAL(8,2))) AS syy,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_tax AS DECIMAL(8,2))) AS sxy
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, n,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+           AS reg_slope,
+       CAST(sy AS DOUBLE) / n
+         - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+          / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n))
+           * (CAST(sx AS DOUBLE) / n)
+           AS reg_intercept,
+       ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+         / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+          * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+           AS reg_r2
+FROM s
+"""
+
+
+@register("stats_regression", oracle=_REGR_ORACLE)
+def stats_regression_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (tax on quantity, grouped by
+    returnflag x linestatus): slope, intercept, and R² computed from
+    DECIMAL-exact moment sums (n, Σx, Σy, Σx², Σy², Σxy) with the
+    floating-point arithmetic confined to ONE fixed expression tree at
+    the end — the ``agg_corr_covar`` reproducibility discipline. Both
+    engines ship built-in regr_slope/regr_intercept/regr_r2, but those
+    stream doubles in engine-specific accumulation order and are NOT
+    bit-reproducible across engines; the moment-sum form is, and it is
+    also the MERGEABLE-PARTIAL shape (six additive sums) an
+    incremental or distributed maintenance path needs anyway: map-side
+    combine reduces each partition to six numbers per group, one
+    exchange of group-count rows finishes the job — the same plan at
+    100 TB. Columns are chosen small (qty <= 50, tax <= 0.08) so every
+    moment stays within 15 significant digits where decimal->double
+    conversion is exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_tax").cast("decimal(8,2)")
+    s = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxy_c = sxy - sx * sy / n
+    sxx_c = sxx - sx * sx / n
+    syy_c = syy - sy * sy / n
+    slope = sxy_c / sxx_c
+    intercept = sy / n - (sxy_c / sxx_c) * (sx / n)
+    r2 = (sxy_c * sxy_c) / (sxx_c * syy_c)
+    return s.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        slope.alias("reg_slope"),
+        intercept.alias("reg_intercept"),
+        r2.alias("reg_r2"),
+    )

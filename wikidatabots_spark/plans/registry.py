@@ -214,6 +214,10 @@ _EXTENSION_POOL: list[str] = [
     "op_higher_order_arrays",
     "join_bucketed_colocated",
     "knn_ivf_pq",
+    # r14 wave 3
+    "join_incremental_delta",
+    "op_snapshot_diff",
+    "stats_regression",
 ]
 
 # Bumped once per round. Guarded by tests/test_plans.py::test_rotation_round_is_current,
