@@ -239,6 +239,11 @@ HEADLINERS = [
     "join_incremental_delta",
     "op_snapshot_diff",
     "stats_regression",
+    # round-14 wave 4: three-valued NOT IN / null-aware anti join, the
+    # IGNORE NULLS window fills, and the salted hot-key join
+    "sql_not_in_nulls",
+    "win_forward_fill",
+    "join_salted_hotkey",
 ]
 
 # The multi-GB-shuffle composed pipelines: scheduled LAST within every

@@ -1679,3 +1679,59 @@ def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.c_acctbal").cast("decimal(14,2)").alias("new_acctbal"),
         )
     )
+
+
+# --- scale lever: salted join over a planted hot key -------------------------
+@register(
+    "join_salted_hotkey",
+    oracle="""
+WITH fact AS (
+    SELECT event_id,
+           CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k
+    FROM events
+),
+dim AS (
+    SELECT DISTINCT k FROM fact
+)
+SELECT f.event_id, f.k,
+       substr(md5(CAST(d.k AS VARCHAR)), 1, 8) AS k_label
+FROM fact f JOIN dim d ON f.k = d.k
+""",
+)
+def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``functions.scale.salted_join`` under the hard correctness
+    signal: a third of all event rows are collapsed onto key 0 (the
+    planted hot key), then joined to a per-key dim through the salting
+    transform — left rows scattered across 8 uniform salt values, the
+    dim replicated once per salt, equi-join on (key, salt). The oracle
+    is the PLAIN join: salting must be algebraically invisible
+    (identity on the join result), which the hash pins row-for-row.
+    The salt assignment itself is random — the pin works because
+    correctness is independent of WHERE each row lands, which is
+    exactly the property that makes salting safe to deploy.
+
+    Scale: this is the extreme-skew lever for when AQE's skew split
+    isn't enough — one key bigger than a single executor's memory, or
+    a sort-merge side AQE won't re-split. The hot key's shuffle
+    partition is spread over ``salt`` reducers at the cost of
+    replicating the (small) right side xsalt. At gate SF Spark
+    broadcasts the dim and the salt columns ride along unused — the
+    seat pins the ALGEBRA; the plan-level skew story is pinned by
+    tests/test_scale.py's AQE-skew and salted-equality tests where the
+    broadcast is disabled."""
+    from wikidatabots_spark.functions.scale import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        F.when(F.col("user_id") % 3 == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+    )
+    dim = fact.select("k").distinct()
+    j = salted_join(fact, dim, on=["k"], salt=8, seed=14)
+    return j.select(
+        "event_id",
+        "k",
+        F.substring(F.md5(F.col("k").cast("string")), 1, 8).alias("k_label"),
+    )

@@ -5006,3 +5006,70 @@ def corpus_dedup_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# win_forward_fill — IGNORE NULLS window navigation (ffill / bfill)
+# ---------------------------------------------------------------------------
+
+_WIN_FFILL_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+    FROM events
+)
+SELECT user_id, event_id, v,
+       last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+       first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
+FROM e
+"""
+
+
+@register("win_forward_fill", oracle=_WIN_FFILL_ORACLE)
+def win_forward_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward- and backward-fill of a gappy measure via IGNORE NULLS
+    window navigation — the time-series repair idiom (sensor dropouts,
+    sparse telemetry). Values at event_id % 7 are nulled, then
+    ``last(v, ignorenulls=True)`` over unbounded-preceding→current
+    carries the previous observation forward and ``first(v,
+    ignorenulls=True)`` over current→unbounded-following backfills; a
+    partition's LEADING nulls stay null under ffill (and trailing under
+    bfill) — the edge the oracle pins. The dialect pin: Spark spells it
+    ``last(expr, ignorenulls)`` (SQL: ``last_value(v) IGNORE NULLS``),
+    DuckDB puts the modifier inside the call (``last_value(v IGNORE
+    NULLS)``) — same ANSI semantics, different surface, so this is
+    DataFrame-vs-SQL rather than one shared string. No arithmetic
+    touches the doubles (values only MOVE), so cross-engine hash parity
+    is exact.
+
+    Scale: one shuffle on user_id; both fills share the single sorted
+    frame, evaluated streaming within each partition (no full-frame
+    buffering for these navigation functions)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.last("v", ignorenulls=True).over(wf).alias("v_ffill"),
+        F.first("v", ignorenulls=True).over(wb).alias("v_bfill"),
+    )

@@ -218,6 +218,10 @@ _EXTENSION_POOL: list[str] = [
     "join_incremental_delta",
     "op_snapshot_diff",
     "stats_regression",
+    # r14 wave 4
+    "sql_not_in_nulls",
+    "win_forward_fill",
+    "join_salted_hotkey",
 ]
 
 # Bumped once per round. Guarded by tests/test_plans.py::test_rotation_round_is_current,

@@ -155,3 +155,47 @@ def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified: `> ALL (subquery)` is a parse error in Spark 4)."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_EXISTS)
+
+
+_SQL_NOT_IN_NULLS = """
+SELECT 'anti' AS leg, o_orderkey, o_custkey FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+UNION ALL
+SELECT 'anti_null' AS leg, o_orderkey, o_custkey FROM orders
+WHERE o_custkey NOT IN (
+    SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_custkey END
+    FROM customer WHERE c_mktsegment = 'BUILDING')
+UNION ALL
+SELECT 'in_null' AS leg, o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (
+    SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_custkey END
+    FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+@register("sql_not_in_nulls", oracle=_SQL_NOT_IN_NULLS)
+def sql_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued NOT IN / IN subquery semantics in one identical SQL
+    string on both engines — the classic silent-wrong-answer family:
+
+    - ``anti``: NOT IN over a null-free subquery — the plain anti-join
+      content (Spark: null-aware anti join degenerating to left-anti).
+    - ``anti_null``: the SAME predicate with one planted NULL in the
+      subquery — ANSI three-valued logic makes every row UNKNOWN, so
+      this leg contributes ZERO rows; an engine that rewrites NOT IN
+      to a plain anti join (ignoring null-awareness) would emit its
+      rows and fail the hash. Spark plans this as a null-aware
+      BroadcastHashJoin — the extra null-check is exactly what this
+      leg pins.
+    - ``in_null``: IN over the nulled subquery — matched keys still
+      return TRUE (rows survive), unmatched become UNKNOWN (dropped),
+      and keys whose subquery copy was nulled out drop too.
+
+    Scale: all three legs broadcast the (dim-sized) subquery; the
+    null-aware variant adds a has-null flag to the broadcast, not a
+    shuffle. NOT IN over a FACT-sized subquery is the anti-pattern to
+    avoid at 100 TB regardless of engine — rewrite as NOT EXISTS
+    (null-insensitive, plans as a plain anti join)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_NOT_IN_NULLS)
