@@ -1,0 +1,49 @@
+"""Capture .explain("formatted") for named queries into plans/r14/.
+
+Usage: python scripts/capture_plans.py <suffix> <query> [query ...]
+Writes plans/r14/<query>_<suffix>.txt for each query.
+
+Note: for queries that execute work at build time (the streaming
+queries run their staged pipelines inside fn()), the captured plan is
+the SERVED frame's plan; the build-time pipeline is documented in
+OPTIMIZATION_r14.md instead.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wikidatabots_spark import plans  # noqa: E402
+from wikidatabots_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r14",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="plan-capture")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        df = plans.REGISTRY[name].fn(spark, sf_dir)
+        txt = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"wrote {path} ({len(txt.splitlines())} lines)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

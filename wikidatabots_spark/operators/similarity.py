@@ -569,6 +569,16 @@ def semdedup_flags(
         with_cluster,
     )
 
+    # Parallelism guard (r14 optimization): the pair stage below joins
+    # cluster-mates pairwise, so its task count is bounded by the INPUT
+    # partitioning — a single-file embedding scan ran the whole
+    # O(Σ cluster²) dot-product grid in ONE task (measured 6.7 s at
+    # sf0.1; 1.2 s after — the join small side broadcasts, so neither
+    # the join nor AQE ever re-partitions the probe side). Same idiom
+    # as every other vector operator here; no-op at cluster scale.
+    src = ensure_parallelism(
+        df.select(F.col(id_col), F.col(vec_col)), id_col
+    )
     quant = F.transform(
         F.col(vec_col),
         lambda x: F.round((x.cast("double") + F.lit(1.0)) * F.lit(100.0)).cast(
@@ -576,14 +586,14 @@ def semdedup_flags(
         ),
     )
     cents = kmeans_int_fit(
-        df.select(F.col(id_col), quant.alias("__v")),
+        src.select(F.col(id_col), quant.alias("__v")),
         k=k,
         rounds=rounds,
         id_col=id_col,
         vec_col="__v",
     )
     base = with_cluster(
-        df.select(F.col(id_col), F.col(vec_col), quant.alias("__v")),
+        src.select(F.col(id_col), F.col(vec_col), quant.alias("__v")),
         cents,
         "__v",
     ).select(
