@@ -105,6 +105,19 @@ def kmeans_int_fit(
     return cent_rows
 
 
+def _int_array_lit(xs: list[int]):
+    """A literal integer-array Column built with ONE py4j round trip.
+
+    ``F.array(*[F.lit(x) for x in xs])`` costs one JVM call per element;
+    centroid/codebook literals are built per cluster per subspace per
+    Lloyd round, so a 64-dim k=16 book was thousands of driver round
+    trips (~1 ms each) before any job ran — measured seconds of pure
+    plan-build time per IVF/PQ query (r14 optimization, guide §7.3:
+    driver-side planning is single-threaded dead time). Same INT element
+    type as the F.lit chain it replaces."""
+    return F.expr("array(" + ",".join(str(int(x)) for x in xs) + ")")
+
+
 def nearest_cluster_expr(vec, cent_rows: list[tuple[int, list[int]]]):
     """Nearest-centroid id of integer vector expression ``vec`` as a
     pure COLUMN expression (centroids are literals): integer squared
@@ -114,7 +127,7 @@ def nearest_cluster_expr(vec, cent_rows: list[tuple[int, list[int]]]):
     (``operators.pq.pq_fit``)."""
     structs = []
     for cluster, cv in cent_rows:
-        cv_lit = F.array(*[F.lit(int(x)) for x in cv])
+        cv_lit = _int_array_lit(cv)
         dist = F.aggregate(
             F.zip_with(vec, cv_lit, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
@@ -134,7 +147,7 @@ def top_clusters_expr(vec, cent_rows: list[tuple[int, list[int]]], n: int):
     ``nearest_cluster_expr`` (which is the n=1 special case)."""
     structs = []
     for cluster, cv in cent_rows:
-        cv_lit = F.array(*[F.lit(int(x)) for x in cv])
+        cv_lit = _int_array_lit(cv)
         dist = F.aggregate(
             F.zip_with(vec, cv_lit, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),

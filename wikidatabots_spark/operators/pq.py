@@ -190,14 +190,22 @@ def pq_adc_topk(
                 _sq_dist(sub, by_cluster[c]) if c in by_cluster else sentinel
                 for c in range(k_max)
             ]
+            # one py4j call per LUT (an array<bigint> SQL literal) — the
+            # per-element F.lit chain was |queries|*m*k driver round
+            # trips of pure plan-build time (r14 optimization; the `L`
+            # suffix keeps the former cast("long") element type)
             luts.append(
-                F.array(*[F.lit(d).cast("long") for d in lut]).alias(f"lut{s}")
+                F.expr(
+                    "array(" + ",".join(f"{int(d)}L" for d in lut) + ")"
+                ).alias(f"lut{s}")
             )
         fields = [F.lit(int(qid)).cast("bigint").alias("query_id"), *luts]
         if query_cells is not None:
             fields.append(
-                F.array(
-                    *[F.lit(int(c)) for c in query_cells[int(qid)]]
+                F.expr(
+                    "array("
+                    + ",".join(str(int(c)) for c in query_cells[int(qid)])
+                    + ")"
                 ).alias("cells")
             )
         q_structs.append(F.struct(*fields))
