@@ -1006,10 +1006,22 @@ def connected_components(
         # an eager checkpoint here was a whole extra job per call
         .localCheckpoint(eager=False)
     )
+    # Fused init (r14 optimization): the identity labeling's first
+    # propagation round is computable INSIDE the init aggregate —
+    # label₀(u) = min(u, min over neighbors v) — because round 1 of the
+    # plain loop evaluates exactly min(u, min_{v∈N(u)} v) when labels
+    # start as identities. The former node-distinct was already a
+    # groupBy over the same exchange, so this adds one MIN to an
+    # existing aggregate and removes one whole join+union+groupBy round
+    # (and its convergence-probe job) from every CC call. Same fixed
+    # point, same deterministic result.
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("__mn"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("__mn")).alias("label"),
+        )
         .localCheckpoint(eager=False)  # materialized by round 0's action
     )
     # Convergence probe: per-node labels are monotonically non-increasing

@@ -3186,9 +3186,12 @@ def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exactly this batch's verdicts for this batch's docs)
         admitted = pushdown_fence(
             b.join(
-                flagged_documents(b.sparkSession, flagged_path).select(
-                    F.col("train_id").alias("doc_id")
-                ),
+                # a doc's verdict lands in its own batch's partition, so
+                # the admission anti-join reads exactly that partition
+                # (batch-sized right side, not the verdict history)
+                flagged_documents(
+                    b.sparkSession, flagged_path, batch_id=batch_id
+                ).select(F.col("train_id").alias("doc_id")),
                 "doc_id",
                 "left_anti",
             )

@@ -41,6 +41,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is BYTE-based; several of this engine's stages
+        # are byte-small but CPU-dense (pair joins over hashes, CC label
+        # rounds, HOF-heavy projections), and the default 1m floor folds
+        # them to one task (measured: a 6.7 s single-task semdedup pair
+        # stage; dedup_components_incremental 7.3 → 5.0 s min with the
+        # smaller floor). 16k keeps such stages parallel while still
+        # coalescing genuinely empty partitions. Scale-adaptive, not a
+        # local[32] tune: with parallelismFirst (default true) the
+        # target is max(shuffle_bytes / parallelism, this floor), so on
+        # real data the ratio term dominates and the floor is inert —
+        # it only matters for KB-scale shuffles, where per-task overhead
+        # is trivial on any cluster. Override via env for fleets where
+        # tiny-stage task overhead is expensive.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "16k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -516,17 +516,28 @@ def compact_flagged(
     return len(fold) - 1
 
 
-def flagged_documents(spark: SparkSession, flagged_path: str) -> DataFrame:
+def flagged_documents(
+    spark: SparkSession, flagged_path: str, batch_id: int | None = None
+) -> DataFrame:
     """The accumulated decontamination verdicts: one row per flagged
     document across all batches (documents arrive once, so no
-    merge-on-read is needed — the union IS the current view)."""
+    merge-on-read is needed — the union IS the current view).
+
+    ``batch_id`` prunes the read to that batch's ``__batch_id``
+    partition (r14 optimization): a document's verdict depends only on
+    its own text and lands in its arrival batch's partition, so a
+    same-batch admission anti-join (the ingest sink) needs exactly that
+    partition — a batch-sized right side instead of the whole verdict
+    history, and a partition-pruned scan instead of a full-store
+    listing. Serving reads (no ``batch_id``) still see every batch."""
     if not _has_parquet(flagged_path):
         return spark.createDataFrame(
             [], "train_id long, n_collided_grams long, n_bench_docs long"
         )
-    return spark.read.parquet(resolve_store(flagged_path)).select(
-        "train_id", "n_collided_grams", "n_bench_docs"
-    )
+    out = spark.read.parquet(resolve_store(flagged_path))
+    if batch_id is not None:
+        out = out.where(F.col("__batch_id") == F.lit(int(batch_id)))
+    return out.select("train_id", "n_collided_grams", "n_bench_docs")
 
 
 def dedup_graph_maintenance(
@@ -960,19 +971,44 @@ def run_staged_foreach_batch(
     stage = os.path.join(root, "stage")
     os.makedirs(stage, exist_ok=True)
     schema = batches[0].schema
+    # Stage every batch in ONE partitioned write (r14 optimization): the
+    # former per-batch coalesce(1) write ran |batches| sequential jobs,
+    # each squeezing its batch's whole scan+filter through a single task
+    # (measured ~2 s for the first staged batch at sf0.1). One job with a
+    # repartition on the batch tag keeps the scan parallel, writes the
+    # batches' files concurrently, and still lands EXACTLY one file per
+    # batch (all rows of a tag hash to one reduce task; partitionBy
+    # splits that task's output per directory). File contents are
+    # row-order-free: every staged consumer is set-oriented and the
+    # engine delivers whole files per trigger, so which scan task
+    # produced a row never matters.
+    tagged = None
     for i, b in enumerate(batches):
-        tmp = os.path.join(root, f"stage_tmp_{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(tmp)
-        parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        t = b.withColumn("__stage_batch", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    tmp = os.path.join(root, "stage_tmp")
+    (
+        tagged.repartition(F.col("__stage_batch"))
+        .write.mode("overwrite")
+        .partitionBy("__stage_batch")
+        .parquet(tmp)
+    )
+    for i in range(len(batches)):
+        pdir = os.path.join(tmp, f"__stage_batch={i}")
+        parts = (
+            [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            if os.path.isdir(pdir)
+            else []
+        )
         if len(parts) != 1:
             raise ValueError(
                 f"staged batch {i} produced {len(parts)} files (empty "
                 "input frame?) — one file per batch is the contract"
             )
         dst = os.path.join(stage, f"batch-{i:05d}.parquet")
-        os.replace(os.path.join(tmp, parts[0]), dst)
+        os.replace(os.path.join(pdir, parts[0]), dst)
         os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
-        shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
