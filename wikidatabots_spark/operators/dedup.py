@@ -1024,26 +1024,33 @@ def connected_components(
         )
         .localCheckpoint(eager=False)  # materialized by round 0's action
     )
-    # Convergence probe: per-node labels are monotonically non-increasing
-    # (each round takes min(own, neighbors')), so sum(label) strictly
-    # decreases until the fixed point. Reading the sum from the SAME
-    # action that materializes the round's lazy checkpoint makes each
-    # iteration exactly ONE Spark job (the eager-checkpoint + separate
-    # changed-count form was two). Decimal sum: exact at any node count,
-    # no bigint-overflow edge at cluster-scale id ranges.
-    # prev_sum starts None (not the initial labeling's sum): round 0
-    # always lowers some label when any edge exists, so probing the
-    # trivial labeling is a wasted job — the init checkpoint instead
-    # materializes inside round 0's action (r10: ~0.7 s saved per call;
-    # CC runs 15+ times across the headline suite). The empty-edge case
-    # still exits on round 0 (None == None).
-    prev_sum = None
+    # Convergence probe (r14): each round carries the node's PREVIOUS
+    # label alongside the new one — the labels leg of the union is
+    # tagged, and the groupBy recovers the old label with one extra
+    # conditional MAX (each node appears exactly once in that leg) —
+    # so the round's own aggregate answers "did ANY node change?"
+    # directly (labels are monotone non-increasing, so changed ⇔
+    # new < old). The former sum-comparison probe could only detect
+    # the fixed point one round LATE: it compared against the PREVIOUS
+    # round's sum, so a graph that converged in round r still paid a
+    # full confirmation round r+1 (join + groupBy + probe job). Dup
+    # graphs are overwhelmingly cliques, which converge at the fused
+    # init — for them this halves the round count (one job instead of
+    # two). Reading the count from the SAME action that materializes
+    # the round's lazy checkpoint keeps each iteration exactly ONE
+    # Spark job.
     for _ in range(max_iter):
         nbr = sym.join(
             labels.withColumnRenamed("node", "v"), on="v"
-        ).select(F.col("u").alias("node"), "label")
-        merged = labels.unionByName(nbr).groupBy("node").agg(
-            F.min("label").alias("label")
+        ).select(F.col("u").alias("node"), "label", F.lit(False).alias("__own"))
+        merged = (
+            labels.withColumn("__own", F.lit(True))
+            .unionByName(nbr)
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("__own"), F.col("label"))).alias("__old"),
+            )
         )
         if pointer_jump:
             # path halving: label <- min(label, label[label]); the self-
@@ -1058,16 +1065,16 @@ def connected_components(
                     F.least(
                         F.col("label"), F.coalesce("glabel", "label")
                     ).alias("label"),
+                    "__old",
                 )
             )
         new_labels = merged.localCheckpoint(eager=False)
-        new_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
-        labels = new_labels
-        if new_sum == prev_sum:
+        n_changed = new_labels.agg(
+            F.count(F.when(F.col("label") < F.col("__old"), 1)).alias("c")
+        ).first()["c"]
+        labels = new_labels.select("node", "label")
+        if n_changed == 0:
             break
-        prev_sum = new_sum
     return labels.select("node", F.col("label").alias("component"))
 
 

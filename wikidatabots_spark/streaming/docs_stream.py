@@ -41,6 +41,28 @@ DOCS_FILE_SCHEMA = StructType(
     ]
 )
 
+# Phase profiler (guide §1: measure first). Off unless SPARK_GRAFT_PROF=1;
+# prints wall-clock deltas between sink phases to stderr so per-batch cost
+# attributes to a phase (probe, CC, write, fold) instead of one opaque
+# number. No effect on any plan.
+_PROF = os.environ.get("SPARK_GRAFT_PROF") == "1"
+_PROF_T: list[float] = [0.0]
+
+
+def _pmark(label: str) -> None:
+    if not _PROF:
+        return
+    import sys
+    import time
+
+    now = time.perf_counter()
+    print(
+        f"      [prof] +{now - _PROF_T[0]:6.3f}s {label}",
+        file=sys.stderr,
+        flush=True,
+    )
+    _PROF_T[0] = now
+
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents table (drop-zone staging,
@@ -411,6 +433,7 @@ def decontamination_gate(
     flagged_path: str,
     n: int = 5,
     compact_every: int | None = None,
+    pool=None,
 ):
     """foreachBatch sink flagging arriving documents that share any
     word n-gram with a STATIC benchmark/eval set BEFORE they land —
@@ -444,10 +467,7 @@ def decontamination_gate(
 
     bg = pushdown_fence(gram_table(bench, n, out_id="bench_id"))
 
-    def apply(batch: DataFrame, batch_id: int) -> None:
-        batch_id = int(batch_id)
-        ensure_linked_store(flagged_path)
-        flagged = ngram_collisions(batch, None, n=n, bench_grams=bg)
+    def _write(flagged: DataFrame, batch_id: int) -> None:
         (
             # repartition before the partitioned write (r13): bounds the
             # verdict delta to AQE-sized files instead of one per task
@@ -459,7 +479,26 @@ def decontamination_gate(
             .parquet(flagged_path)
         )
         if compact_every and batch_id % compact_every == compact_every - 1:
-            compact_flagged(batch.sparkSession, flagged_path)
+            compact_flagged(flagged.sparkSession, flagged_path)
+
+    def apply(batch: DataFrame, batch_id: int):
+        batch_id = int(batch_id)
+        ensure_linked_store(flagged_path)
+        flagged = ngram_collisions(batch, None, n=n, bench_grams=bg)
+        if pool is None:
+            _write(flagged, batch_id)
+            return flagged
+        # composed-sink form (guide §2.6): the verdicts are computed
+        # once into an eager checkpoint and handed BACK to the caller —
+        # the admission anti-join consumes them in-memory instead of
+        # re-reading the store partition it just wrote — while the
+        # store append (+ its retention fold) runs on the caller's
+        # thread pool, overlapped with downstream batch work. The
+        # caller must resolve the returned future before its sink
+        # returns: the engine's batch commit may not precede the store
+        # write (the replay fence).
+        flags = flagged.localCheckpoint(eager=True)
+        return flags, pool.submit(_write, flags, batch_id)
 
     return apply
 
@@ -642,8 +681,11 @@ def dedup_graph_maintenance(
         )
 
     def apply(batch: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         spark = batch.sparkSession
         batch_id = int(batch_id)
+        _pmark(f"graph b{batch_id}: enter")
         if op_col in batch.columns:
             deletes = pushdown_fence(
                 batch.where(F.col(op_col) == F.lit("delete")).select("doc_id")
@@ -656,14 +698,41 @@ def dedup_graph_maintenance(
             inserts = batch
         bands_new = pushdown_fence(minhash_band_table(inserts))
         have_state = _has_parquet(index_path)
+
+        # The band-index append depends only on bands_new — not on the
+        # probe, CC, or label delta — so it runs on a background thread
+        # overlapped with the CC critical path (guide §2.6: actions are
+        # only sequential because driver code calls them sequentially).
+        # It is submitted only AFTER (a) bands_new is materialized by a
+        # main-thread action (its lazy fence must not race two
+        # first-actions) and (b) the probe's read_band_index plan is
+        # built (file listing done), so the concurrent append — which
+        # this batch's probe excludes anyway via __batch_id < batch_id —
+        # can never confuse the probe's listing.
+        _idx_pool = ThreadPoolExecutor(max_workers=1)
+
+        def _index_write() -> None:
+            _write_fenced(
+                bands_new.withColumn("band_pfx", _band_pfx()).withColumn(
+                    "__batch_id", F.lit(batch_id)
+                ),
+                index_path,
+                "band_pfx",
+                "__batch_id",
+                spread="band_hash",
+            )
+
         if not have_state:
             delta = connected_components(band_pairs(bands_new)).select(
                 "node", "component"
             )
+            _pmark(f"graph b{batch_id}: init CC")
+            _idx_fut = _idx_pool.submit(_index_write)
         else:
             prior_labels = pushdown_fence(
                 _merged_labels(spark, labels_path, before_batch=batch_id)
             )
+            _pmark(f"graph b{batch_id}: merged-labels plan built")
             members = None
             recomputed_del = None
             if deletes is not None:
@@ -713,6 +782,7 @@ def dedup_graph_maintenance(
                 .distinct()
                 .collect()
             ]
+            _pmark(f"graph b{batch_id}: sign + pfx collect")
             prior_idx = read_band_index(
                 spark,
                 index_path,
@@ -722,6 +792,10 @@ def dedup_graph_maintenance(
             )
             if deletes is not None:
                 prior_idx = prior_idx.join(deletes, "doc_id", "left_anti")
+            _pmark(f"graph b{batch_id}: band-index read built")
+            # bands_new materialized (pfx collect) and the probe's file
+            # listing done — overlap the index append with the CC path
+            _idx_fut = _idx_pool.submit(_index_write)
             bn = bands_new.select(
                 F.col("doc_id").alias("id_n"), "band_idx", "band_hash"
             )
@@ -778,9 +852,11 @@ def dedup_graph_maintenance(
                 )
             )
             edges = probe_cross.unionByName(probe_new).distinct()
+            _pmark(f"graph b{batch_id}: probe built (lazy)")
             ins_cc = pushdown_fence(
                 connected_components(edges).select("node", "component")
             )
+            _pmark(f"graph b{batch_id}: insert CC")
             # expand the contraction: members of touched components take
             # their hub's new label (hubs themselves are in ins_cc)
             touched = (
@@ -828,15 +904,10 @@ def dedup_graph_maintenance(
             "__batch_id",
             spread="node",
         )
-        _write_fenced(
-            bands_new.withColumn("band_pfx", _band_pfx()).withColumn(
-                "__batch_id", F.lit(batch_id)
-            ),
-            index_path,
-            "band_pfx",
-            "__batch_id",
-            spread="band_hash",
-        )
+        _pmark(f"graph b{batch_id}: label delta write")
+        _idx_fut.result()
+        _idx_pool.shutdown(wait=True)
+        _pmark(f"graph b{batch_id}: index write joined")
         if deletes is not None:
             _write_fenced(
                 deletes.withColumn("__batch_id", F.lit(batch_id)),
@@ -855,7 +926,9 @@ def dedup_graph_maintenance(
         # whether or not the fold already happened.
         if compact_every and batch_id % compact_every == compact_every - 1:
             compact_labels(spark, labels_path, keep_last=1)
+            _pmark(f"graph b{batch_id}: compact_labels")
             compact_index(spark, index_path, tomb_path, keep_last=1)
+            _pmark(f"graph b{batch_id}: compact_index")
 
     return apply
 
