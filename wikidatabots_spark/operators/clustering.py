@@ -105,59 +105,47 @@ def kmeans_int_fit(
     return cent_rows
 
 
-def _int_array_lit(xs: list[int]):
-    """A literal integer-array Column built with ONE py4j round trip.
-
-    ``F.array(*[F.lit(x) for x in xs])`` costs one JVM call per element;
-    centroid/codebook literals are built per cluster per subspace per
-    Lloyd round, so a 64-dim k=16 book was thousands of driver round
-    trips (~1 ms each) before any job ran — measured seconds of pure
-    plan-build time per IVF/PQ query (r14 optimization, guide §7.3:
-    driver-side planning is single-threaded dead time). Same INT element
-    type as the F.lit chain it replaces."""
-    return F.expr("array(" + ",".join(str(int(x)) for x in xs) + ")")
-
-
-def nearest_cluster_expr(vec, cent_rows: list[tuple[int, list[int]]]):
-    """Nearest-centroid id of integer vector expression ``vec`` as a
-    pure COLUMN expression (centroids are literals): integer squared
-    distance to each centroid, argmin via ``array_min`` over
-    (dist, cluster) structs — lowest cluster id wins ties. The narrow
-    building block shared by ``with_cluster`` and the joint PQ fit
-    (``operators.pq.pq_fit``)."""
+def _dist_struct_sql(vec_sql: str, cent_rows: list[tuple[int, list[int]]]) -> str:
+    """(dist, cluster) struct array over literal centroids as ONE SQL
+    fragment (r14 plan-build optimization, guide §7.3: driver-side
+    planning is single-threaded dead time — the former per-cluster
+    zip_with/aggregate Column construction plus per-element F.lit
+    arrays was hundreds of ~1 ms py4j round trips per centroid set,
+    per Lloyd round, per subspace, before any job ran)."""
     structs = []
     for cluster, cv in cent_rows:
-        cv_lit = _int_array_lit(cv)
-        dist = F.aggregate(
-            F.zip_with(vec, cv_lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc + d,
+        arr = "array(" + ",".join(str(int(x)) for x in cv) + ")"
+        dist = (
+            f"aggregate(zip_with({vec_sql}, {arr},"
+            f" (a, b) -> (a - b) * (a - b)),"
+            f" CAST(0 AS BIGINT), (acc, d) -> acc + d)"
         )
         structs.append(
-            F.struct(dist.alias("d"), F.lit(int(cluster)).cast("int").alias("c"))
+            f"named_struct('d', {dist}, 'c', CAST({int(cluster)} AS INT))"
         )
-    return F.array_min(F.array(*structs)).getField("c")
+    return "array(" + ", ".join(structs) + ")"
 
 
-def top_clusters_expr(vec, cent_rows: list[tuple[int, list[int]]], n: int):
+def nearest_cluster_expr(vec_sql: str, cent_rows: list[tuple[int, list[int]]]):
+    """Nearest-centroid id of the integer vector SQL fragment
+    ``vec_sql`` as a pure COLUMN expression (centroids are literals):
+    integer squared distance to each centroid, argmin via ``array_min``
+    over (dist, cluster) structs — lowest cluster id wins ties. The
+    narrow building block shared by ``with_cluster`` and the joint PQ
+    fit (``operators.pq.pq_fit``)."""
+    return F.expr(f"array_min({_dist_struct_sql(vec_sql, cent_rows)}).c")
+
+
+def top_clusters_expr(vec_sql: str, cent_rows: list[tuple[int, list[int]]], n: int):
     """Array of the ``n`` nearest centroid ids (by integer squared
     distance, ties to lowest cluster id) — the IVF ``nprobe`` dial:
     probing the n nearest cells instead of one trades candidate volume
     for recall. Same literal-centroid narrow-map construction as
     ``nearest_cluster_expr`` (which is the n=1 special case)."""
-    structs = []
-    for cluster, cv in cent_rows:
-        cv_lit = _int_array_lit(cv)
-        dist = F.aggregate(
-            F.zip_with(vec, cv_lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc + d,
-        )
-        structs.append(
-            F.struct(dist.alias("d"), F.lit(int(cluster)).cast("int").alias("c"))
-        )
-    ranked = F.slice(F.array_sort(F.array(*structs)), 1, n)
-    return F.transform(ranked, lambda s: s.getField("c"))
+    ranked = (
+        f"slice(array_sort({_dist_struct_sql(vec_sql, cent_rows)}), 1, {n})"
+    )
+    return F.expr(f"transform({ranked}, s -> s.c)")
 
 
 def with_cluster(
@@ -175,7 +163,7 @@ def with_cluster(
             out_col, F.lit(0).cast("int")
         )
     return df.withColumn(
-        out_col, nearest_cluster_expr(F.col(vec_col), cent_rows)
+        out_col, nearest_cluster_expr(f"`{vec_col}`", cent_rows)
     )
 
 

@@ -279,47 +279,44 @@ def minhash_signature_cols(
     k hash transforms reference it (no CSE through lambda scopes — the
     same trap documented on ``shingles``).
     """
-    wl_expr = F.filter(
-        F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != ""
-    )
+    # The whole projection renders as SQL STRINGS (r14 optimization,
+    # guide §7.3): the former per-element Column construction — k least/
+    # md5/concat nodes per aggregate-lambda field, one py4j round trip
+    # each — cost ~0.5 s of single-threaded driver time per call, paid
+    # per micro-batch by the streaming sinks. One F.expr per projection
+    # parses to the identical expression tree JVM-side.
     n = shingle_size
+    wl_sql = f"filter(split(lower(`{text_col}`), '\\\\s+'), w -> w != '')"
     base = ensure_parallelism(
-        df.select(F.col(id_col), wl_expr.alias("__wl")), id_col
+        df.select(F.col(id_col), F.expr(wl_sql).alias("__wl")), id_col
     ).where(F.size("__wl") >= n)
-    wl = F.col("__wl")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(wl) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(wl, i + j) for j in range(n)]),
+    elems = ", ".join(f"element_at(__wl, i + {j})" for j in range(n))
+    sh_sql = (
+        f"transform(sequence(1, size(__wl) - {n - 1}),"
+        f" i -> concat_ws(' ', {elems}))"
     )
-    shingled = base.select(F.col(id_col), sh.alias("__sh"))
+    shingled = base.select(F.col(id_col), F.expr(sh_sql).alias("__sh"))
     # ONE aggregate pass computes all k mins: a struct accumulator whose
     # field i tracks min(md5('<i>:' || shingle)). The single __sh
     # reference matters — k separate array_min(transform(...)) columns
     # each re-evaluated the projected shingle array (Catalyst inlines
-    # aliases into HOF consumers; measured 7x at sf0.1). NOTE the merge
-    # lambda's 2-arg signature is the (acc, element) contract of
-    # F.aggregate — unlike F.transform, where a second parameter would
-    # silently bind the array index (textstats.marker_count trap).
+    # aliases into HOF consumers; measured 7x at sf0.1). The merge
+    # lambda keeps the (acc, element) 2-arg contract of aggregate.
     # 'g' sorts after every md5 hex digest, so it is the MIN identity.
-    init = F.struct(
-        *[F.lit("g").alias(f"m{i}") for i in range(num_hashes)]
+    init_sql = "named_struct({})".format(
+        ", ".join(f"'m{i}', 'g'" for i in range(num_hashes))
     )
-    mins = F.aggregate(
-        F.col("__sh"),
-        init,
-        lambda acc, t: F.struct(
-            *[
-                F.least(
-                    acc[f"m{i}"], F.md5(F.concat(F.lit(f"{i}:"), t))
-                ).alias(f"m{i}")
-                for i in range(num_hashes)
-            ]
-        ),
+    merge_sql = "named_struct({})".format(
+        ", ".join(
+            f"'m{i}', least(acc.m{i}, md5(concat('{i}:', t)))"
+            for i in range(num_hashes)
+        )
     )
-    packed = shingled.select(F.col(id_col), mins.alias("__mh"))
+    mins_sql = f"aggregate(__sh, {init_sql}, (acc, t) -> {merge_sql})"
+    packed = shingled.select(F.col(id_col), F.expr(mins_sql).alias("__mh"))
     return packed.select(
         F.col(id_col),
-        *[F.col("__mh").getField(f"m{i}").alias(f"mh{i}") for i in range(num_hashes)],
+        *[F.expr(f"__mh.m{i}").alias(f"mh{i}") for i in range(num_hashes)],
     )
 
 
@@ -349,25 +346,23 @@ def minhash_band_table(
         df, num_hashes, shingle_size, id_col, text_col
     )
     band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)])).alias(
-            f"band{b}"
-        )
+        F.expr(
+            "md5(concat_ws('|', {}))".format(
+                ", ".join(f"mh{b * r + j}" for j in range(r))
+            )
+        ).alias(f"band{b}")
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_cols)
     # long format: (band_index, band_hash, id) → equi-join per band key
+    explode_sql = "explode(array({}))".format(
+        ", ".join(
+            f"named_struct('band_idx', {b}, 'band_hash', band{b})"
+            for b in range(bands)
+        )
+    )
     return banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
+        F.col(id_col), F.expr(explode_sql).alias("bh")
     ).select(id_col, "bh.band_idx", "bh.band_hash")
 
 
@@ -865,38 +860,36 @@ def winnow_fingerprints(
     gone. Hashes are md5 strings — engine-agnostic, oracle-reproducible
     (lexicographic min on hex strings in both engines).
     """
-    wl_expr = F.filter(
-        F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != ""
-    )
+    # rendered as SQL strings (r14: one F.expr per projection instead of
+    # one py4j round trip per element — ~0.2 s of driver time per call)
+    wl_sql = f"filter(split(lower(`{text_col}`), '\\\\s+'), w -> w != '')"
     base = ensure_parallelism(
-        df.select(F.col(id_col), wl_expr.alias("__wl")), id_col
+        df.select(F.col(id_col), F.expr(wl_sql).alias("__wl")), id_col
     )
-    wl = F.col("__wl")
-    idx = F.when(
-        F.size(wl) >= k, F.sequence(F.lit(1), F.size(wl) - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(wl, i + j) for j in range(k)]),
+    elems = ", ".join(f"element_at(__wl, i + {j})" for j in range(k))
+    idx_sql = (
+        f"CASE WHEN size(__wl) >= {k}"
+        f" THEN sequence(1, size(__wl) - {k - 1})"
+        f" ELSE CAST(array() AS array<int>) END"
     )
+    sh_sql = f"transform({idx_sql}, i -> concat_ws(' ', {elems}))"
     # materialize the hash array as a real column: no CSE through HOF
     # lambdas — referencing `hs` from the slice lambda below would
     # otherwise recompute shingles+md5 once per window position
     hashed = base.select(
-        F.col(id_col), F.transform(sh, lambda t: F.md5(t)).alias("__hs")
+        F.col(id_col),
+        F.expr(f"transform({sh_sql}, t -> md5(t))").alias("__hs"),
     )
-    hs = F.col("__hs")
-    n_windows = F.size(hs) - (window - 1)  # full windows only
-    fps = F.when(
-        F.size(hs) >= window,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_windows),
-                lambda i: F.array_min(F.slice(hs, i, window)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return hashed.select(F.col(id_col), F.explode(fps).alias("fp"))
+    fps_sql = (
+        f"CASE WHEN size(__hs) >= {window}"
+        f" THEN array_distinct(transform("
+        f"sequence(1, size(__hs) - {window - 1}),"
+        f" i -> array_min(slice(__hs, i, {window}))))"
+        f" ELSE CAST(array() AS array<string>) END"
+    )
+    return hashed.select(
+        F.col(id_col), F.expr(f"explode({fps_sql})").alias("fp")
+    )
 
 
 def winnow_pairs(

@@ -50,7 +50,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from wikidatabots_spark.operators.dedup import ensure_parallelism
-from wikidatabots_spark.operators.textstats import words
 
 LM_SCALE = 1_000_000
 LM_ALPHA = 10  # pseudo-count added to the head marginal (shrinkage)
@@ -62,28 +61,29 @@ def bigram_occurrences(
     """(id, head_key, bigram_key) per bigram OCCURRENCE (multiplicity
     kept — counts need it). Keys are xxhash64 of the word / the
     space-joined word pair; the strings never leave this projection."""
+    from wikidatabots_spark.operators.textstats import _words_sql
+
+    # rendered as SQL strings (r14 plan-build optimization, see
+    # textstats._words_sql); guard: sequence(1, 0) counts DOWN in
+    # Spark, it is not empty
     base = ensure_parallelism(
         df.select(F.col(id_col), F.col(text_col)), id_col
-    ).select(F.col(id_col), words(F.col(text_col)).alias("__w"))
-    w = F.col("__w")
-    n = F.size(w)
-    # guard: sequence(1, 0) counts DOWN in Spark, it is not empty
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(w, i).alias("head"),
-                F.concat_ws(
-                    " ", F.element_at(w, i), F.element_at(w, i + 1)
-                ).alias("bg"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<head:string,bg:string>>"))
-    return base.select(F.col(id_col), F.explode(grams).alias("o")).select(
+    ).select(F.col(id_col), F.expr(_words_sql(text_col)).alias("__w"))
+    grams_sql = (
+        "CASE WHEN size(__w) >= 2 THEN"
+        " transform(sequence(1, size(__w) - 1),"
+        " i -> named_struct("
+        "'head', element_at(__w, i),"
+        " 'bg', concat_ws(' ', element_at(__w, i), element_at(__w, i + 1))"
+        "))"
+        " ELSE CAST(array() AS array<struct<head:string,bg:string>>) END"
+    )
+    return base.select(
+        F.col(id_col), F.expr(f"explode({grams_sql})").alias("o")
+    ).select(
         F.col(id_col),
-        F.xxhash64(F.col("o.head")).alias("hk"),
-        F.xxhash64(F.col("o.bg")).alias("bk"),
+        F.expr("xxhash64(o.head)").alias("hk"),
+        F.expr("xxhash64(o.bg)").alias("bk"),
     )
 
 

@@ -92,12 +92,12 @@ def pq_fit(
     for _ in range(rounds - 1):
         entries = []
         for s, book in enumerate(books):
-            sub = F.slice(vec_col, s * subdim + 1, subdim)
+            sub_sql = f"slice(`{vec_col}`, {s * subdim + 1}, {subdim})"
             entries.append(
                 F.struct(
                     F.lit(s).alias("s"),
-                    nearest_cluster_expr(sub, book).alias("cluster"),
-                    sub.alias("vs"),
+                    nearest_cluster_expr(sub_sql, book).alias("cluster"),
+                    F.expr(sub_sql).alias("vs"),
                 )
             )
         ex = vectors.select(F.explode(F.array(*entries)).alias("e")).select(

@@ -46,6 +46,19 @@ def words(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
+def _words_sql(text_col: str) -> str:
+    """``words`` as a SQL fragment — the r14 plan-build optimization:
+    the hot builders below render whole projections as ONE parsed
+    expression instead of one py4j round trip per Column node (guide
+    §7.3: driver-side plan construction is single-threaded dead time;
+    measured ~0.5 s per curate-family query)."""
+    return f"filter(split(lower(`{text_col}`), '\\\\s+'), w -> w != '')"
+
+
+def _sql_str_list(values: list[str]) -> str:
+    return ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+
+
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Word count + BPE-ish sub-token count (letters / digits / symbol runs)."""
     t = F.col(text_col)
@@ -67,37 +80,39 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     once (``__w``) — expression trees referenced from several features
     would re-split the text per reference (no CSE through lambdas).
     """
-    df = df.withColumn("__w", words(F.col(text_col)))
-    t = F.col(text_col)
-    w = F.col("__w")
-    n_words = F.size(w)
-    n_chars = F.length(t)
-    n_punct = F.length(F.regexp_replace(t, _PUNCT_RE, ""))
-    n_stop = F.size(F.filter(w, lambda x: x.isin(STOPWORDS)))
-    avg_word_len = F.when(
-        n_words > 0,
-        (n_chars - (n_words - F.lit(1))).cast("double") / n_words,
-    ).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(
-        F.lit(0.0)
+    # rendered as SQL strings (r14 plan-build optimization, see
+    # _words_sql) — each fragment textually duplicates subexpressions
+    # exactly where the former Column tree referenced them, so the
+    # parsed expression tree is the same
+    df = df.withColumn("__w", F.expr(_words_sql(text_col)))
+    nw = "size(__w)"
+    nc = f"length(`{text_col}`)"
+    np_ = f"length(regexp_replace(`{text_col}`, '{_PUNCT_RE}', ''))"
+    ns = f"size(filter(__w, x -> x IN ({_sql_str_list(STOPWORDS)})))"
+    stop_ratio = (
+        f"CASE WHEN {nw} > 0 THEN CAST({ns} AS DOUBLE) / {nw} ELSE 0.0D END"
     )
-    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(
-        F.lit(0.0)
+    punct_ratio = (
+        f"CASE WHEN {nc} > 0 THEN CAST({np_} AS DOUBLE) / {nc} ELSE 0.0D END"
     )
     quality = (
-        F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
-        + stop_ratio * F.lit(0.3)
-        + (F.lit(1.0) - punct_ratio) * F.lit(0.2)
+        f"least(CAST({nw} AS DOUBLE) / 100.0D, 1.0D) * 0.5D"
+        f" + ({stop_ratio}) * 0.3D"
+        f" + (1.0D - ({punct_ratio})) * 0.2D"
     )
     return df.withColumns(
         {
-            "n_words": n_words.cast("bigint"),
-            "n_punct": n_punct.cast("bigint"),
-            "n_stopwords": n_stop.cast("bigint"),
-            "avg_word_len": avg_word_len,
-            "stopword_ratio": stop_ratio,
-            "punct_ratio": punct_ratio,
-            "quality": quality,
+            "n_words": F.expr(f"CAST({nw} AS BIGINT)"),
+            "n_punct": F.expr(f"CAST({np_} AS BIGINT)"),
+            "n_stopwords": F.expr(f"CAST({ns} AS BIGINT)"),
+            "avg_word_len": F.expr(
+                f"CASE WHEN {nw} > 0 THEN"
+                f" CAST({nc} - ({nw} - 1) AS DOUBLE) / {nw}"
+                f" ELSE 0.0D END"
+            ),
+            "stopword_ratio": F.expr(stop_ratio),
+            "punct_ratio": F.expr(punct_ratio),
+            "quality": F.expr(quality),
         }
     ).drop("__w")
 
@@ -109,26 +124,26 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     'und'. Counts occurrences (not distinct words) so longer texts vote
     proportionally.
     """
-    df = df.withColumn("__w", words(F.col(text_col)))
-    w = F.col("__w")
-
-    def marker_count(markers: list[str]) -> Column:
-        # bind via a real function scope: a 2-param lambda would be called
-        # by F.filter as (element, index)
-        return F.size(F.filter(w, lambda x: x.isin(markers)))
-
-    scores = {lang: marker_count(markers) for lang, markers in LANG_MARKERS.items()}
+    # rendered as a SQL string (r14 plan-build optimization, see
+    # _words_sql); the flat CASE is the nested when/otherwise chain
+    # flattened — identical branch order and values
+    df = df.withColumn("__w", F.expr(_words_sql(text_col)))
+    scores = {
+        lang: f"size(filter(__w, x -> x IN ({_sql_str_list(markers)})))"
+        for lang, markers in LANG_MARKERS.items()
+    }
     langs = list(LANG_MARKERS)
     # argmax with fixed tie order: first language reaching the max wins
     max_score = scores[langs[0]]
     for lang in langs[1:]:
-        max_score = F.greatest(max_score, scores[lang])
-    guess = F.lit("und")
-    for lang in reversed(langs):
-        guess = F.when(
-            (scores[lang] == max_score) & (max_score > 0), F.lit(lang)
-        ).otherwise(guess)
-    return df.withColumn("lang_guess", guess).drop("__w")
+        max_score = f"greatest({max_score}, {scores[lang]})"
+    branches = " ".join(
+        f"WHEN {scores[lang]} = ({max_score}) AND ({max_score}) > 0"
+        f" THEN '{lang}'"
+        for lang in langs
+    )
+    guess = f"CASE {branches} ELSE 'und' END"
+    return df.withColumn("lang_guess", F.expr(guess)).drop("__w")
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -154,6 +169,18 @@ def _ngram_array(w: Column, n_words: Column, n: int) -> Column:
     )
 
 
+def _ngram_array_sql(w: str, n_words: str, n: int) -> str:
+    """``_ngram_array`` as a SQL fragment over column-name operands
+    (r14 plan-build optimization, see _words_sql)."""
+    elems = ", ".join(f"element_at({w}, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN {n_words} >= {n} THEN"
+        f" transform(sequence(1, {n_words} - {n - 1}),"
+        f" i -> concat_ws(' ', {elems}))"
+        f" ELSE CAST(array() AS array<string>) END"
+    )
+
+
 def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition / diversity quality signals (Gopher-style filters).
 
@@ -173,28 +200,32 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     CSE through higher-order-function lambdas, so expression-tree reuse
     would re-split the text once per reference.
     """
-    df = df.withColumn("__w", words(F.col(text_col)))
-    w = F.col("__w")
-    df = df.withColumn("__nw", F.size(w))
-    nw = F.col("__nw")
-    df = df.withColumn("__g2", _ngram_array(w, nw, 2)).withColumn(
-        "__g3", _ngram_array(w, nw, 3)
-    )
-    n2, n3 = F.size(F.col("__g2")), F.size(F.col("__g3"))
-    d2 = F.size(F.array_distinct(F.col("__g2")))
-    d3 = F.size(F.array_distinct(F.col("__g3")))
-    n_distinct = F.size(F.array_distinct(w))
+    # rendered as SQL strings (r14 plan-build optimization, see
+    # _words_sql); same expression tree, one parse per projection
+    df = df.withColumn("__w", F.expr(_words_sql(text_col)))
+    df = df.withColumn("__nw", F.expr("size(__w)"))
+    df = df.withColumn(
+        "__g2", F.expr(_ngram_array_sql("__w", "__nw", 2))
+    ).withColumn("__g3", F.expr(_ngram_array_sql("__w", "__nw", 3)))
+    nd = "size(array_distinct(__w))"
 
-    def frac(num: Column, den: Column) -> Column:
-        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+    def frac(num: str, den: str) -> Column:
+        return F.expr(
+            f"CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE) / {den}"
+            f" ELSE 0.0D END"
+        )
 
     return df.withColumns(
         {
-            "n_words": nw.cast("bigint"),
-            "n_distinct_words": n_distinct.cast("bigint"),
-            "type_token_ratio": frac(n_distinct, nw),
-            "dup_2gram_frac": frac(n2 - d2, n2),
-            "dup_3gram_frac": frac(n3 - d3, n3),
+            "n_words": F.expr("CAST(__nw AS BIGINT)"),
+            "n_distinct_words": F.expr(f"CAST({nd} AS BIGINT)"),
+            "type_token_ratio": frac(nd, "__nw"),
+            "dup_2gram_frac": frac(
+                "size(__g2) - size(array_distinct(__g2))", "size(__g2)"
+            ),
+            "dup_3gram_frac": frac(
+                "size(__g3) - size(array_distinct(__g3))", "size(__g3)"
+            ),
         }
     ).drop("__w", "__nw", "__g2", "__g3")
 
@@ -732,24 +763,28 @@ def with_classifier_score(
     weight sum / (1000 * n_tokens): two exact integers, one IEEE
     division — bit-identical across engines. Empty docs score null.
     """
-    toks = words(F.col(text_col))
+    # rendered as SQL strings (r14 plan-build optimization, see
+    # _words_sql); the weight fragment is _token_weight verbatim
+    weight = (
+        f"((CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT)"
+        f" % {CLS_BUCKETS}) * {_CLS_MULT}L) % {_CLS_RANGE}"
+        f" - {(_CLS_RANGE - 1) // 2}"
+    )
     return (
-        df.withColumn("__toks", toks)
+        df.withColumn("__toks", F.expr(_words_sql(text_col)))
         .withColumn(
             "__wsum",
-            F.aggregate(
-                "__toks",
-                F.lit(0).cast("long"),
-                lambda acc, w: acc + _token_weight(w),
+            F.expr(
+                f"aggregate(__toks, CAST(0 AS BIGINT),"
+                f" (acc, w) -> acc + ({weight}))"
             ),
         )
-        .withColumn("__n", F.size("__toks").cast("long"))
+        .withColumn("__n", F.expr("CAST(size(__toks) AS BIGINT)"))
         .withColumn(
             score_col,
-            F.when(
-                F.col("__n") > 0,
-                F.col("__wsum").cast("double")
-                / (F.col("__n") * 1000).cast("double"),
+            F.expr(
+                "CASE WHEN __n > 0 THEN"
+                " CAST(__wsum AS DOUBLE) / CAST(__n * 1000 AS DOUBLE) END"
             ),
         )
         .drop("__toks", "__wsum", "__n")

@@ -1801,7 +1801,7 @@ def knn_ivf_nprobe2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_vec"),
             _norm(F.col("embedding")).alias("q_norm"),
-            F.explode(top_clusters_expr(F.col("v"), cent, 2)).alias("cluster"),
+            F.explode(top_clusters_expr("`v`", cent, 2)).alias("cluster"),
         )
     )
     c = base.select(

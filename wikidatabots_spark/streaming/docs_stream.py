@@ -194,6 +194,29 @@ def _band_pfx():
     return F.substring("band_hash", 1, _BAND_PFX_LEN)
 
 
+# Explicit store schemas for the per-batch reads (r14 optimization,
+# guide §6/§7.3): ``spark.read.parquet`` without a schema reads parquet
+# footers to infer one on the DRIVER on every invocation — the graph
+# sink issues several store reads per micro-batch, so the inference
+# passes were pure critical-path driver time. Types are pinned by the
+# writers (band rows from minhash_band_table, label deltas from CC,
+# verdicts from ngram_collisions); the partition columns (band_pfx,
+# __batch_id) are declared too, which also pins band_pfx to STRING —
+# directory-value inference would guess INT for an all-digit hex
+# prefix set. Compaction folds keep schema inference: they must
+# preserve whatever physical types the files hold.
+_LABELS_STORE_SCHEMA = "node long, component long, __batch_id int"
+_INDEX_STORE_SCHEMA = (
+    "doc_id long, band_idx int, band_hash string,"
+    " band_pfx string, __batch_id int"
+)
+_TOMB_STORE_SCHEMA = "doc_id long, __batch_id int"
+_FLAGGED_STORE_SCHEMA = (
+    "train_id long, n_collided_grams long, n_bench_docs long,"
+    " __batch_id int"
+)
+
+
 def _has_parquet(path: str) -> bool:
     """True iff ``path`` holds at least one parquet footer. An
     all-singleton batch writes an EMPTY delta (zero partitions, maybe a
@@ -241,14 +264,18 @@ def read_band_index(
         return spark.createDataFrame(
             [], "doc_id long, band_idx int, band_hash string"
         )
-    idx = spark.read.parquet(resolve_store(index_path))
+    idx = spark.read.schema(_INDEX_STORE_SCHEMA).parquet(
+        resolve_store(index_path)
+    )
     if before_batch is not None:
         idx = idx.where(F.col("__batch_id") < F.lit(int(before_batch)))
     if prefixes is not None:
         idx = idx.where(F.col("band_pfx").isin(list(prefixes)))
     idx = idx.select("doc_id", "band_idx", "band_hash", "__batch_id")
     if tombstones_path and _has_parquet(tombstones_path):
-        tomb = spark.read.parquet(resolve_store(tombstones_path))
+        tomb = spark.read.schema(_TOMB_STORE_SCHEMA).parquet(
+            resolve_store(tombstones_path)
+        )
         if before_batch is not None:
             tomb = tomb.where(F.col("__batch_id") < F.lit(int(before_batch)))
         tomb = tomb.select(
@@ -275,7 +302,9 @@ def _merged_labels(
     attempt's."""
     if not _has_parquet(labels_path):
         return spark.createDataFrame([], "node long, component long")
-    all_labels = spark.read.parquet(resolve_store(labels_path))
+    all_labels = spark.read.schema(_LABELS_STORE_SCHEMA).parquet(
+        resolve_store(labels_path)
+    )
     if before_batch is not None:
         all_labels = all_labels.where(
             F.col("__batch_id") < F.lit(int(before_batch))
@@ -573,7 +602,9 @@ def flagged_documents(
         return spark.createDataFrame(
             [], "train_id long, n_collided_grams long, n_bench_docs long"
         )
-    out = spark.read.parquet(resolve_store(flagged_path))
+    out = spark.read.schema(_FLAGGED_STORE_SCHEMA).parquet(
+        resolve_store(flagged_path)
+    )
     if batch_id is not None:
         out = out.where(F.col("__batch_id") == F.lit(int(batch_id)))
     return out.select("train_id", "n_collided_grams", "n_bench_docs")
