@@ -946,6 +946,127 @@ def test_semdedup_drops_planted_in_cluster_dup(spark):
     assert out[10].cluster == out[11].cluster
 
 
+def test_winnow_kernel_matches_expression_form(spark):
+    """The r14 mapInArrow winnowing kernel emits the SAME (id, fp) set
+    as the JVM expression form it replaced — split/lower/shingle/md5/
+    window-min/distinct semantics replicated exactly, including the
+    short-document guards (< k words, < window shingles) and repeated
+    shingles."""
+    import random
+
+    from wikidatabots_spark.operators.dedup import winnow_fingerprints
+
+    vocab = ["alpha", "beta", "Gamma", "DELTA", "ep5", "zz", "x"]
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(200)
+    ]
+    rows += [
+        (900, ""),  # empty
+        (901, "one two"),  # < k words
+        (902, "one two three four five six"),  # exactly enough
+        (903, "dup dup dup dup dup dup dup dup"),  # one distinct fp
+        (904, "  leading   and\ttrailing  spaces\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for kk, ww in ((3, 4), (2, 2)):
+        got = {
+            (r.doc_id, r.fp)
+            for r in winnow_fingerprints(df, k=kk, window=ww).collect()
+        }
+        # the former expression form, verbatim
+        wl_sql = "filter(split(lower(`text`), '\\\\s+'), w -> w != '')"
+        base = df.select(F.col("doc_id"), F.expr(wl_sql).alias("__wl"))
+        elems = ", ".join(f"element_at(__wl, i + {j})" for j in range(kk))
+        idx_sql = (
+            f"CASE WHEN size(__wl) >= {kk}"
+            f" THEN sequence(1, size(__wl) - {kk - 1})"
+            f" ELSE CAST(array() AS array<int>) END"
+        )
+        sh_sql = f"transform({idx_sql}, i -> concat_ws(' ', {elems}))"
+        hashed = base.select(
+            F.col("doc_id"),
+            F.expr(f"transform({sh_sql}, t -> md5(t))").alias("__hs"),
+        )
+        fps_sql = (
+            f"CASE WHEN size(__hs) >= {ww}"
+            f" THEN array_distinct(transform("
+            f"sequence(1, size(__hs) - {ww - 1}),"
+            f" i -> array_min(slice(__hs, i, {ww}))))"
+            f" ELSE CAST(array() AS array<string>) END"
+        )
+        want = {
+            (r.doc_id, r.fp)
+            for r in hashed.select(
+                F.col("doc_id"), F.expr(f"explode({fps_sql})").alias("fp")
+            ).collect()
+        }
+        assert got == want and len(got) > 100
+
+
+def test_semdedup_blocked_kernel_matches_expression_form(spark):
+    """The r14 blocked-numpy pair stage is BIT-identical to the
+    zip_with/aggregate expression form — the kernel accumulates one
+    dimension per step, replicating the fold's left-associated float64
+    adds and the norm/divide/compare operation order — including a
+    cosine exactly AT the threshold (planted identical pair, cos ==
+    1.0, threshold 1.0: `>=` must fire on exact equality)."""
+    import random
+
+    from wikidatabots_spark.operators.similarity import (
+        _dot,
+        _norm,
+        _semdedup_dropped_blocked,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(16)], i % 3)
+        for i in range(400)
+    ]
+    rows += [
+        (1000, [0.3, 0.4] + [0.0] * 14, 1),
+        (1001, [0.3, 0.4] + [0.0] * 14, 1),
+    ]
+    base = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster int"
+    )
+    for th in (0.45, 1.0):
+        a = base.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("__va"),
+            _norm(F.col("embedding")).alias("__na"),
+            "cluster",
+        )
+        b = base.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("__vb"),
+            _norm(F.col("embedding")).alias("__nb"),
+            "cluster",
+        )
+        want = {
+            r.id_b
+            for r in a.join(b, on="cluster")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(
+                _dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb"))
+                >= F.lit(th)
+            )
+            .select("id_b")
+            .distinct()
+            .collect()
+        }
+        got = {
+            r.vec_id
+            for r in _semdedup_dropped_blocked(base, th, block_size=64).collect()
+        }
+        assert got == want
+        if th == 1.0:
+            assert got == {1001}  # the exact-threshold twin, and only it
+
+
 def test_kmeans_assignment_plan_has_no_exchange(spark):
     """VERDICT r3 #4: assignment must be a narrow map — centroids ride
     the expression as driver-embedded literals, so the vector table

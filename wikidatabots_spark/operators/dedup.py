@@ -851,45 +851,76 @@ def winnow_fingerprints(
     only ~2/(window+1) of positions are kept — a tunable density/recall
     dial that whole-document hashing cannot offer.
 
-    Plan shape (r3): ONE narrow map, zero shuffles. The per-position
-    windowed min is array math — ``array_min(slice(hashes, i, window))``
-    per full window — and the within-doc dedup is ``array_distinct``
-    before the explode, so (id, fp) rows are already distinct and the
-    former per-doc sort window + global distinct (two shuffles of the
-    exploded hash table, the dominant cost at sf0.1: 7.4 s → ~1 s) are
-    gone. Hashes are md5 strings — engine-agnostic, oracle-reproducible
-    (lexicographic min on hex strings in both engines).
+    Plan shape: ONE narrow map, zero shuffles — since r14 a
+    ``mapInArrow`` kernel (guide §4.2): the shingle build + per-shingle
+    md5 + sliding window-min ran as interpreted higher-order functions
+    (no codegen inside HOF lambdas), measured ~13 s of executor CPU at
+    sf0.1 — the single largest CPU stage of every curate flagship; the
+    kernel hands whole Arrow batches to C-backed ``hashlib``/str ops,
+    ~10x the per-shingle throughput, and emits the per-doc distinct
+    fingerprint set directly. (id, fp) rows stay distinct-per-doc, so
+    no sort window or global distinct is needed downstream. Hashes are
+    md5 hex strings — engine-agnostic, oracle-reproducible
+    (lexicographic min on hex strings in all three implementations).
+
+    Exact-equivalence notes vs the former expression form, pinned by
+    ``test_winnow_kernel_matches_expression_form``: the tokenizer
+    replicates Spark ``split(lower(text), '\\s+')`` — the split class
+    is Java regex ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]`` (ASCII, unlike
+    Python's Unicode ``\\s``); ``str.lower()`` and JVM lowercasing
+    agree on ASCII (every corpus here) and on all but a handful of
+    exotic Unicode case mappings; md5-of-UTF-8 and lexicographic min
+    on hex digests are engine-independent.
     """
-    # rendered as SQL strings (r14: one F.expr per projection instead of
-    # one py4j round trip per element — ~0.2 s of driver time per call)
-    wl_sql = f"filter(split(lower(`{text_col}`), '\\\\s+'), w -> w != '')"
-    base = ensure_parallelism(
-        df.select(F.col(id_col), F.expr(wl_sql).alias("__wl")), id_col
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    src = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col)), id_col
     )
-    elems = ", ".join(f"element_at(__wl, i + {j})" for j in range(k))
-    idx_sql = (
-        f"CASE WHEN size(__wl) >= {k}"
-        f" THEN sequence(1, size(__wl) - {k - 1})"
-        f" ELSE CAST(array() AS array<int>) END"
-    )
-    sh_sql = f"transform({idx_sql}, i -> concat_ws(' ', {elems}))"
-    # materialize the hash array as a real column: no CSE through HOF
-    # lambdas — referencing `hs` from the slice lambda below would
-    # otherwise recompute shingles+md5 once per window position
-    hashed = base.select(
-        F.col(id_col),
-        F.expr(f"transform({sh_sql}, t -> md5(t))").alias("__hs"),
-    )
-    fps_sql = (
-        f"CASE WHEN size(__hs) >= {window}"
-        f" THEN array_distinct(transform("
-        f"sequence(1, size(__hs) - {window - 1}),"
-        f" i -> array_min(slice(__hs, i, {window}))))"
-        f" ELSE CAST(array() AS array<string>) END"
-    )
-    return hashed.select(
-        F.col(id_col), F.expr(f"explode({fps_sql})").alias("fp")
-    )
+
+    def fp_batches(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        import hashlib
+        import re
+
+        ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")  # Java regex \s
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids: list[int] = []
+            out_fps: list[str] = []
+            for i, s in zip(ids, texts):
+                if s is None:
+                    continue
+                wl = [w for w in ws.split(s.lower()) if w != ""]
+                n_sh = len(wl) - (k - 1)
+                if n_sh < window:
+                    continue
+                hs = [
+                    hashlib.md5(
+                        " ".join(wl[j : j + k]).encode("utf-8")
+                    ).hexdigest()
+                    for j in range(n_sh)
+                ]
+                seen = set()
+                for j in range(n_sh - (window - 1)):
+                    m = min(hs[j : j + window])
+                    if m not in seen:
+                        seen.add(m)
+                        out_ids.append(i)
+                        out_fps.append(m)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=pa.int64()),
+                    pa.array(out_fps, type=pa.string()),
+                ],
+                names=[id_col, "fp"],
+            )
+
+    return src.mapInArrow(fp_batches, f"{id_col} long, fp string")
 
 
 def winnow_pairs(
@@ -913,14 +944,23 @@ def winnow_pairs(
     Dropping ubiquitous fingerprints is recall-safe for near-dup work:
     a pair that shares ONLY corpus-wide boilerplate is not a duplicate.
 
-    Plan shape: the df window partitions by fp, and the self-join keys
-    on fp — one exchange feeds both (ReusedExchange); pair counts get
-    map-side partials from the groupBy.
+    Plan shape: the df window partitions by the fingerprint key, and
+    the self-join keys on it — one exchange feeds both (ReusedExchange);
+    pair counts get map-side partials from the groupBy. Since r14 the
+    fingerprint travels as its 64-bit ``xxhash64`` key from the first
+    exchange on (guide §2.3 — shuffle 8-byte longs, hash/compare longs
+    in the join and window, instead of 32-char md5 hex strings; the fp
+    string never leaves the input projection). Results are identical
+    short of a 64-bit collision between two fingerprints of one corpus
+    — the same documented tradeoff as ``ngram_jaccard_pairs``' hashed
+    shingle keys (birthday bound ~1e-11 at 10^5 distinct fps).
     """
     from pyspark.sql import Window
 
-    with_df = fps.withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    with_df = fps.select(
+        F.col(id_col), F.xxhash64("fp").alias("__fpk")
+    ).withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__fpk"))
     )
     if isinstance(max_df, float):
         if not 0.0 < max_df < 1.0:
@@ -929,14 +969,14 @@ def winnow_pairs(
         rare = (
             with_df.crossJoin(F.broadcast(n_docs))
             .where(F.col("__df") <= F.ceil(F.lit(max_df) * F.col("__n_docs")))
-            .select(id_col, "fp")
+            .select(id_col, "__fpk")
         )
     else:
-        rare = with_df.where(F.col("__df") <= max_df).select(id_col, "fp")
-    a = rare.select(F.col(id_col).alias("id_a"), "fp")
-    b = rare.select(F.col(id_col).alias("id_b"), "fp")
+        rare = with_df.where(F.col("__df") <= max_df).select(id_col, "__fpk")
+    a = rare.select(F.col(id_col).alias("id_a"), "__fpk")
+    b = rare.select(F.col(id_col).alias("id_b"), "__fpk")
     return (
-        a.join(b, on="fp")
+        a.join(b, on="__fpk")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))

@@ -122,7 +122,13 @@ def with_lm_score(
     transition is maximally surprising). Default (None) trains on ``df``
     itself, where the join is total and the backoff never fires.
     """
-    occ = bigram_occurrences(df, id_col, text_col)
+    from wikidatabots_spark.functions.scale import pushdown_fence
+
+    # fence the occurrence table (r14 optimization, guide §2.4): it
+    # feeds BOTH the model aggregate and the scoring join — unfenced,
+    # each leg replays the split/explode/xxhash text pass over the full
+    # corpus (two passes per call; every curate flagship calls this)
+    occ = pushdown_fence(bigram_occurrences(df, id_col, text_col))
     model = bigram_model(
         occ
         if train_df is None

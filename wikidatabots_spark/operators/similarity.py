@@ -538,6 +538,101 @@ def embedding_dup_pairs_blocked(
     return grid.mapInPandas(cell, "id_a long, id_b long")
 
 
+def _semdedup_dropped_blocked(
+    base: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 256,
+) -> DataFrame:
+    """The cluster-fenced SemDeDup pair stage as blocked vectorized
+    numpy (r14 optimization, guide §4.2): distinct ids dropped because
+    a LOWER-id cluster-mate is ≥ ``threshold`` cosine-similar.
+
+    The former shape evaluated one interpreted zip_with+aggregate dot
+    product per cluster-mate pair — O(Σ cluster²) HOF evaluations, by
+    far the dominant CPU of every curate flagship. Here vectors group
+    into (cluster, id-range block) rows, the within-cluster block-pair
+    grid is a tiny self-join, and each grid cell computes its whole
+    (block × block) similarity matrix in numpy inside ``mapInPandas``
+    — the ``embedding_dup_pairs_blocked`` scale shape with the cluster
+    fence as an extra grid key.
+
+    BIT-EXACT float semantics, not ~ULP: the matrix accumulates one
+    DIMENSION per step (``S += X[:,t]·Y[:,t]``, norms likewise), so
+    every pair's dot is the same left-associated float64 add chain as
+    the expression form's sequential ``aggregate`` fold, and
+    norm/divide/compare replicate its operation order exactly —
+    IEEE-identical drops even for a cosine AT the threshold
+    (equality test-pinned in tests/test_operators.py). BLAS matmul
+    would be faster still but sums in hardware-dependent order; this
+    keeps the oracle's boundary behavior while staying vectorized.
+
+    Scale: cells hold O(block²·d) work and 2·block·d floats of memory;
+    within-cluster blocking means a mega-cluster splits into many
+    cells instead of one task (the same bound as the former join after
+    its parallelism guard). Only (grid-cell) rows shuffle; emitted
+    rows are bare ids."""
+    from collections.abc import Iterator
+
+    bb = base.select(
+        F.col("cluster"),
+        (F.col(id_col) / block_size).cast("int").alias("bid"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+    )
+    blocks = bb.groupBy("cluster", "bid").agg(
+        F.collect_list(F.struct("vid", "vec")).alias("items")
+    )
+    grid = (
+        blocks.select(
+            "cluster", F.col("bid").alias("bid_x"), F.col("items").alias("items_x")
+        )
+        .join(
+            blocks.select(
+                "cluster",
+                F.col("bid").alias("bid_y"),
+                F.col("items").alias("items_y"),
+            ),
+            "cluster",
+        )
+        .where(F.col("bid_x") <= F.col("bid_y"))
+        .select("items_x", "items_y")
+    )
+
+    def cell(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # re-import: runs on the worker
+
+        for pdf in batches:
+            out: list[int] = []
+            for ix, iy in zip(pdf["items_x"], pdf["items_y"]):
+                ids_x = np.array([it["vid"] for it in ix], dtype=np.int64)
+                ids_y = np.array([it["vid"] for it in iy], dtype=np.int64)
+                X = np.array([it["vec"] for it in ix], dtype=np.float64)
+                Y = np.array([it["vec"] for it in iy], dtype=np.float64)
+                # dimension-at-a-time accumulation = the expression
+                # form's sequential fold, elementwise over the grid
+                S = np.zeros((len(ids_x), len(ids_y)))
+                nx = np.zeros(len(ids_x))
+                ny = np.zeros(len(ids_y))
+                for t in range(X.shape[1]):
+                    S += X[:, t : t + 1] * Y[None, :, t]
+                    nx += X[:, t] * X[:, t]
+                    ny += Y[:, t] * Y[:, t]
+                denom = np.sqrt(nx)[:, None] * np.sqrt(ny)[None, :]
+                ai, bi = np.nonzero(S / denom >= threshold)
+                ida, idb = ids_x[ai], ids_y[bi]
+                keep = ida != idb  # drop self pairs of same-block cells
+                out.extend(np.maximum(ida[keep], idb[keep]))
+            yield pd.DataFrame({"__did": pd.Series(out, dtype="int64")})
+
+    return (
+        grid.mapInPandas(cell, "__did long")
+        .select(F.col("__did").alias(id_col))
+        .distinct()
+    )
+
+
 def semdedup_flags(
     df: DataFrame,
     k: int = 4,
@@ -555,27 +650,26 @@ def semdedup_flags(
 
     Scale shape: clustering is ``kmeans_int_fit`` (centroids collected,
     k·dim ints) + ``with_cluster`` (narrow map — the embedding table
-    never exchanges for assignment); the pair stage is a CLUSTER-KEYED
-    equi-join, so Spark partitions by cluster id and AQE can split a
-    skewed mega-cluster. Production tuning: pick k ≈ n / desired
-    cluster size so per-cluster all-pairs stays bounded — exactly the
-    SemDeDup paper's design point (they use k=50k for 5B embeddings);
-    k=4 here matches the oracle-unrolled training depth. Cross-cluster
-    near-dups are invisible by design — that recall loss is the price
-    of sub-quadratic scaling and is the paper's documented tradeoff.
+    never exchanges for assignment); the pair stage is the blocked
+    vectorized kernel ``_semdedup_dropped_blocked`` (r14) — a
+    CLUSTER-KEYED equi-join over (cluster, id-block) rows whose cells
+    each compute one block×block similarity matrix in numpy, bit-exact
+    to the former per-pair expression grid. Production tuning: pick
+    k ≈ n / desired cluster size so per-cluster all-pairs stays
+    bounded — exactly the SemDeDup paper's design point (they use
+    k=50k for 5B embeddings); k=4 here matches the oracle-unrolled
+    training depth. Cross-cluster near-dups are invisible by design —
+    that recall loss is the price of sub-quadratic scaling and is the
+    paper's documented tradeoff.
     """
     from wikidatabots_spark.operators.clustering import (
         kmeans_int_fit,
         with_cluster,
     )
 
-    # Parallelism guard (r14 optimization): the pair stage below joins
-    # cluster-mates pairwise, so its task count is bounded by the INPUT
-    # partitioning — a single-file embedding scan ran the whole
-    # O(Σ cluster²) dot-product grid in ONE task (measured 6.7 s at
-    # sf0.1; 1.2 s after — the join small side broadcasts, so neither
-    # the join nor AQE ever re-partitions the probe side). Same idiom
-    # as every other vector operator here; no-op at cluster scale.
+    # Parallelism guard (r14): a single-file embedding scan otherwise
+    # feeds kmeans and the blocked pair kernel from one task-wide scan;
+    # no-op at cluster scale.
     src = ensure_parallelism(
         df.select(F.col(id_col), F.col(vec_col)), id_col
     )
@@ -596,36 +690,10 @@ def semdedup_flags(
         src.select(F.col(id_col), F.col(vec_col), quant.alias("__v")),
         cents,
         "__v",
-    ).select(
-        F.col(id_col),
-        F.col(vec_col),
-        _norm(F.col(vec_col)).alias("__n"),
-        "cluster",
-    )
-    a = base.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-        F.col("__n").alias("__na"),
-        "cluster",
-    )
-    b = base.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
-        F.col("__n").alias("__nb"),
-        "cluster",
-    )
-    dropped = (
-        a.join(b, on="cluster")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            _dot(F.col("__va"), F.col("__vb"))
-            / (F.col("__na") * F.col("__nb"))
-            >= F.lit(threshold)
-        )
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
-    )
+    ).select(F.col(id_col), F.col(vec_col), "cluster")
+    dropped = _semdedup_dropped_blocked(
+        base, threshold, id_col, vec_col
+    ).withColumn("__dropped", F.lit(True))
     return (
         base.select(F.col(id_col), F.col("cluster"))
         .join(dropped, id_col, "left")

@@ -72,23 +72,33 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_quality(
+    df: DataFrame, text_col: str = "text", words_col: str | None = None
+) -> DataFrame:
     """Length/punct/stopword features + composite quality score.
 
     The score formula is a fixed arithmetic tree (no reassociated sums) so
     it is bit-reproducible across engines. The word array is materialized
     once (``__w``) — expression trees referenced from several features
     would re-split the text per reference (no CSE through lambdas).
+
+    ``words_col`` names a caller-materialized word-array column to use
+    instead of splitting here (r14 optimization, guide §1.2: the curate
+    gate stacks chain four word-consuming builders, and each private
+    split re-tokenized the corpus — one shared column tokenizes once).
+    The caller owns that column's lifetime.
     """
     # rendered as SQL strings (r14 plan-build optimization, see
     # _words_sql) — each fragment textually duplicates subexpressions
     # exactly where the former Column tree referenced them, so the
     # parsed expression tree is the same
-    df = df.withColumn("__w", F.expr(_words_sql(text_col)))
-    nw = "size(__w)"
+    w = words_col or "__w"
+    if words_col is None:
+        df = df.withColumn("__w", F.expr(_words_sql(text_col)))
+    nw = f"size({w})"
     nc = f"length(`{text_col}`)"
     np_ = f"length(regexp_replace(`{text_col}`, '{_PUNCT_RE}', ''))"
-    ns = f"size(filter(__w, x -> x IN ({_sql_str_list(STOPWORDS)})))"
+    ns = f"size(filter({w}, x -> x IN ({_sql_str_list(STOPWORDS)})))"
     stop_ratio = (
         f"CASE WHEN {nw} > 0 THEN CAST({ns} AS DOUBLE) / {nw} ELSE 0.0D END"
     )
@@ -100,7 +110,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         f" + ({stop_ratio}) * 0.3D"
         f" + (1.0D - ({punct_ratio})) * 0.2D"
     )
-    return df.withColumns(
+    out = df.withColumns(
         {
             "n_words": F.expr(f"CAST({nw} AS BIGINT)"),
             "n_punct": F.expr(f"CAST({np_} AS BIGINT)"),
@@ -114,22 +124,27 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
             "punct_ratio": F.expr(punct_ratio),
             "quality": F.expr(quality),
         }
-    ).drop("__w")
+    )
+    return out if words_col is not None else out.drop("__w")
 
 
-def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_lang_guess(
+    df: DataFrame, text_col: str = "text", words_col: str | None = None
+) -> DataFrame:
     """Marker-word language ID: argmax of per-language marker counts.
 
     Ties resolve in fixed language order (en, es, fr, de); zero markers →
     'und'. Counts occurrences (not distinct words) so longer texts vote
-    proportionally.
+    proportionally. ``words_col``: see :func:`with_quality`.
     """
     # rendered as a SQL string (r14 plan-build optimization, see
     # _words_sql); the flat CASE is the nested when/otherwise chain
     # flattened — identical branch order and values
-    df = df.withColumn("__w", F.expr(_words_sql(text_col)))
+    w = words_col or "__w"
+    if words_col is None:
+        df = df.withColumn("__w", F.expr(_words_sql(text_col)))
     scores = {
-        lang: f"size(filter(__w, x -> x IN ({_sql_str_list(markers)})))"
+        lang: f"size(filter({w}, x -> x IN ({_sql_str_list(markers)})))"
         for lang, markers in LANG_MARKERS.items()
     }
     langs = list(LANG_MARKERS)
@@ -143,7 +158,8 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
         for lang in langs
     )
     guess = f"CASE {branches} ELSE 'und' END"
-    return df.withColumn("lang_guess", F.expr(guess)).drop("__w")
+    out = df.withColumn("lang_guess", F.expr(guess))
+    return out if words_col is not None else out.drop("__w")
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -181,7 +197,9 @@ def _ngram_array_sql(w: str, n_words: str, n: int) -> str:
     )
 
 
-def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_repetition(
+    df: DataFrame, text_col: str = "text", words_col: str | None = None
+) -> DataFrame:
     """Repetition / diversity quality signals (Gopher-style filters).
 
     Adds per-document:
@@ -201,13 +219,16 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     would re-split the text once per reference.
     """
     # rendered as SQL strings (r14 plan-build optimization, see
-    # _words_sql); same expression tree, one parse per projection
-    df = df.withColumn("__w", F.expr(_words_sql(text_col)))
-    df = df.withColumn("__nw", F.expr("size(__w)"))
+    # _words_sql); same expression tree, one parse per projection.
+    # ``words_col``: see with_quality.
+    w = words_col or "__w"
+    if words_col is None:
+        df = df.withColumn("__w", F.expr(_words_sql(text_col)))
+    df = df.withColumn("__nw", F.expr(f"size({w})"))
     df = df.withColumn(
-        "__g2", F.expr(_ngram_array_sql("__w", "__nw", 2))
-    ).withColumn("__g3", F.expr(_ngram_array_sql("__w", "__nw", 3)))
-    nd = "size(array_distinct(__w))"
+        "__g2", F.expr(_ngram_array_sql(w, "__nw", 2))
+    ).withColumn("__g3", F.expr(_ngram_array_sql(w, "__nw", 3)))
+    nd = f"size(array_distinct({w}))"
 
     def frac(num: str, den: str) -> Column:
         return F.expr(
@@ -215,7 +236,7 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
             f" ELSE 0.0D END"
         )
 
-    return df.withColumns(
+    out = df.withColumns(
         {
             "n_words": F.expr("CAST(__nw AS BIGINT)"),
             "n_distinct_words": F.expr(f"CAST({nd} AS BIGINT)"),
@@ -227,7 +248,8 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
                 "size(__g3) - size(array_distinct(__g3))", "size(__g3)"
             ),
         }
-    ).drop("__w", "__nw", "__g2", "__g3")
+    ).drop("__nw", "__g2", "__g3")
+    return out if words_col is not None else out.drop("__w")
 
 
 def vocab_topk(
@@ -743,7 +765,10 @@ def score_hashed_nb(
 
 
 def with_classifier_score(
-    df: DataFrame, text_col: str = "text", score_col: str = "cls_score"
+    df: DataFrame,
+    text_col: str = "text",
+    score_col: str = "cls_score",
+    words_col: str | None = None,
 ) -> DataFrame:
     """Fasttext-shaped linear quality classifier over hashed token
     features — the "model-based quality filter" stage of CCNet / LLaMA /
@@ -764,22 +789,25 @@ def with_classifier_score(
     division — bit-identical across engines. Empty docs score null.
     """
     # rendered as SQL strings (r14 plan-build optimization, see
-    # _words_sql); the weight fragment is _token_weight verbatim
+    # _words_sql); the weight fragment is _token_weight verbatim.
+    # ``words_col``: see with_quality.
     weight = (
         f"((CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT)"
         f" % {CLS_BUCKETS}) * {_CLS_MULT}L) % {_CLS_RANGE}"
         f" - {(_CLS_RANGE - 1) // 2}"
     )
-    return (
-        df.withColumn("__toks", F.expr(_words_sql(text_col)))
-        .withColumn(
+    toks = words_col or "__toks"
+    if words_col is None:
+        df = df.withColumn("__toks", F.expr(_words_sql(text_col)))
+    out = (
+        df.withColumn(
             "__wsum",
             F.expr(
-                f"aggregate(__toks, CAST(0 AS BIGINT),"
+                f"aggregate({toks}, CAST(0 AS BIGINT),"
                 f" (acc, w) -> acc + ({weight}))"
             ),
         )
-        .withColumn("__n", F.expr("CAST(size(__toks) AS BIGINT)"))
+        .withColumn("__n", F.expr(f"CAST(size({toks}) AS BIGINT)"))
         .withColumn(
             score_col,
             F.expr(
@@ -787,8 +815,9 @@ def with_classifier_score(
                 " CAST(__wsum AS DOUBLE) / CAST(__n * 1000 AS DOUBLE) END"
             ),
         )
-        .drop("__toks", "__wsum", "__n")
+        .drop("__wsum", "__n")
     )
+    return out if words_col is not None else out.drop("__toks")
 
 
 def chunk_documents(

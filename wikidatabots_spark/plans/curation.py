@@ -436,11 +436,26 @@ def _v3_gated(
         F.col("node").alias("doc_id")
     )
     survivors = exact.join(dup_nodes, "doc_id", "left_anti")
+    # ONE shared tokenization feeds all four word-consuming gates (r14
+    # optimization, guide §1.2): each builder's private split re-ran
+    # lower+regex-split over the corpus — the single biggest CPU stage
+    # of every curate flagship was 4x tokenize. The materialized __w
+    # column stays a separate Project (referenced many times, so
+    # CollapseProject will not inline it), hence split-once per row.
+    from wikidatabots_spark.operators.textstats import _words_sql
+
+    dw = ensure_parallelism(d, "doc_id").withColumn(
+        "__w", F.expr(_words_sql("text"))
+    )
     scored = pushdown_fence(
         with_classifier_score(
             with_repetition(
-                with_lang_guess(with_quality(ensure_parallelism(d, "doc_id")))
-            )
+                with_lang_guess(
+                    with_quality(dw, words_col="__w"), words_col="__w"
+                ),
+                words_col="__w",
+            ),
+            words_col="__w",
         ).select(
             "doc_id", "source", "lang_guess", "quality",
             "type_token_ratio", "dup_2gram_frac", "cls_score",

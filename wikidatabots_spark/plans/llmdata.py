@@ -1780,9 +1780,15 @@ def knn_ivf_nprobe2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_clusters_expr,
         with_cluster,
     )
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
     from wikidatabots_spark.operators.similarity import _dot, _norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # parallelism guard (r14): the single-file embedding scan otherwise
+    # pins every leg (kmeans fit jobs, the candidate dot-product side)
+    # to one task; no-op at cluster scale
+    emb = ensure_parallelism(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     qv = emb.select(
         "vec_id",
         F.transform(

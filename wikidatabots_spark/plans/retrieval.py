@@ -229,13 +229,18 @@ def knn_pq_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidatabots_spark.functions.scale import pushdown_fence
     from wikidatabots_spark.operators.pq import pq_adc_topk, pq_encode, pq_fit
 
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+
     emb = load_table(spark, sf_dir, "embeddings")
     # fence the quantized table: the m codebook fits (init + per-round
     # recompute jobs), the encode, and the query collect all read it —
     # unfenced, every one of those ~2m+2 jobs re-runs the quantize
-    # projection from the parquet scan
+    # projection from the parquet scan. Parallelism guard (r14): the
+    # single-file embedding scan otherwise pins the fenced table — and
+    # every downstream fit/encode/ADC stage — to ONE task (measured a
+    # 0.8 s single-task ADC stage at sf0.1); no-op at cluster scale.
     qv = pushdown_fence(
-        emb.select(
+        ensure_parallelism(emb, "vec_id").select(
             "vec_id",
             F.transform(
                 "embedding",
@@ -735,9 +740,12 @@ def emb_power_iteration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidatabots_spark.functions.scale import pushdown_fence
 
     d, s = _PI_DIMS, _PI_SCALE
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # parallelism guard (r14): single-file scan -> one task otherwise
     qd = pushdown_fence(
-        emb.select(
+        ensure_parallelism(emb, "vec_id").select(
             "vec_id",
             F.transform(
                 F.slice("embedding", 1, d),
@@ -1099,9 +1107,12 @@ def knn_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_fit,
     )
 
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # fenced + parallelism-guarded (r14): see knn_pq_adc_q
     qv = pushdown_fence(
-        emb.select(
+        ensure_parallelism(emb, "vec_id").select(
             "vec_id",
             F.transform(
                 "embedding",

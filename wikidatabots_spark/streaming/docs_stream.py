@@ -155,22 +155,32 @@ def dsir_score_stream(
     """
     from pyspark.sql import functions as F
 
-    from wikidatabots_spark.operators.textstats import _token_bucket, words
+    from wikidatabots_spark.operators.textstats import CLS_BUCKETS, _words_sql
 
-    m = F.create_map(
-        *[
-            F.lit(x).cast("long")
-            for kv in sorted(model_ppm.items())
-            for x in kv
-        ]
+    # Dense literal-ARRAY model (r14 optimization, guide §1.2 per-task
+    # work): the former literal create_map was probed per token with
+    # GetMapValue — a LINEAR scan of up to 1024 entries per lookup, so
+    # every token paid O(|model|) comparisons. Buckets are
+    # 0..CLS_BUCKETS-1 by construction, so the model densifies into a
+    # CLS_BUCKETS-slot array (absent buckets = 0, the same value the
+    # old coalesce(NULL, 0) produced) and the lookup is one O(1)
+    # element_at. Constant-folded to a single array literal; built as
+    # one SQL string (the §7.3 plan-build discipline).
+    slots = [0] * CLS_BUCKETS
+    for b, v in model_ppm.items():
+        slots[int(b)] = int(v)
+    arr_sql = "array(" + ",".join(f"{v}L" for v in slots) + ")"
+    bucket_sql = (
+        "CAST(CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT)"
+        f" % {CLS_BUCKETS} AS INT)"
     )
-    imp = F.aggregate(
-        words(F.col("text")),
-        F.lit(0).cast("long"),
-        lambda acc, w: acc
-        + F.coalesce(m[_token_bucket(w)], F.lit(0).cast("long")),
+    imp_sql = (
+        f"aggregate({_words_sql('text')}, CAST(0 AS BIGINT),"
+        f" (acc, w) -> acc + element_at({arr_sql}, {bucket_sql} + 1))"
     )
-    return docs.select("doc_id", "source", imp.alias("imp_ppm"))
+    return docs.select(
+        "doc_id", "source", F.expr(imp_sql).alias("imp_ppm")
+    )
 
 
 # Sentinel component id marking "this node currently has NO label"
@@ -495,6 +505,15 @@ def decontamination_gate(
     from wikidatabots_spark.sinks.compaction import ensure_linked_store
 
     bg = pushdown_fence(gram_table(bench, n, out_id="bench_id"))
+    # Prewarm (r14 optimization, guide §2.6): the fenced benchmark gram
+    # table's first action used to run INSIDE batch 0's probe — pure
+    # critical-path time. With a pool, its materialization is kicked off
+    # at gate construction on that pool, overlapped with whatever the
+    # caller does before the first trigger (the seated queries stage
+    # their drop-zone files and start the stream meanwhile). The first
+    # probe WAITS on the future rather than racing it: two concurrent
+    # first-actions on a lazy localCheckpoint would double-compute it.
+    prewarm = [pool.submit(lambda: bg.count())] if pool is not None else []
 
     def _write(flagged: DataFrame, batch_id: int) -> None:
         (
@@ -512,6 +531,8 @@ def decontamination_gate(
 
     def apply(batch: DataFrame, batch_id: int):
         batch_id = int(batch_id)
+        if prewarm:
+            prewarm.pop().result()
         ensure_linked_store(flagged_path)
         flagged = ngram_collisions(batch, None, n=n, bench_grams=bg)
         if pool is None:
@@ -882,7 +903,15 @@ def dedup_graph_maintenance(
                     F.col("id_n").alias("id_a"), F.col("id_n2").alias("id_b")
                 )
             )
-            edges = probe_cross.unionByName(probe_new).distinct()
+            # No pre-CC distinct (r14 optimization, guide §2.4): the
+            # min-label fixed point is multiplicity-insensitive, and
+            # connected_components starts with a groupBy over the same
+            # rows — the former .distinct() was one whole extra
+            # exchange+aggregate per batch that changed nothing. A band
+            # bucket emits at most cap·|batch| duplicate pairs, so the
+            # duplicate volume entering CC's first aggregate is bounded
+            # by the same cap that bounds the probe itself.
+            edges = probe_cross.unionByName(probe_new)
             _pmark(f"graph b{batch_id}: probe built (lazy)")
             ins_cc = pushdown_fence(
                 connected_components(edges).select("node", "component")
