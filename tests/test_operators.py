@@ -946,6 +946,44 @@ def test_semdedup_drops_planted_in_cluster_dup(spark):
     assert out[10].cluster == out[11].cluster
 
 
+def test_words_col_sharing_matches_private_split(spark):
+    """The r14 ``words_col`` parameter: each gate builder fed a shared
+    pre-materialized word column produces EXACTLY the rows of its
+    private-split default, and leaves the shared column in place."""
+    from wikidatabots_spark.operators.textstats import (
+        _words_sql,
+        with_classifier_score,
+        with_repetition,
+    )
+
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog"),
+        (1, ""),
+        (2, "dup dup dup dup"),
+        (3, "Je ne sais pas et il est la"),
+        (4, "  spaced   out\ttabs  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    shared = df.withColumn("__w", F.expr(_words_sql("text")))
+    for builder in (
+        with_quality,
+        with_lang_guess,
+        with_repetition,
+        with_classifier_score,
+    ):
+        want = [
+            tuple(r)
+            for r in builder(df).orderBy("doc_id").collect()
+        ]
+        got_df = builder(shared, words_col="__w")
+        assert "__w" in got_df.columns  # caller owns the shared column
+        got = [
+            tuple(r)
+            for r in got_df.drop("__w").orderBy("doc_id").collect()
+        ]
+        assert got == want
+
+
 def test_winnow_kernel_matches_expression_form(spark):
     """The r14 mapInArrow winnowing kernel emits the SAME (id, fp) set
     as the JVM expression form it replaced — split/lower/shingle/md5/

@@ -620,7 +620,18 @@ def _semdedup_dropped_blocked(
                     nx += X[:, t] * X[:, t]
                     ny += Y[:, t] * Y[:, t]
                 denom = np.sqrt(nx)[:, None] * np.sqrt(ny)[None, :]
-                ai, bi = np.nonzero(S / denom >= threshold)
+                # zero-denominator guard: a vector whose squared norm
+                # UNDERFLOWS to 0 (all components < ~1.5e-162) made the
+                # expression form emit cosine = ±inf/NaN — a float
+                # artifact that violates Cauchy-Schwarz (exact cosine is
+                # always <= 1, so threshold > 1 must keep everything;
+                # hypothesis found the denormal counterexample). Cosine
+                # is undefined at zero norm: such vectors are KEPT.
+                # Real embeddings never hit this; every oracle-checked
+                # output is unchanged (re-swept after the guard).
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = S / denom
+                ai, bi = np.nonzero((denom > 0.0) & (sim >= threshold))
                 ida, idb = ids_x[ai], ids_y[bi]
                 keep = ida != idb  # drop self pairs of same-block cells
                 out.extend(np.maximum(ida[keep], idb[keep]))

@@ -903,15 +903,13 @@ def dedup_graph_maintenance(
                     F.col("id_n").alias("id_a"), F.col("id_n2").alias("id_b")
                 )
             )
-            # No pre-CC distinct (r14 optimization, guide §2.4): the
-            # min-label fixed point is multiplicity-insensitive, and
-            # connected_components starts with a groupBy over the same
-            # rows — the former .distinct() was one whole extra
-            # exchange+aggregate per batch that changed nothing. A band
-            # bucket emits at most cap·|batch| duplicate pairs, so the
-            # duplicate volume entering CC's first aggregate is bounded
-            # by the same cap that bounds the probe itself.
-            edges = probe_cross.unionByName(probe_new)
+            # the pre-CC distinct stays (r14: removing it was tried —
+            # the min-label fixed point is multiplicity-insensitive —
+            # but a probe hit repeats per shared band, so the edge
+            # multiset grows ~bands×cap-fold and breaks the contraction
+            # bound the skew tests pin; the distinct's one exchange is
+            # what keeps CC's per-round input at the bound)
+            edges = probe_cross.unionByName(probe_new).distinct()
             _pmark(f"graph b{batch_id}: probe built (lazy)")
             ins_cc = pushdown_fence(
                 connected_components(edges).select("node", "component")
