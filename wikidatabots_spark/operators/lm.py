@@ -108,6 +108,7 @@ def with_lm_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     train_df: DataFrame | None = None,
+    score_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document LM quality: (id, n_bigrams, lm_score).
 
@@ -121,6 +122,15 @@ def with_lm_score(
     scores. Bigrams unseen in training back off to score 0 (a never-seen
     transition is maximally surprising). Default (None) trains on ``df``
     itself, where the join is total and the backoff never fires.
+
+    ``score_ids`` (an ``(id_col)``-keyed frame) restricts the SCORING
+    leg to those documents while the model still trains on the full
+    corpus (r14 optimization, guide §2.3 — aggregate fewer rows): the
+    curate flagships gate first and keep only survivors' scores, so
+    scoring every raw doc and discarding most rows in the consumer's
+    inner join was pure waste. Per-doc scores are independent (the
+    model sees all of ``df`` either way), so restricting the scoring
+    leg is row-for-row identical to post-filtering the full output.
     """
     from wikidatabots_spark.functions.scale import pushdown_fence
 
@@ -134,8 +144,14 @@ def with_lm_score(
         if train_df is None
         else bigram_occurrences(train_df, id_col, text_col)
     )
+    score_occ = occ.select(id_col, "bk")
+    base = df.select(id_col)
+    if score_ids is not None:
+        keys = score_ids.select(id_col)
+        score_occ = score_occ.join(keys, id_col, "left_semi")
+        base = base.join(keys, id_col, "left_semi")
     scored = (
-        occ.select(id_col, "bk")
+        score_occ
         .join(model, "bk", "left")
         .groupBy(id_col)
         .agg(
@@ -147,7 +163,7 @@ def with_lm_score(
         )
     )
     return (
-        df.select(id_col)
+        base
         .join(scored, id_col, "left")
         .select(
             id_col,

@@ -630,9 +630,21 @@ def bucket_occurrences(
     """Per-document hashed-feature occurrence counts: (id, bucket, cnt).
     The ONE corpus/text pass both NB training and scoring consume —
     compute it once (fence it if both run in one plan) and the text
-    column never leaves the scan stage again."""
+    column never leaves the scan stage again.
+
+    Guarded by ``ensure_parallelism`` (guide §2.5 input skew): this was
+    the one remaining explode+md5-per-token pass without the guard — a
+    single-file corpus scan ran the whole tokenize/hash/partial-agg
+    stage in ONE task (profiled: a 1-task 22-38 s-CPU stage serializing
+    every trained-NB curate flagship, while the guarded twin
+    ``dsir_occurrences`` spreads the same work 32 ways). No-op on
+    well-partitioned cluster inputs, like every other use of the guard.
+    """
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+
     return (
-        df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("__w"))
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("__w"))
         .select(F.col(id_col), _token_bucket(F.col("__w")).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))

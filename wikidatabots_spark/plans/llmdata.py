@@ -1581,7 +1581,10 @@ def curate_corpus_v5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated4 = pushdown_fence(
         _v3_gated(spark, sf_dir).join(semdrop, "doc_id", "left_anti")
     )
-    lmdrop = _v5_lmdrop(with_lm_score(d), gated4)
+    # score_ids=gated4 (r14): only survivor scores are consumed — the
+    # scoring aggregate runs over the survivor slice; the model still
+    # trains on the full corpus (same rows out, oracle-pinned)
+    lmdrop = _v5_lmdrop(with_lm_score(d, score_ids=gated4), gated4)
     return _mix_and_split(gated4.join(lmdrop, "doc_id", "left_anti"))
 
 

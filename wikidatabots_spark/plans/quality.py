@@ -3306,7 +3306,7 @@ def curate_corpus_v6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated4 = pushdown_fence(
         _v3_gated(spark, sf_dir).join(semdrop, "doc_id", "left_anti")
     )
-    lmdrop = _v5_lmdrop(with_lm_score(d), gated4)
+    lmdrop = _v5_lmdrop(with_lm_score(d, score_ids=gated4), gated4)
     final_gated = pushdown_fence(gated4.join(lmdrop, "doc_id", "left_anti"))
     mixed = mix_temperature(final_gated, key="doc_id", strata="source")
     split_bucket = F.conv(
@@ -3382,7 +3382,7 @@ def curate_corpus_v7_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             semdrop, "doc_id", "left_anti"
         )
     )
-    lmdrop = _v5_lmdrop(with_lm_score(d), gated4)
+    lmdrop = _v5_lmdrop(with_lm_score(d, score_ids=gated4), gated4)
     final_gated = pushdown_fence(gated4.join(lmdrop, "doc_id", "left_anti"))
     mixed = mix_temperature(final_gated, key="doc_id", strata="source")
     split_bucket = F.conv(
@@ -3523,7 +3523,7 @@ def curate_corpus_v8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(semdrop, "doc_id", "left_anti")
         .join(dsirdrop, "doc_id", "left_anti")
     )
-    lmdrop = _v5_lmdrop(with_lm_score(d), gated4)
+    lmdrop = _v5_lmdrop(with_lm_score(d, score_ids=gated4), gated4)
     final_gated = pushdown_fence(gated4.join(lmdrop, "doc_id", "left_anti"))
     mixed = mix_temperature(final_gated, key="doc_id", strata="source")
     split_bucket = F.conv(
