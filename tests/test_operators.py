@@ -1521,3 +1521,221 @@ def test_ivf_tie_margin_dwarfs_fp_error(sfd):
             assert np.array_equal(emb[a], emb[b])
         else:
             assert gap > MARGIN, f"cosine k-boundary gap {gap:.3e}"
+
+
+def _gate_edge_rows():
+    return [
+        (900, "srcX", ""),
+        (901, "srcX", "   \t\n "),  # whitespace-only: chars, no tokens
+        (902, "srcX", "one"),  # single word: no bigrams
+        (903, "srcX", "the the and of to is on for a an"),  # all stopwords
+        (904, "srcX", "el la de que y el la"),  # es markers, repeats
+        (905, "srcX", "x.y,z!?;: . , !"),  # punctuation-dense
+        (906, "srcX", "Tab\tand\nnewline\x0b\f\rmix CASE Case case"),
+        (907, "srcX", "a b a b a b a b"),  # repeated bigrams
+        (908, "srcX", None),  # NULL text
+        (909, "srcX", "der die und das ist der die und"),
+    ]
+
+
+def test_token_bucket_kernel_matches_expression_form(spark):
+    """The r14 token-bucket mapInArrow kernel (bucket_occurrences /
+    dsir_occurrences) emits EXACTLY the rows of the explode +
+    _token_bucket + groupBy expression form it replaced — md5 is
+    engine-independent, so the bucket ids are identical integers, not
+    a collision tradeoff; NULL and token-free texts emit no rows in
+    both forms."""
+    import random
+
+    from wikidatabots_spark.operators.textstats import (
+        _token_bucket,
+        bucket_occurrences,
+        token_bucket_counts,
+        words,
+    )
+
+    vocab = ["alpha", "beta", "Gamma", "DELTA", "ep5", "zz", "x", "the"]
+    rng = random.Random(13)
+    rows = [
+        (
+            i,
+            f"src{i % 3}",
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))),
+        )
+        for i in range(150)
+    ] + _gate_edge_rows()
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    got = {tuple(r) for r in bucket_occurrences(df).collect()}
+    want = {
+        tuple(r)
+        for r in df.select(
+            F.col("doc_id"), F.explode(words(F.col("text"))).alias("__w")
+        )
+        .select(F.col("doc_id"), _token_bucket(F.col("__w")).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    }
+    assert got == want and len(got) > 100
+
+    # the extra-column (dsir_occurrences) shape carries source through
+    got_s = {
+        tuple(r)
+        for r in token_bucket_counts(df, extra_cols=("source",)).collect()
+    }
+    want_s = {
+        tuple(r)
+        for r in df.select(
+            "doc_id", "source", F.explode(words(F.col("text"))).alias("__w")
+        )
+        .select(
+            "doc_id", "source", _token_bucket(F.col("__w")).alias("bucket")
+        )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    }
+    assert got_s == want_s
+
+
+def test_lm_bigram_kernel_matches_string_reference(spark):
+    """with_lm_score over the r14 pre-aggregated bigram kernel equals a
+    string-keyed reference that never hashes: same tokenizer expression
+    form as the old per-occurrence implementation, model and scoring
+    keyed on the bigram STRINGS. Pins (a) the kernel's tokenize/pair
+    semantics against the JVM expression form, (b) the cnt-weighted
+    two-level aggregation against per-occurrence sums, and (c) that the
+    hash keys are an invisible internal detail (collisions aside)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from wikidatabots_spark.operators.lm import (
+        LM_ALPHA,
+        LM_SCALE,
+        with_lm_score,
+    )
+
+    vocab = ["alpha", "beta", "Gamma", "DELTA", "ep5", "zz", "x", "the"]
+    rng = random.Random(17)
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(150)
+    ] + [(900, ""), (901, "one"), (902, "a b a b a b"), (903, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {tuple(r) for r in with_lm_score(df).collect()}
+
+    # reference: the pre-r14 per-occurrence expression form, on strings
+    wl_sql = "filter(split(lower(`text`), '\\\\s+'), w -> w != '')"
+    grams_sql = (
+        "CASE WHEN size(__w) >= 2 THEN"
+        " transform(sequence(1, size(__w) - 1),"
+        " i -> named_struct("
+        "'head', element_at(__w, i),"
+        " 'bg', concat_ws(' ', element_at(__w, i), element_at(__w, i + 1))"
+        "))"
+        " ELSE CAST(array() AS array<struct<head:string,bg:string>>) END"
+    )
+    occ = (
+        df.select(F.col("doc_id"), F.expr(wl_sql).alias("__w"))
+        .select(F.col("doc_id"), F.expr(f"explode({grams_sql})").alias("o"))
+        .select(F.col("doc_id"), F.col("o.head").alias("hk"), F.col("o.bg").alias("bk"))
+    )
+    counts = occ.groupBy("hk", "bk").agg(F.count(F.lit(1)).alias("c2"))
+    model = counts.withColumn(
+        "c1", F.sum("c2").over(Window.partitionBy("hk"))
+    ).select(
+        "bk", F.expr(f"({LM_SCALE} * c2) div (c1 + {LM_ALPHA})").alias("score")
+    )
+    scored = (
+        occ.select("doc_id", "bk")
+        .join(model, "bk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(F.coalesce("score", F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("lm_score"),
+        )
+    )
+    want = {
+        tuple(r)
+        for r in df.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "lm_score",
+        )
+        .collect()
+    }
+    assert got == want and len(got) == len(rows)
+
+
+def test_gate_kernel_matches_builder_chain(spark):
+    """gate_feature_counts + gate_features_from_counts reproduce the
+    with_quality → with_lang_guess → with_repetition →
+    with_classifier_score chain BIT-for-bit on every non-NULL-text row
+    (exact double equality — same integers, same expression trees), and
+    the NULL-text row both paths drop once the _v3_gated gate filters
+    run (the kernel omits it; the chain scores it below every gate)."""
+    import random
+
+    from wikidatabots_spark.operators.textstats import (
+        _words_sql,
+        gate_feature_counts,
+        gate_features_from_counts,
+        with_classifier_score,
+        with_lang_guess,
+        with_quality,
+        with_repetition,
+    )
+
+    vocab = [
+        "the", "and", "of", "to", "is", "el", "la", "de", "que", "y",
+        "le", "les", "des", "der", "die", "und", "das", "ist",
+        "alpha", "beta", "x.y,", "!?;:", "mixed",
+    ]
+    rng = random.Random(23)
+    rows = [
+        (
+            i,
+            f"src{i % 3}",
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))),
+        )
+        for i in range(200)
+    ] + _gate_edge_rows()
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    cols = [
+        "doc_id", "source", "lang_guess", "quality",
+        "type_token_ratio", "dup_2gram_frac", "cls_score",
+    ]
+    dw = df.withColumn("__w", F.expr(_words_sql("text")))
+    chain = with_classifier_score(
+        with_repetition(
+            with_lang_guess(with_quality(dw, words_col="__w"), words_col="__w"),
+            words_col="__w",
+        ),
+        words_col="__w",
+    ).select(*cols)
+    fused = gate_features_from_counts(gate_feature_counts(df)).select(*cols)
+
+    got = {tuple(r) for r in fused.collect()}
+    want_all = {tuple(r) for r in chain.collect()}
+    # exact equality (incl. doubles) for every non-NULL-text row
+    want_nonnull = {t for t in want_all if t[0] != 908}
+    assert got == want_nonnull and len(got) > 150
+
+    # the NULL-text row survives NEITHER path's gate filters
+    gates = (
+        (F.col("quality") >= 0.5)
+        & (F.col("lang_guess") == "en")
+        & (F.col("dup_2gram_frac") <= 0.05)
+        & (F.col("type_token_ratio") >= 0.35)
+    )
+    got_g = {r.doc_id for r in fused.where(gates).collect()}
+    want_g = {r.doc_id for r in chain.where(gates).collect()}
+    assert got_g == want_g

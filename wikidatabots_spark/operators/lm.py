@@ -27,9 +27,11 @@ language. This module implements that signal Spark-first and
 
 Scale shape (the 100 TB story):
 
-- bigram occurrences ship as 8-byte ``xxhash64`` keys the moment they
-  leave the row — the count shuffle carries (head_key, bigram_key)
-  pairs with map-side partial counts, never strings;
+- bigram occurrences ship as 8-byte hash keys the moment they leave
+  the row (md5-derived int64 since r14, computed in the Arrow kernel),
+  pre-aggregated per (doc, bigram) — the count shuffle carries
+  (head_key, bigram_key, cnt) partials, never strings and never one
+  row per occurrence;
 - the conditional-frequency table is computed once per *distinct*
   bigram (vocab²-bounded, zipf-truncated in practice — millions of
   rows, not trillions), via a window sum over the head key that reuses
@@ -58,32 +60,95 @@ LM_ALPHA = 10  # pseudo-count added to the head marginal (shrinkage)
 def bigram_occurrences(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, head_key, bigram_key) per bigram OCCURRENCE (multiplicity
-    kept — counts need it). Keys are xxhash64 of the word / the
-    space-joined word pair; the strings never leave this projection."""
-    from wikidatabots_spark.operators.textstats import _words_sql
+    """(id, head_key, bigram_key, cnt) per DISTINCT per-document bigram
+    (multiplicity carried as ``cnt`` — counts need it). Keys are 64-bit
+    hashes of the word / the space-joined word pair; the strings never
+    leave this operator.
 
-    # rendered as SQL strings (r14 plan-build optimization, see
-    # textstats._words_sql); guard: sequence(1, 0) counts DOWN in
-    # Spark, it is not empty
-    base = ensure_parallelism(
-        df.select(F.col(id_col), F.col(text_col)), id_col
-    ).select(F.col(id_col), F.expr(_words_sql(text_col)).alias("__w"))
-    grams_sql = (
-        "CASE WHEN size(__w) >= 2 THEN"
-        " transform(sequence(1, size(__w) - 1),"
-        " i -> named_struct("
-        "'head', element_at(__w, i),"
-        " 'bg', concat_ws(' ', element_at(__w, i), element_at(__w, i + 1))"
-        "))"
-        " ELSE CAST(array() AS array<struct<head:string,bg:string>>) END"
-    )
-    return base.select(
-        F.col(id_col), F.expr(f"explode({grams_sql})").alias("o")
-    ).select(
-        F.col(id_col),
-        F.expr("xxhash64(o.head)").alias("hk"),
-        F.expr("xxhash64(o.bg)").alias("bk"),
+    r14 optimization (guide §4.2 + §2.3): formerly one exploded row per
+    bigram OCCURRENCE, built by interpreted HOF lambdas (concat_ws +
+    named_struct per element — no codegen inside lambdas) and hashed
+    per occurrence — measured as the largest CPU part of the curate
+    flagships (~39 s executor CPU at sf0.1 per ``with_lm_score`` call).
+    Now a ``mapInArrow`` kernel: C-backed ``hashlib``/str ops over
+    whole Arrow batches, per-task token/bigram hash memo, and the
+    per-doc (bigram, cnt) aggregate emitted DIRECTLY — the downstream
+    model groupBy and scoring join consume pre-aggregated rows (the
+    two-level aggregation: per-doc partials in the kernel, global sums
+    after), so long documents shuffle one row per distinct bigram
+    instead of one per occurrence.
+
+    Hash keys are md5-derived int64 (first 8 digest bytes, signed
+    big-endian) instead of the former ``xxhash64``: both are internal
+    join keys only — scores, not keys, leave ``with_lm_score`` — so
+    results are identical short of a 64-bit collision between two
+    observed grams, the same documented tradeoff as
+    ``ngram_jaccard_pairs``/``winnow_pairs`` hashed keys (birthday
+    bound ~1e-11 at 10^5 grams). Tokenizer equivalence (Java ``\\s``
+    class, ASCII lowercasing) as pinned for the winnow kernel;
+    ``test_lm_score_hand_computed`` pins end-to-end scores."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)), id_col)
+    id_type = dict(src.dtypes)[id_col]
+
+    def bg_batches(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        import hashlib
+        import re
+        from collections import Counter
+
+        ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")  # Java regex \s
+        memo: dict[str, int] = {}
+
+        def h(s: str) -> int:
+            v = memo.get(s)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(s.encode("utf-8")).digest()[:8],
+                    "big",
+                    signed=True,
+                )
+                memo[s] = v
+            return v
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids: list = []
+            out_hk: list[int] = []
+            out_bk: list[int] = []
+            out_cnt: list[int] = []
+            for i, s in zip(ids, texts):
+                if s is None:
+                    continue
+                wl = [w for w in ws.split(s.lower()) if w != ""]
+                if len(wl) < 2:
+                    continue
+                counts = Counter(
+                    (wl[j], wl[j] + " " + wl[j + 1])
+                    for j in range(len(wl) - 1)
+                )
+                for (head, bg), c in counts.items():
+                    out_ids.append(i)
+                    out_hk.append(h(head))
+                    out_bk.append(h(bg))
+                    out_cnt.append(c)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=batch.schema.field(0).type),
+                    pa.array(out_hk, type=pa.int64()),
+                    pa.array(out_bk, type=pa.int64()),
+                    pa.array(out_cnt, type=pa.int64()),
+                ],
+                names=[id_col, "hk", "bk", "cnt"],
+            )
+
+    return src.mapInArrow(
+        bg_batches, f"{id_col} {id_type}, hk long, bk long, cnt long"
     )
 
 
@@ -96,7 +161,7 @@ def bigram_model(occ: DataFrame, alpha: int = LM_ALPHA) -> DataFrame:
     the additive shrinkage that keeps singleton transitions from
     scoring as certainties (module docstring).
     """
-    counts = occ.groupBy("hk", "bk").agg(F.count(F.lit(1)).alias("c2"))
+    counts = occ.groupBy("hk", "bk").agg(F.sum("cnt").alias("c2"))
     c1 = F.sum("c2").over(Window.partitionBy("hk"))
     return counts.withColumn("c1", c1).select(
         "bk", F.expr(f"({LM_SCALE} * c2) div (c1 + {int(alpha)})").alias("score")
@@ -144,21 +209,25 @@ def with_lm_score(
         if train_df is None
         else bigram_occurrences(train_df, id_col, text_col)
     )
-    score_occ = occ.select(id_col, "bk")
+    score_occ = occ.select(id_col, "bk", "cnt")
     base = df.select(id_col)
     if score_ids is not None:
         keys = score_ids.select(id_col)
         score_occ = score_occ.join(keys, id_col, "left_semi")
         base = base.join(keys, id_col, "left_semi")
+    # occurrence rows are pre-aggregated per (doc, bigram) — weight the
+    # sums by cnt (exact integers either way, so the doubles match the
+    # former per-occurrence form bit-for-bit)
     scored = (
         score_occ
         .join(model, "bk", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cnt").cast("long").alias("n_bigrams"),
             (
-                F.sum(F.coalesce("score", F.lit(0))).cast("double")
-                / F.count(F.lit(1))
+                F.sum(F.col("cnt") * F.coalesce("score", F.lit(0)))
+                .cast("double")
+                / F.sum("cnt")
             ).alias("lm_score"),
         )
     )

@@ -252,6 +252,208 @@ def with_repetition(
     return out if words_col is not None else out.drop("__w")
 
 
+def gate_feature_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """ALL integer counters of the curate gate stack in ONE
+    ``mapInArrow`` pass — the r14 fusion of the per-word work in
+    ``with_quality`` + ``with_lang_guess`` + ``with_repetition`` +
+    ``with_classifier_score`` (guide §4.2): the IN-list marker filters
+    (10 stopwords + 4×5 language markers per word), the 2/3-gram
+    concat+distinct builds, and the per-token md5 classifier weight all
+    ran as interpreted HOF lambdas (no codegen inside lambdas) — the
+    dominant CPU of every curate flagship after the shared-tokenization
+    fix. The kernel computes per document, from one tokenize:
+
+    n_words, n_chars, n_punct, n_stop, m_en/m_es/m_fr/m_de (marker
+    occurrence counts), n_distinct, g2_tot/g2_distinct,
+    g3_tot/g3_distinct (word-2/3-gram totals and distincts), wsum (the
+    ``_token_weight`` integer sum).
+
+    Every output is an EXACT integer the expression form also derives
+    (md5 is engine-independent; sums/counts are order-free), so the
+    downstream doubles — assembled by :func:`gate_features_from_counts`
+    with the builders' own expression trees — are bit-identical, pinned
+    by ``test_gate_kernel_matches_builder_chain``. Tokenizer
+    equivalence notes as in ``winnow_fingerprints`` (Java ``\\s``
+    split class; ASCII lowercasing; codepoint ``length``).
+
+    Rows with NULL ``text_col`` are OMITTED. The builder chain instead
+    scores such a row ``quality 0.195 / lang 'und' / cls_score NULL``
+    (``size(NULL array)`` is -1 under the session's legacy setting), so
+    every gate in ``_v3_gated`` filters it out and its ``label`` is
+    false-with-no-occurrence-rows — both paths contribute nothing, so
+    dropping the row is output-equivalent for the gate consumers (not
+    for arbitrary outer-join callers; this is a gate-stack kernel).
+    Token-free texts keep their row with zero counters, matching the
+    builders' 0/0-guard branches.
+    """
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+
+    src = ensure_parallelism(
+        df.select(
+            F.col(id_col), *[F.col(c) for c in keep_cols], F.col(text_col)
+        ),
+        id_col,
+    )
+    n_keep = len(keep_cols)
+    dtypes = dict(src.dtypes)
+    counter_names = [
+        "n_words", "n_chars", "n_punct", "n_stop",
+        *[f"m_{lang}" for lang in LANG_MARKERS],
+        "n_distinct", "g2_tot", "g2_distinct", "g3_tot", "g3_distinct",
+        "wsum",
+    ]
+    stop_set = frozenset(STOPWORDS)
+    marker_sets = [frozenset(m) for m in LANG_MARKERS.values()]
+    punct_set = frozenset(".,!?;:")
+
+    def feature_batches(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        import hashlib
+        import re
+
+        ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")  # Java regex \s
+        wmemo: dict[str, int] = {}
+        half = (_CLS_RANGE - 1) // 2
+
+        def weight(w: str) -> int:
+            v = wmemo.get(w)
+            if v is None:
+                b = (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:4], 16)
+                    % CLS_BUCKETS
+                )
+                v = (b * _CLS_MULT) % _CLS_RANGE - half
+                wmemo[w] = v
+            return v
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            keeps = [batch.column(1 + j).to_pylist() for j in range(n_keep)]
+            texts = batch.column(1 + n_keep).to_pylist()
+            out_ids: list = []
+            out_keeps: list[list] = [[] for _ in range(n_keep)]
+            cols: list[list[int]] = [[] for _ in counter_names]
+            for row, s in enumerate(texts):
+                if s is None:
+                    continue
+                wl = [w for w in ws.split(s.lower()) if w != ""]
+                nw = len(wl)
+                g2 = [wl[j] + " " + wl[j + 1] for j in range(nw - 1)]
+                g3 = [
+                    wl[j] + " " + wl[j + 1] + " " + wl[j + 2]
+                    for j in range(nw - 2)
+                ]
+                vals = (
+                    nw,
+                    len(s),
+                    sum(1 for ch in s if ch in punct_set),
+                    sum(1 for w in wl if w in stop_set),
+                    *[
+                        sum(1 for w in wl if w in ms)
+                        for ms in marker_sets
+                    ],
+                    len(set(wl)),
+                    len(g2),
+                    len(set(g2)),
+                    len(g3),
+                    len(set(g3)),
+                    sum(weight(w) for w in wl),
+                )
+                out_ids.append(ids[row])
+                for j in range(n_keep):
+                    out_keeps[j].append(keeps[j][row])
+                for c, v in zip(cols, vals):
+                    c.append(v)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=batch.schema.field(0).type),
+                    *[
+                        pa.array(
+                            out_keeps[j], type=batch.schema.field(1 + j).type
+                        )
+                        for j in range(n_keep)
+                    ],
+                    *[pa.array(c, type=pa.int64()) for c in cols],
+                ],
+                names=[id_col, *keep_cols, *counter_names],
+            )
+
+    keep_schema = "".join(f"{c} {dtypes[c]}, " for c in keep_cols)
+    counter_schema = ", ".join(f"{c} long" for c in counter_names)
+    return src.mapInArrow(
+        feature_batches,
+        f"{id_col} {dtypes[id_col]}, {keep_schema}{counter_schema}",
+    )
+
+
+def gate_features_from_counts(cnts: DataFrame) -> DataFrame:
+    """Assemble the gate-stack feature columns (``quality``,
+    ``lang_guess``, ``type_token_ratio``, ``dup_2gram_frac``,
+    ``cls_score``) from :func:`gate_feature_counts` output with the
+    builders' OWN expression trees re-based on the counters — the
+    integers are identical, the double arithmetic is the same fixed
+    tree, so every feature is bit-identical to the
+    ``with_quality``/``with_lang_guess``/``with_repetition``/
+    ``with_classifier_score`` chain (parity-pinned)."""
+    stop_ratio = (
+        "CASE WHEN n_words > 0 THEN"
+        " CAST(n_stop AS DOUBLE) / n_words ELSE 0.0D END"
+    )
+    punct_ratio = (
+        "CASE WHEN n_chars > 0 THEN"
+        " CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0D END"
+    )
+    quality = (
+        f"least(CAST(n_words AS DOUBLE) / 100.0D, 1.0D) * 0.5D"
+        f" + ({stop_ratio}) * 0.3D"
+        f" + (1.0D - ({punct_ratio})) * 0.2D"
+    )
+    langs = list(LANG_MARKERS)
+    scores = {lang: f"m_{lang}" for lang in langs}
+    max_score = scores[langs[0]]
+    for lang in langs[1:]:
+        max_score = f"greatest({max_score}, {scores[lang]})"
+    branches = " ".join(
+        f"WHEN {scores[lang]} = ({max_score}) AND ({max_score}) > 0"
+        f" THEN '{lang}'"
+        for lang in langs
+    )
+
+    def frac(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE) / {den}"
+            f" ELSE 0.0D END"
+        )
+
+    return cnts.withColumns(
+        {
+            "quality": F.expr(quality),
+            "lang_guess": F.expr(f"CASE {branches} ELSE 'und' END"),
+            "type_token_ratio": F.expr(frac("n_distinct", "n_words")),
+            "dup_2gram_frac": F.expr(
+                frac("g2_tot - g2_distinct", "g2_tot")
+            ),
+            "dup_3gram_frac": F.expr(
+                frac("g3_tot - g3_distinct", "g3_tot")
+            ),
+            "cls_score": F.expr(
+                "CASE WHEN n_words > 0 THEN CAST(wsum AS DOUBLE)"
+                " / CAST(n_words * 1000 AS DOUBLE) END"
+            ),
+        }
+    )
+
+
 def vocab_topk(
     df: DataFrame, k: int = 100, text_col: str = "text"
 ) -> DataFrame:
@@ -624,6 +826,130 @@ def _token_bucket(w: Column) -> Column:
     )
 
 
+def _py_token_bucket_table() -> dict[str, int]:
+    """Per-task memo for the Python twin of ``_token_bucket``: token →
+    ``int(md5(utf8)[:4 hex], 16) % CLS_BUCKETS``. md5 is byte-identical
+    in every implementation, so — unlike the winnow/LM HASH-KEY
+    tradeoffs — the kernelized bucket is EXACTLY the expression form's
+    value, not merely collision-equivalent. Corpora repeat tokens
+    heavily (Zipf), so the memo removes most md5 calls; it is bounded
+    by the task's distinct-token count (a slice of the corpus vocab)."""
+    return {}
+
+
+def token_bucket_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document hashed-token bucket counts as ONE ``mapInArrow``
+    kernel: (id, *extra, bucket, cnt) — the shared engine under
+    :func:`bucket_occurrences` and ``plans.llmdata.dsir_occurrences``.
+
+    r14 optimization (guide §4.2 + §2.4): the former form exploded one
+    row per token, ran ``_token_bucket`` (md5 + conv + mod) per token in
+    the interpreter, and shuffled (id, bucket) rows into a groupBy. The
+    kernel hands whole Arrow batches to C-backed ``hashlib.md5``/str
+    ops, memoizes repeated tokens, and emits the per-doc (bucket, cnt)
+    aggregate DIRECTLY — a doc's rows are complete within its own text,
+    so the groupBy exchange is gone, not moved (one less shuffle at any
+    scale).
+
+    Exact equivalence with the expression form (pinned by
+    ``test_token_bucket_kernel_matches_expression_form``): the
+    tokenizer replicates Spark ``split(lower(text), '\\s+')`` — Java
+    regex ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]`` (ASCII, unlike Python's
+    Unicode ``\\s``); ``str.lower()`` and JVM lowercasing agree on
+    ASCII (every corpus here); md5-of-UTF-8 is engine-independent, so
+    bucket ids are IDENTICAL integers, not a collision tradeoff. NULL
+    and token-free texts emit no rows, exactly like the explode.
+    """
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    from wikidatabots_spark.operators.dedup import ensure_parallelism
+
+    src = ensure_parallelism(
+        df.select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                  F.col(text_col)),
+        id_col,
+    )
+    n_extra = len(extra_cols)
+
+    def bucket_batches(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        import hashlib
+        import re
+        from collections import Counter
+
+        ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")  # Java regex \s
+        memo = _py_token_bucket_table()
+
+        def bucket(w: str) -> int:
+            b = memo.get(w)
+            if b is None:
+                b = (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:4], 16)
+                    % CLS_BUCKETS
+                )
+                memo[w] = b
+            return b
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            extras = [
+                batch.column(1 + j).to_pylist() for j in range(n_extra)
+            ]
+            texts = batch.column(1 + n_extra).to_pylist()
+            out_ids: list = []
+            out_extras: list[list] = [[] for _ in range(n_extra)]
+            out_buckets: list[int] = []
+            out_cnts: list[int] = []
+            for row, s in enumerate(texts):
+                if s is None:
+                    continue
+                counts = Counter(
+                    bucket(w) for w in ws.split(s.lower()) if w != ""
+                )
+                if not counts:
+                    continue
+                i = ids[row]
+                for b, c in counts.items():
+                    out_ids.append(i)
+                    for j in range(n_extra):
+                        out_extras[j].append(extras[j][row])
+                    out_buckets.append(b)
+                    out_cnts.append(c)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=batch.schema.field(0).type),
+                    *[
+                        pa.array(out_extras[j], type=batch.schema.field(1 + j).type)
+                        for j in range(n_extra)
+                    ],
+                    pa.array(out_buckets, type=pa.int64()),
+                    pa.array(out_cnts, type=pa.int64()),
+                ],
+                names=[id_col, *extra_cols, "bucket", "cnt"],
+            )
+
+    extra_schema = "".join(
+        f"{c} {t}, "
+        for c, t in zip(
+            extra_cols,
+            [dict(src.dtypes)[c] for c in extra_cols],
+        )
+    )
+    return src.mapInArrow(
+        bucket_batches,
+        f"{id_col} {dict(src.dtypes)[id_col]}, {extra_schema}"
+        f"bucket long, cnt long",
+    )
+
+
 def bucket_occurrences(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -632,23 +958,14 @@ def bucket_occurrences(
     compute it once (fence it if both run in one plan) and the text
     column never leaves the scan stage again.
 
-    Guarded by ``ensure_parallelism`` (guide §2.5 input skew): this was
-    the one remaining explode+md5-per-token pass without the guard — a
-    single-file corpus scan ran the whole tokenize/hash/partial-agg
-    stage in ONE task (profiled: a 1-task 22-38 s-CPU stage serializing
-    every trained-NB curate flagship, while the guarded twin
-    ``dsir_occurrences`` spreads the same work 32 ways). No-op on
-    well-partitioned cluster inputs, like every other use of the guard.
-    """
-    from wikidatabots_spark.operators.dedup import ensure_parallelism
-
-    return (
-        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)), id_col)
-        .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("__w"))
-        .select(F.col(id_col), _token_bucket(F.col("__w")).alias("bucket"))
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    Since r14 this is the :func:`token_bucket_counts` ``mapInArrow``
+    kernel (guide §4.2): same (id, bucket, cnt) rows — bucket ids are
+    EXACTLY the ``_token_bucket`` integers (md5 is engine-independent)
+    — with the per-token interpreted md5 moved to C-backed hashlib and
+    the per-doc groupBy exchange eliminated outright (a doc's counts
+    are complete within its own row). ``ensure_parallelism`` guards the
+    single-file local scan as before (guide §2.5)."""
+    return token_bucket_counts(df, id_col=id_col, text_col=text_col)
 
 
 def train_hashed_nb(

@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 
 from wikidatabots_spark.functions.scale import pushdown_fence
 from wikidatabots_spark.operators.dedup import simhash
-from wikidatabots_spark.operators.textstats import with_lang_guess, with_quality
 from wikidatabots_spark.plans.extensions import (
     _LANGID_ORACLE,
     _QUALITY_ORACLE,
@@ -148,11 +147,9 @@ def curate_corpus_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recursive CTE)."""
     from wikidatabots_spark.operators.dedup import (
         connected_components,
-        ensure_parallelism,
         winnow_fingerprints,
         winnow_pairs,
     )
-    from wikidatabots_spark.operators.textstats import with_repetition
 
     d = load_table(spark, sf_dir, "documents")
     exact = (
@@ -171,10 +168,17 @@ def curate_corpus_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = exact.join(dup_nodes, "doc_id", "left_anti")
     # pushdown_fence: without it Catalyst substitutes the HOF-heavy
-    # score definitions into the gate predicate below (measured 20x)
+    # score definitions into the gate predicate below (measured 20x).
+    # r14 wave 3: fused gate-counter kernel — bit-identical features
+    # (parity-pinned), one tokenize instead of three private splits
+    from wikidatabots_spark.operators.textstats import (
+        gate_feature_counts,
+        gate_features_from_counts,
+    )
+
     scored = pushdown_fence(
-        with_repetition(
-            with_lang_guess(with_quality(ensure_parallelism(d, "doc_id")))
+        gate_features_from_counts(
+            gate_feature_counts(d, keep_cols=())
         ).select(
             "doc_id", "lang_guess", "quality", "type_token_ratio", "dup_2gram_frac"
         )
@@ -278,12 +282,18 @@ def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     #      gates; one codegen stage over the surviving documents. The
     #      parallelism guard spreads the single-file local scan across the
     #      cluster width (no-op on real multi-split inputs).
-    from wikidatabots_spark.operators.dedup import ensure_parallelism
+    from wikidatabots_spark.operators.textstats import (
+        gate_feature_counts,
+        gate_features_from_counts,
+    )
 
+    # r14 wave 3: the fused gate-counter kernel replaces the builder
+    # chain's interpreted per-word work — bit-identical features
+    # (parity-pinned in tests/test_operators.py), one tokenize
     scored = pushdown_fence(
-        with_lang_guess(with_quality(ensure_parallelism(d, "doc_id"))).select(
-            "doc_id", "lang_guess", "quality"
-        )
+        gate_features_from_counts(
+            gate_feature_counts(d, keep_cols=())
+        ).select("doc_id", "lang_guess", "quality")
     )
     split_bucket = F.conv(
         F.substring(
@@ -408,7 +418,6 @@ def _v3_gated(
     """
     from wikidatabots_spark.operators.dedup import (
         connected_components,
-        ensure_parallelism,
         winnow_fingerprints,
         winnow_pairs,
     )
@@ -416,8 +425,6 @@ def _v3_gated(
         bucket_occurrences,
         score_hashed_nb,
         train_hashed_nb,
-        with_classifier_score,
-        with_repetition,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -436,27 +443,21 @@ def _v3_gated(
         F.col("node").alias("doc_id")
     )
     survivors = exact.join(dup_nodes, "doc_id", "left_anti")
-    # ONE shared tokenization feeds all four word-consuming gates (r14
-    # optimization, guide §1.2): each builder's private split re-ran
-    # lower+regex-split over the corpus — the single biggest CPU stage
-    # of every curate flagship was 4x tokenize. The materialized __w
-    # column stays a separate Project (referenced many times, so
-    # CollapseProject will not inline it), hence split-once per row.
-    from wikidatabots_spark.operators.textstats import _words_sql
-
-    dw = ensure_parallelism(d, "doc_id").withColumn(
-        "__w", F.expr(_words_sql("text"))
+    # ONE fused Arrow kernel computes every gate counter in a single
+    # tokenize (r14 wave 2, guide §4.2): the four builders' per-word
+    # IN-list filters, n-gram builds, and md5 classifier weights ran as
+    # interpreted HOF lambdas even after the r14 shared-tokenization
+    # fix; gate_feature_counts moves that per-word work to C-backed
+    # ops, and gate_features_from_counts reassembles the SAME feature
+    # expression trees over the (identical) integers — bit-identical
+    # features, parity-pinned in tests/test_operators.py.
+    from wikidatabots_spark.operators.textstats import (
+        gate_feature_counts,
+        gate_features_from_counts,
     )
+
     scored = pushdown_fence(
-        with_classifier_score(
-            with_repetition(
-                with_lang_guess(
-                    with_quality(dw, words_col="__w"), words_col="__w"
-                ),
-                words_col="__w",
-            ),
-            words_col="__w",
-        ).select(
+        gate_features_from_counts(gate_feature_counts(d)).select(
             "doc_id", "source", "lang_guess", "quality",
             "type_token_ratio", "dup_2gram_frac", "cls_score",
         )

@@ -913,20 +913,14 @@ def dsir_occurrences(d: DataFrame) -> DataFrame:
     classifier uses, so a single fenced instance of this table can feed
     BOTH the classifier gate (project source away) and DSIR
     training/scoring (the v8 flagship does exactly that)."""
-    from wikidatabots_spark.operators.dedup import ensure_parallelism
-    from wikidatabots_spark.operators.textstats import _token_bucket, words
+    from wikidatabots_spark.operators.textstats import token_bucket_counts
 
-    d = ensure_parallelism(d, "doc_id")
-    return (
-        d.select(
-            "doc_id", "source", F.explode(words(F.col("text"))).alias("__w")
-        )
-        .select(
-            "doc_id", "source", _token_bucket(F.col("__w")).alias("bucket")
-        )
-        .groupBy("doc_id", "source", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    # r14: the token_bucket_counts mapInArrow kernel (guide §4.2) —
+    # identical (doc_id, source, bucket, cnt) rows (md5 buckets are
+    # engine-exact), with the per-token interpreted md5 moved to
+    # C-backed hashlib and the (doc, source, bucket) groupBy exchange
+    # removed outright (per-doc counts complete within the row)
+    return token_bucket_counts(d, extra_cols=("source",))
 
 
 def dsir_class_counts(occ: DataFrame) -> DataFrame:
