@@ -826,17 +826,6 @@ def _token_bucket(w: Column) -> Column:
     )
 
 
-def _py_token_bucket_table() -> dict[str, int]:
-    """Per-task memo for the Python twin of ``_token_bucket``: token →
-    ``int(md5(utf8)[:4 hex], 16) % CLS_BUCKETS``. md5 is byte-identical
-    in every implementation, so — unlike the winnow/LM HASH-KEY
-    tradeoffs — the kernelized bucket is EXACTLY the expression form's
-    value, not merely collision-equivalent. Corpora repeat tokens
-    heavily (Zipf), so the memo removes most md5 calls; it is bounded
-    by the task's distinct-token count (a slice of the corpus vocab)."""
-    return {}
-
-
 def token_bucket_counts(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -886,7 +875,10 @@ def token_bucket_counts(
         from collections import Counter
 
         ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")  # Java regex \s
-        memo = _py_token_bucket_table()
+        # per-task token→bucket memo: corpora repeat tokens heavily
+        # (Zipf), so this removes most md5 calls; bounded by the task's
+        # distinct-token count
+        memo: dict[str, int] = {}
 
         def bucket(w: str) -> int:
             b = memo.get(w)
