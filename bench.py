@@ -295,6 +295,44 @@ HARD_BARS = {
 }
 
 
+def _engine_cpu_seconds() -> float:
+    """Cumulative CPU seconds of the whole local engine: every descendant
+    process of this bench process — the Spark JVM (driver AND executor
+    threads in local mode) plus its pyspark daemon/worker children (where
+    the Arrow-kernel work actually runs, invisible to JVM-side
+    ``executorCpuTime``). Per-run DELTAS of this counter are the
+    stall-immune CPU metric VERDICT r14 next #4 asks for: host scheduler
+    stalls inflate wall-clock but not CPU, and at 100 TB saved parallel
+    CPU is saved machines. Reaped children fold into their parent's
+    cutime/cstime, so deltas stay exact across worker churn. A /proc walk
+    costs ~5 ms — read OUTSIDE the timed window, never inside it."""
+    me = os.getpid()
+    tick = os.sysconf("SC_CLK_TCK")
+    stats: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                rest = f.read().split(b") ", 1)[1].split()
+            stats[int(d)] = (
+                int(rest[1]),
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
+            )
+        except (OSError, IndexError, ValueError):
+            continue
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in stats.items():
+        children.setdefault(ppid, []).append(pid)
+    total = 0
+    todo = list(children.get(me, []))
+    while todo:
+        pid = todo.pop()
+        total += stats[pid][1]
+        todo.extend(children.get(pid, []))
+    return total / tick
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -327,13 +365,18 @@ def main() -> None:
     bar_order = [n for n in order if n in BAR_QUERIES]
     passes: dict[str, list[float]] = {name: [] for name in HEADLINERS}
     loadavg: dict[str, list[float]] = {name: [] for name in HEADLINERS}
+    cpu_passes: dict[str, list[float]] = {name: [] for name in HEADLINERS}
     rows: dict[str, int] = {}
 
     def run_one(name: str) -> None:
         fn = plans.REGISTRY[name].fn
+        # CPU counters read strictly OUTSIDE the timed window (before t0 /
+        # after the wall measurement) — the wall timing is unchanged
+        c0 = _engine_cpu_seconds()
         t0 = time.perf_counter()
         rows[name] = fn(spark, sf_dir).count()
         passes[name].append(round(time.perf_counter() - t0, 4))
+        cpu_passes[name].append(round(_engine_cpu_seconds() - c0, 3))
         loadavg[name].append(round(os.getloadavg()[0], 2))
 
     # DEDICATED FIRST BLOCK (VERDICT r6 next #3 / r7 next #5): the
@@ -398,6 +441,15 @@ def main() -> None:
         # 1-min loadavg sampled right after each measurement — the
         # contention adjudicator (VERDICT r5 next #3)
         "loadavg": loadavg,
+        # engine CPU seconds per pass (JVM + pyspark workers, /proc
+        # deltas outside the timed window — see _engine_cpu_seconds) and
+        # the per-query min: the stall-immune, scale-relevant metric
+        # (VERDICT r14 next #4) — kernel wins show up here even when
+        # sf0.1 wall is scheduling-bound
+        "cpu_passes": cpu_passes,
+        "queries_cpu": {
+            name: min(cs) for name, cs in cpu_passes.items() if cs
+        },
         "sf": sf,
     }
     # Full per-query/per-pass detail goes to a FILE (plus stderr above):

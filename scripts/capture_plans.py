@@ -1,12 +1,12 @@
-"""Capture .explain("formatted") for named queries into plans/r14/.
+"""Capture .explain("formatted") for named queries into plans/r15/.
 
 Usage: python scripts/capture_plans.py <suffix> <query> [query ...]
-Writes plans/r14/<query>_<suffix>.txt for each query.
+Writes plans/r15/<query>_<suffix>.txt for each query.
 
 Note: for queries that execute work at build time (the streaming
 queries run their staged pipelines inside fn()), the captured plan is
 the SERVED frame's plan; the build-time pipeline is documented in
-OPTIMIZATION_r14.md instead.
+OPTIMIZATION_r15.md instead.
 """
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        "r15",
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="plan-capture")

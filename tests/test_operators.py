@@ -1043,6 +1043,70 @@ def test_winnow_kernel_matches_expression_form(spark):
         assert got == want and len(got) > 100
 
 
+def test_minhash_kernel_matches_expression_form(spark):
+    """The r15 mapInArrow MinHash-signature kernel emits the SAME
+    (id, mh0..mh{k-1}) rows as the JVM expression form it replaced —
+    split/lower/shingle/md5('<i>:'||t)/min semantics replicated exactly
+    (hex-digest min is a binary string compare in both engines),
+    including the <shingle_size-words drop and repeated shingles."""
+    import random
+
+    from wikidatabots_spark.operators.dedup import minhash_signature_cols
+
+    vocab = ["alpha", "beta", "Gamma", "DELTA", "ep5", "zz", "x"]
+    rng = random.Random(23)
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(200)
+    ]
+    rows += [
+        (900, ""),  # empty
+        (901, "one two"),  # < shingle_size words
+        (902, "one two three"),  # exactly one shingle
+        (903, "dup dup dup dup dup dup dup dup"),  # one distinct shingle
+        (904, "  leading   and\ttrailing  spaces\n"),
+        (905, None),  # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, n in ((8, 3), (4, 2)):
+        got = {
+            tuple(r)
+            for r in minhash_signature_cols(
+                df, num_hashes=k, shingle_size=n
+            ).collect()
+        }
+        # the former expression form, verbatim (pre-r15)
+        wl_sql = "filter(split(lower(`text`), '\\\\s+'), w -> w != '')"
+        base = df.select(F.col("doc_id"), F.expr(wl_sql).alias("__wl")).where(
+            F.size("__wl") >= n
+        )
+        elems = ", ".join(f"element_at(__wl, i + {j})" for j in range(n))
+        sh_sql = (
+            f"transform(sequence(1, size(__wl) - {n - 1}),"
+            f" i -> concat_ws(' ', {elems}))"
+        )
+        shingled = base.select(F.col("doc_id"), F.expr(sh_sql).alias("__sh"))
+        init_sql = "named_struct({})".format(
+            ", ".join(f"'m{i}', 'g'" for i in range(k))
+        )
+        merge_sql = "named_struct({})".format(
+            ", ".join(
+                f"'m{i}', least(acc.m{i}, md5(concat('{i}:', t)))"
+                for i in range(k)
+            )
+        )
+        mins_sql = f"aggregate(__sh, {init_sql}, (acc, t) -> {merge_sql})"
+        packed = shingled.select(F.col("doc_id"), F.expr(mins_sql).alias("__mh"))
+        want = {
+            tuple(r)
+            for r in packed.select(
+                F.col("doc_id"),
+                *[F.expr(f"__mh.m{i}").alias(f"mh{i}") for i in range(k)],
+            ).collect()
+        }
+        assert got == want and len(got) > 100
+
+
 def test_semdedup_blocked_kernel_matches_expression_form(spark):
     """The r14 blocked-numpy pair stage is BIT-identical to the
     zip_with/aggregate expression form — the kernel accumulates one

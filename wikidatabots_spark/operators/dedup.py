@@ -275,48 +275,92 @@ def minhash_signature_cols(
 
     Docs with fewer than ``shingle_size`` words have no shingles and are
     dropped — identical to the token form, where they contribute no rows.
-    The shingle array is materialized as a projected column before the
-    k hash transforms reference it (no CSE through lambda scopes — the
-    same trap documented on ``shingles``).
+
+    Since r15 this is a ``mapInArrow`` kernel (guide §4.2, VERDICT r14
+    next #5 — the winnow recipe applied verbatim): the former
+    expression form evaluated k ``least``/``md5``/``concat`` nodes per
+    shingle inside an ``aggregate`` lambda — interpreted, no codegen
+    inside HOF lambdas — measured ~3.4 s executor CPU for the whole
+    band table at sf0.1. The kernel hands whole Arrow batches to
+    C-backed ``hashlib.md5``/str ops with a per-task shingle→digests
+    memo (capped — Zipf repetition makes it pay, the cap bounds a
+    long-lived task's memory; the same policy as the lm.py bigram
+    memo). Exact equivalence with the expression form, pinned by
+    ``test_minhash_kernel_matches_expression_form``: the tokenizer
+    replicates Spark ``split(lower(text), '\\s+')`` (Java ``\\s`` =
+    ``[ \\t\\n\\x0B\\f\\r]``, ASCII corpora — the winnow kernel's
+    documented contract); ``md5(concat('<i>:', t))`` hashes the same
+    UTF-8 bytes; the running min compares hex digests, and Python
+    ``<`` on ASCII hex equals the JVM's UTF8String binary comparison —
+    so every signature STRING is identical, not a collision tradeoff.
     """
-    # The whole projection renders as SQL STRINGS (r14 optimization,
-    # guide §7.3): the former per-element Column construction — k least/
-    # md5/concat nodes per aggregate-lambda field, one py4j round trip
-    # each — cost ~0.5 s of single-threaded driver time per call, paid
-    # per micro-batch by the streaming sinks. One F.expr per projection
-    # parses to the identical expression tree JVM-side.
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
     n = shingle_size
-    wl_sql = f"filter(split(lower(`{text_col}`), '\\\\s+'), w -> w != '')"
-    base = ensure_parallelism(
-        df.select(F.col(id_col), F.expr(wl_sql).alias("__wl")), id_col
-    ).where(F.size("__wl") >= n)
-    elems = ", ".join(f"element_at(__wl, i + {j})" for j in range(n))
-    sh_sql = (
-        f"transform(sequence(1, size(__wl) - {n - 1}),"
-        f" i -> concat_ws(' ', {elems}))"
+    k = num_hashes
+    src = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col)), id_col
     )
-    shingled = base.select(F.col(id_col), F.expr(sh_sql).alias("__sh"))
-    # ONE aggregate pass computes all k mins: a struct accumulator whose
-    # field i tracks min(md5('<i>:' || shingle)). The single __sh
-    # reference matters — k separate array_min(transform(...)) columns
-    # each re-evaluated the projected shingle array (Catalyst inlines
-    # aliases into HOF consumers; measured 7x at sf0.1). The merge
-    # lambda keeps the (acc, element) 2-arg contract of aggregate.
-    # 'g' sorts after every md5 hex digest, so it is the MIN identity.
-    init_sql = "named_struct({})".format(
-        ", ".join(f"'m{i}', 'g'" for i in range(num_hashes))
-    )
-    merge_sql = "named_struct({})".format(
-        ", ".join(
-            f"'m{i}', least(acc.m{i}, md5(concat('{i}:', t)))"
-            for i in range(num_hashes)
-        )
-    )
-    mins_sql = f"aggregate(__sh, {init_sql}, (acc, t) -> {merge_sql})"
-    packed = shingled.select(F.col(id_col), F.expr(mins_sql).alias("__mh"))
-    return packed.select(
-        F.col(id_col),
-        *[F.expr(f"__mh.m{i}").alias(f"mh{i}") for i in range(num_hashes)],
+    id_type = dict(src.dtypes)[id_col]
+
+    def sig_batches(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        import hashlib
+        import re
+
+        ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")  # Java regex \s
+        prefixes = [f"{i}:".encode("utf-8") for i in range(k)]
+        # per-task shingle→k-digest memo, capped at 2^19 entries (~150 MB
+        # worst case at 8 hashes): shingles repeat across documents
+        # (Zipf), so most lookups hit; past the cap the kernel simply
+        # hashes — same values, bounded memory for a long-lived task
+        memo: dict[str, tuple[str, ...]] = {}
+
+        def digests(sh: str) -> tuple[str, ...]:
+            v = memo.get(sh)
+            if v is None:
+                b = sh.encode("utf-8")
+                v = tuple(hashlib.md5(p + b).hexdigest() for p in prefixes)
+                if len(memo) < (1 << 19):
+                    memo[sh] = v
+            return v
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids: list = []
+            out_cols: list[list[str]] = [[] for _ in range(k)]
+            for i, s in zip(ids, texts):
+                if s is None:
+                    continue
+                wl = [w for w in ws.split(s.lower()) if w != ""]
+                n_sh = len(wl) - (n - 1)
+                if n_sh < 1:  # < shingle_size words: no shingles, no row
+                    continue
+                mins = list(digests(" ".join(wl[0:n])))
+                for j in range(1, n_sh):
+                    hs = digests(" ".join(wl[j : j + n]))
+                    for t in range(k):
+                        if hs[t] < mins[t]:
+                            mins[t] = hs[t]
+                out_ids.append(i)
+                for t in range(k):
+                    out_cols[t].append(mins[t])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=batch.schema.field(0).type),
+                    *[pa.array(c, type=pa.string()) for c in out_cols],
+                ],
+                names=[id_col, *[f"mh{t}" for t in range(k)]],
+            )
+
+    return src.mapInArrow(
+        sig_batches,
+        f"{id_col} {id_type}, "
+        + ", ".join(f"mh{t} string" for t in range(k)),
     )
 
 
