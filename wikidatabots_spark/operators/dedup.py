@@ -1098,8 +1098,22 @@ def connected_components(
     # (it is the groupBy("node") output), so the per-round join runs
     # exchange-free — the only shuffle left per iteration is the
     # unavoidable groupBy("node") re-key from v-space to u-space.
+    # Both orientations of each edge via ONE explode instead of a
+    # self-union (r15, guide §2.4): the union's two legs are separate
+    # subtrees, and only the exchange below them is reused — so the
+    # edge list's FINAL aggregation/filter (the n_shared groupBy of the
+    # pair generators feeding every dedup CC) executed twice per CC
+    # call, measured 2.6 s CPU / 2× the pair-partial shuffle read in
+    # v3_gated_trained. The explode emits (u,v) and (v,u) per input row
+    # in the same task — identical row multiset, one upstream pass.
     sym = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        e.select(
+            F.expr(
+                "explode(array(named_struct('u', u, 'v', v),"
+                " named_struct('u', v, 'v', u))) AS __e"
+            )
+        )
+        .select("__e.u", "__e.v")
         .repartition(F.col("v"))
         # lazy: round 0's single action materializes the edge RDD once
         # (both its consumers — the labels init and the neighbor join —
