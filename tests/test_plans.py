@@ -218,11 +218,18 @@ def test_driver_window_is_pandas_canonicalizable(spark, sf_dir):
     sf_dir, honoring SPARK_GRAFT_TEST_SF_DIR — ADVICE r5) so a future
     promotion of a non-scalar-schema query fails HERE, not in the
     external harness."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from wikidatabots_spark.plans.registry import PRIORITY
 
-    for name in PRIORITY:
+    def canonicalize(name: str) -> None:
         pdf = plans.REGISTRY[name].fn(spark, sf_dir).toPandas()
         cols = sorted(pdf.columns)
         # the driver's sort: lexsort over every column — unhashable
         # cells raise TypeError here exactly as they did in r4
         pdf.sort_values(by=cols).reset_index(drop=True)
+
+    # independent actions overlapped on a small pool (guide §2.6) — any
+    # TypeError still propagates from its future via pool.map
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(canonicalize, PRIORITY))

@@ -10,6 +10,35 @@ from wikidatabots_spark.streaming.events_stream import read_events_stream
 from wikidatabots_spark.streaming.stateful import user_profile_stream
 
 
+def _drain_and_stop(q, timeout_s: float = 120.0) -> None:
+    """Wait until the file source is drained, then STOP the query.
+
+    ``awaitTermination`` is the wrong wait here (r15 test-gate fix):
+    under ``Trigger.AvailableNow`` a stateful query with
+    ProcessingTimeTimeout keeps firing ~0.6 s ZERO-INPUT micro-batches
+    until every idle timer expires (30 min for the profile reaper), so
+    the old ``awaitTermination(120)`` always timed out — 120 s per test
+    — and then LEAKED the still-running query into every later test of
+    the session-scoped SparkSession. The parity data is complete as
+    soon as a completed batch reports zero input rows after the input
+    batches; wait for that, then stop."""
+    import time as _time
+
+    deadline = _time.time() + timeout_s
+    seen_data = False
+    while _time.time() < deadline:
+        p = q.lastProgress
+        if p is not None:
+            if p["numInputRows"] > 0:
+                seen_data = True
+            elif seen_data:
+                break
+        _time.sleep(0.2)
+    assert seen_data, "stream never processed any input"
+    q.stop()
+    q.awaitTermination(30)
+
+
 def test_user_profile_stream_matches_batch(spark, sf_dir):
     ev = read_events_stream(spark, sf_dir)
     q = (
@@ -20,7 +49,7 @@ def test_user_profile_stream_matches_batch(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain_and_stop(q)
     # update mode: keep the last emitted row per user
     got = {
         r.user_id: (r.n_events, round(r.sum_value, 4))
@@ -57,7 +86,7 @@ def test_event_transitions_stream_matches_batch_lead(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain_and_stop(q)
     got = {
         (r.from_type, r.to_type): r.n
         for r in spark.sql(
@@ -97,7 +126,7 @@ def test_kmv_sketch_stream_matches_batch(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain_and_stop(q)
     got = {
         r.event_type: r.hashes
         for r in spark.sql("select * from kmv_state").collect()

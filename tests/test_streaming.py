@@ -1160,6 +1160,16 @@ def test_compact_labels_crash_at_every_step_preserves_view(
         return labels, served
 
     want_view = view(labels_path, index_path)
+    # the compose-after-recovery target is the same fixed point at every
+    # crash case — compute the full recompute ONCE (r15 test-gate fix:
+    # it is a whole CC run, ~3 s per case × ~8 cases of pure repetition)
+    want_composed = _full_recompute(
+        _docs(
+            spark,
+            (2, "A"), (3, "B"), (10, "Z"), (11, "Z"),
+            (12, "C"), (13, "C"), (14, "A"),
+        )
+    )
 
     class Crash(RuntimeError):
         pass
@@ -1221,13 +1231,7 @@ def test_compact_labels_crash_at_every_step_preserves_view(
             (r.node, r.component)
             for r in latest_labels(spark, lbl).collect()
         }
-        assert got == _full_recompute(
-            _docs(
-                spark,
-                (2, "A"), (3, "B"), (10, "Z"), (11, "Z"),
-                (12, "C"), (13, "C"), (14, "A"),
-            )
-        )
+        assert got == want_composed
         if not crashed:
             break  # budget exceeded the protocol's op count: clean run
         k += 1
@@ -1692,6 +1696,15 @@ def test_compact_index_crash_at_every_step_preserves_view(
         return labels, idx_served
 
     want_view = view(labels_path, index_path)
+    # same hoist as the labels crash test: the compose target is one
+    # fixed point, not one per crash case
+    want_composed = _full_recompute(
+        _docs(
+            spark,
+            (1, "A"), (2, "A"), (3, "B"), (10, "Z"), (11, "Z"),
+            (12, "C"), (13, "C"), (14, "A"),
+        )
+    )
 
     class Crash(RuntimeError):
         pass
@@ -1745,13 +1758,7 @@ def test_compact_index_crash_at_every_step_preserves_view(
             (r.node, r.component)
             for r in latest_labels(spark, lbl).collect()
         }
-        assert got == _full_recompute(
-            _docs(
-                spark,
-                (1, "A"), (2, "A"), (3, "B"), (10, "Z"), (11, "Z"),
-                (12, "C"), (13, "C"), (14, "A"),
-            )
-        )
+        assert got == want_composed
         if not crashed:
             break
         k += 1

@@ -781,10 +781,22 @@ def dedup_graph_maintenance(
             _pmark(f"graph b{batch_id}: init CC")
             _idx_fut = _idx_pool.submit(_index_write)
         else:
-            prior_labels = pushdown_fence(
-                _merged_labels(spark, labels_path, before_batch=batch_id)
+            # Building the merged-labels fence COMPILES a full physical
+            # plan on the driver (a lazy localCheckpoint needs toRdd) —
+            # measured 0.45-0.8 s of single-threaded dead time per batch
+            # (guide §7.3). It depends on nothing this batch computes,
+            # so build it on a worker thread overlapped with the
+            # signature materialization + prefix collect below (guide
+            # §2.6); joined before first use either branch.
+            _labels_pool = ThreadPoolExecutor(max_workers=1)
+            _labels_fut = _labels_pool.submit(
+                lambda: pushdown_fence(
+                    _merged_labels(spark, labels_path, before_batch=batch_id)
+                )
             )
-            _pmark(f"graph b{batch_id}: merged-labels plan built")
+            if op_col in batch.columns and deletes is not None:
+                prior_labels = _labels_fut.result()
+                _pmark(f"graph b{batch_id}: merged-labels plan built")
             members = None
             recomputed_del = None
             if deletes is not None:
@@ -823,8 +835,6 @@ def dedup_graph_maintenance(
                         affected, "component", "left_anti"
                     ).unionByName(recomputed_del)
                 )
-            else:
-                post_labels = prior_labels
             # insertion probe: partition-pruned to the prefixes this
             # batch's band hashes can land in (≤ 16**_BAND_PFX_LEN
             # literals — a bounded metadata collect, not data)
@@ -835,6 +845,12 @@ def dedup_graph_maintenance(
                 .collect()
             ]
             _pmark(f"graph b{batch_id}: sign + pfx collect")
+            if deletes is None:
+                # insert-only batch: the merged-labels fence build just
+                # overlapped with the signature job above — join it here
+                post_labels = _labels_fut.result()
+                _pmark(f"graph b{batch_id}: merged-labels plan joined")
+            _labels_pool.shutdown(wait=False)
             prior_idx = read_band_index(
                 spark,
                 index_path,
